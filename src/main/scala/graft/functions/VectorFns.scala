@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `ARRAY<FLOAT|DOUBLE>` columns, built from
+  * codegen'd higher-order functions (`zip_with` + `aggregate`) so the hot
+  * path stays inside whole-stage codegen — no UDF boxing, no Python.
+  *
+  * Semantics mirror the reference's cosine distance pinned at
+  * `/root/reference/app.py:87` (`Distance.COSINE`); dimensionality is
+  * data-driven (the driver's `embeddings` table is 64-d, the reference's
+  * store was 1024-d — see SURVEY.md D3).
+  *
+  * All arithmetic is forced to DOUBLE so results are reproducible across
+  * engines (the DuckDB oracle computes in double too).
+  */
+object VectorFns {
+
+  /** Cast every element to double — do this once per side before any n×m
+    * similarity join so per-pair work is pure double FMA. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def normL2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+
+  /** cosine(a, b) = dot / (|a|·|b|). Prefer [[dot]] over pre-normalized
+    * vectors (see [[l2Normalize]]) in joins: norms are then computed n+m
+    * times instead of n·m times. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (normL2(a) * normL2(b))
+
+  /** Scale to unit length; cosine of two unit vectors is a plain dot. */
+  def l2Normalize(v: Column): Column = {
+    val n = normL2(v)
+    transform(v, x => x.cast("double") / n)
+  }
+}
