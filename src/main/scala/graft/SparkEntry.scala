@@ -1,18 +1,15 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-import graft.core.Tables
-import graft.vector.TopK
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 registers here as a named
-  * query; SQL-expressible ones also carry a DuckDB oracle in [[oracleSql]]
-  * with IDENTICAL output column names, total ORDER BY with a unique
-  * tie-breaker, and floats rounded to 6 (ratios) / 2 (large sums) digits on
-  * both sides.
+  * query; SQL-expressible ones also carry a DuckDB oracle with IDENTICAL
+  * output column names/types, a total ORDER BY with a unique tie-breaker,
+  * and floats made order-insensitive (DECIMAL aggregation) on both sides.
   */
 object SparkEntry {
 
@@ -20,43 +17,11 @@ object SparkEntry {
     * Slice 0 (SURVEY §7.2): brute-force cosine top-5, first 3 vectors as
     * queries — the reference's core retrieval op (app.py:261-271). */
   def entry(spark: SparkSession): DataFrame =
-    Queries.topkCosine(spark, "/root/testdata/sf0.001")
+    VectorQueries.topkCosine(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q17_topk_cosine" -> ((s, dir) => Queries.topkCosine(s, dir))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    VectorQueries.all ++ RelationalQueries.all
 
-  def oracleSql: Map[String, String] = Map(
-    "q17_topk_cosine" -> Queries.topkCosineOracle
-  )
-}
-
-/** Query bodies live here so SparkEntry stays a thin registry. */
-object Queries {
-
-  /** O17: top-5 cosine per query; queries = the 3 lowest vec_ids (they are
-    * members of the index, so rank 1 is the self-match at cosine 1.0 — same
-    * as searching the reference's own collection). */
-  def topkCosine(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val cands = emb.select(col("vec_id"), col("embedding").as("cvec"))
-    TopK.topKCosine(queries, cands, k = 5)
-      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  val topkCosineOracle: String =
-    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-      |           FROM embeddings WHERE vec_id < 3),
-      |     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
-      |     scored AS (
-      |       SELECT q.query_id, c.vec_id,
-      |              list_cosine_similarity(qe, ce) AS cos,
-      |              row_number() OVER (PARTITION BY q.query_id
-      |                                 ORDER BY list_cosine_similarity(qe, ce) DESC, c.vec_id) AS rnk
-      |       FROM q CROSS JOIN c)
-      |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank
-      |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+  def oracleSql: Map[String, String] =
+    VectorQueries.oracles ++ RelationalQueries.oracles
 }

@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational breadth on the driver's star schema (SURVEY §2.4-§2.6 and
+  * §7.2 step 6): the join family (broadcast dim joins, sort-merge fact
+  * join, semi/anti, as-of), set ops, group-by/rollup/cube, top-k per
+  * group, scalar string/date/JSON functions.
+  *
+  * Determinism discipline (SURVEY §5.1/§7.4): every money/double aggregate
+  * is computed over DECIMAL (exact, order-insensitive) then cast to double;
+  * ratios are double divisions of those exact values, rounded to 6; every
+  * query ends in a total ORDER BY with a unique tie-breaker.
+  *
+  * Scale notes are on each query: dims are `broadcast()` explicitly,
+  * fact⋈fact goes sort-merge on the join key, per-group top-k compiles to
+  * WindowGroupLimitExec so the limit is applied below the shuffle.
+  */
+object RelationalQueries {
+
+  /** Exact 2-decimal view of a money/ratio double column. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** (1-disc) / (1+tax)-style derived ratios have exactly 2 source
+    * decimals; 4 decimals after one product — cast is exact both engines. */
+  private def dec4(c: Column): Column = c.cast("decimal(9,4)")
+
+  // --- q1: TPC-H Q1-style pricing summary (agg breadth) ------------------
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * dec4((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummaryOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1.0 - l_discount)*(1.0 + l_tax) AS DECIMAL(9,4))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q2: star join, broadcast dims ------------------------------------
+  /** lineitem ⋈ orders (sort-merge, both big) ⋈ broadcast(customer ⋈
+    * nation ⋈ region): revenue per region/nation. At 100 TB the dims stay
+    * broadcast (KBs); only the fact⋈fact shuffle is unavoidable and AQE
+    * coalesces its partitions. */
+  def starRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val dims = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val starRevenueOracle: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // --- q3: fact ⋈ fact sort-merge + agg ---------------------------------
+  def orderPriorityStats(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orderPriorityStatsOracle: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --- q4: semi join -----------------------------------------------------
+  def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customersWithOpenOrdersOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- q5: anti join -----------------------------------------------------
+  def customersWithoutUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customersWithoutUrgentOrdersOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- q6: top-k per group (WindowGroupLimit) ----------------------------
+  /** Top-3 parts by revenue within each brand. The rank<=3 predicate
+    * compiles to WindowGroupLimitExec (Spark ≥3.5): each map task keeps
+    * only its local top-3 per brand before the shuffle. */
+  def topPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val rev = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"))
+    val w = Window.partitionBy("p_brand").orderBy(desc("revenue"), asc("p_partkey"))
+    rev.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("p_brand"), col("rank"))
+  }
+
+  val topPartsPerBrandOracle: String =
+    """WITH rev AS (
+      |  SELECT p_brand, p_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey)
+      |SELECT p_brand, p_partkey, revenue,
+      |       CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INTEGER) AS rank
+      |FROM rev QUALIFY rank <= 3 ORDER BY p_brand, rank""".stripMargin
+
+  // --- q7: set ops (intersect / except) ----------------------------------
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val finished = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val both = urgent.intersect(finished).withColumn("tag", lit("both"))
+    val onlyUrgent = urgent.except(finished).withColumn("tag", lit("only_urgent"))
+    both.unionByName(onlyUrgent)
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  val setOpsCustomersOracle: String =
+    """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |     fin    AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM fin)
+      |UNION ALL
+      |SELECT 'only_urgent' AS tag, o_custkey FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM fin)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  // --- q8: rollup over region/nation -------------------------------------
+  def rollupAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+    c.rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  val rollupAcctbalOracle: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // --- q9: cube over documents -------------------------------------------
+  def cubeDocuments(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+  }
+
+  val cubeDocumentsOracle: String =
+    """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY CUBE (lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
+  // --- q10: scalar-function family over documents (§2.6) ------------------
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_uc"),
+        substring(trim(col("text")), 1, 20).as("head20"),
+        length(col("text")).cast("bigint").as("text_len"),
+        col("text").contains("spark").as("mentions_spark"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("bigint").as("n_distinct_tokens"),
+        concat_ws("|", col("lang"), col("source")).as("lang_source"),
+        format_string("doc-%05d", col("doc_id")).as("doc_tag"))
+      .orderBy(col("doc_id"))
+  }
+
+  val scalarFunctionsOracle: String =
+    """SELECT doc_id, upper(lang) AS lang_uc,
+      |  substring(trim(text), 1, 20) AS head20,
+      |  CAST(length(text) AS BIGINT) AS text_len,
+      |  contains(text, 'spark') AS mentions_spark,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+      |  concat_ws('|', lang, source) AS lang_source,
+      |  printf('doc-%05d', doc_id) AS doc_tag
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- q11: JSON + conditional agg over events ----------------------------
+  def eventsJsonStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        sum(dec(col("value"))).cast("double").as("total_value"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsJsonStatsOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)), 6) AS avg_k,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(sum(CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- q12: date_trunc bucketing (S2 batch analog) -------------------------
+  /** Timestamps cross the engine boundary as epoch micros (BIGINT): the
+    * session is pinned UTC, so unix_micros(date_trunc(...)) here equals
+    * DuckDB's epoch_us over its naive timestamps. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("hour_us"), col("event_type"))
+  }
+
+  val eventsHourlyOracle: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin
+
+  // --- q13: as-of join (events self, purchase ← latest prior error) --------
+  /** For each purchase event, the most recent earlier-or-equal 'error'
+    * event of the same user. Equi-join on user_id + range predicate +
+    * row_number keeps the join keyed (shuffle on user_id, never a cross
+    * join); per-user group sizes are bounded so the window is cheap. */
+  def asofPurchaseError(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val joined = purchases.join(errors,
+      col("user_id") === col("e_user") && col("e_ts") <= col("p_ts"), "inner")
+    val w = Window.partitionBy("p_id").orderBy(desc("e_ts"), desc("e_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("user_id"), col("e_id").as("last_error_id"),
+        unix_micros(col("e_ts")).as("last_error_us"))
+      .orderBy(col("p_id"))
+  }
+
+  val asofPurchaseErrorOracle: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+      |     e AS (SELECT event_id AS e_id, user_id AS e_user, ts AS e_ts FROM events WHERE event_type = 'error'),
+      |     j AS (SELECT p.p_id, p.user_id, e.e_id, e.e_ts,
+      |                  row_number() OVER (PARTITION BY p.p_id ORDER BY e.e_ts DESC, e.e_id DESC) AS rn
+      |           FROM p JOIN e ON p.user_id = e.e_user AND e.e_ts <= p.p_ts)
+      |SELECT p_id, user_id, e_id AS last_error_id, epoch_us(e_ts) AS last_error_us
+      |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin
+
+  // --- registry -----------------------------------------------------------
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
+    "q2_star_revenue" -> ((s, d) => starRevenue(s, d)),
+    "q3_order_priority" -> ((s, d) => orderPriorityStats(s, d)),
+    "q4_semi_join" -> ((s, d) => customersWithOpenOrders(s, d)),
+    "q5_anti_join" -> ((s, d) => customersWithoutUrgentOrders(s, d)),
+    "q6_topk_per_group" -> ((s, d) => topPartsPerBrand(s, d)),
+    "q7_set_ops" -> ((s, d) => setOpsCustomers(s, d)),
+    "q8_rollup" -> ((s, d) => rollupAcctbal(s, d)),
+    "q9_cube" -> ((s, d) => cubeDocuments(s, d)),
+    "q10_scalar_funcs" -> ((s, d) => scalarFunctions(s, d)),
+    "q11_events_json" -> ((s, d) => eventsJsonStats(s, d)),
+    "q12_events_hourly" -> ((s, d) => eventsHourly(s, d)),
+    "q13_asof_join" -> ((s, d) => asofPurchaseError(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> pricingSummaryOracle,
+    "q2_star_revenue" -> starRevenueOracle,
+    "q3_order_priority" -> orderPriorityStatsOracle,
+    "q4_semi_join" -> customersWithOpenOrdersOracle,
+    "q5_anti_join" -> customersWithoutUrgentOrdersOracle,
+    "q6_topk_per_group" -> topPartsPerBrandOracle,
+    "q7_set_ops" -> setOpsCustomersOracle,
+    "q8_rollup" -> rollupAcctbalOracle,
+    "q9_cube" -> cubeDocumentsOracle,
+    "q10_scalar_funcs" -> scalarFunctionsOracle,
+    "q11_events_json" -> eventsJsonStatsOracle,
+    "q12_events_hourly" -> eventsHourlyOracle,
+    "q13_asof_join" -> asofPurchaseErrorOracle
+  )
+}
