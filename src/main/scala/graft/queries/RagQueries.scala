@@ -1,0 +1,350 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.embed.HashEmbedder
+import graft.text.Chunker
+import graft.vector.TopK
+
+/** The reference's RAG/ingestion query surface re-expressed Spark-first
+  * (SURVEY §2.1-§2.3): chunking, embedding/index build, chat-memory
+  * window, preview/truncation, relevance gate, containment theta-join,
+  * extension dispatch, anti-join re-ingest guard.
+  */
+object RagQueries {
+
+  /** The fixed "chat queries" used by the relevance/routing surface —
+    * mirrored verbatim in the oracle SQL VALUES lists. Query 2 retrieves
+    * <3 docs AND matches no keywords, so it exercises the non-relevant
+    * path of the gate (app.py:279-295). */
+  val chatQueries: Seq[(Int, String)] = Seq(
+    0 -> "spark merge join speed",
+    1 -> "filter window hash table scan",
+    2 -> "purple elephant quantum")
+
+  private val chatQueriesSqlValues =
+    chatQueries.map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+
+  private def chatQueriesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    chatQueries.toDF("query_id", "qtext")
+  }
+
+  // --- O16: sliding chat-memory window ------------------------------------
+  /** Last-10-messages-per-session transcript (app.py:110-120): messages are
+    * modeled from `events` (session=user_id, seq=event_id, role=event_type,
+    * content=props). rank<=10 compiles to WindowGroupLimitExec; the
+    * transcript concat is an ObjectHashAggregate over ≤10 rows per key. */
+  def memoryWindow(spark: SparkSession, dir: String): DataFrame = {
+    val msgs = Tables.events(spark, dir).select(
+      col("user_id").as("session_id"),
+      col("event_id").as("seq"),
+      col("event_type").as("role"),
+      col("props").as("content"))
+    val w = Window.partitionBy("session_id").orderBy(desc("seq"))
+    msgs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .withColumn("line", concat(upper(col("role")), lit(": "), col("content")))
+      .groupBy(col("session_id"))
+      .agg(
+        count(lit(1)).as("n_msgs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seq"), col("line")))), _.getField("line")),
+          "\n\n").as("transcript"))
+      .orderBy(col("session_id"))
+  }
+
+  val memoryWindowOracle: String =
+    """WITH m AS (
+      |  SELECT user_id AS session_id, event_id AS seq,
+      |         upper(event_type) || ': ' || props AS line,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |SELECT session_id, count(*) AS n_msgs,
+      |       string_agg(line, chr(10) || chr(10) ORDER BY seq) AS transcript
+      |FROM m WHERE rn <= 10 GROUP BY session_id ORDER BY session_id""".stripMargin
+
+  // --- O9: preview scan (first 10 tokens + ellipsis marker) ---------------
+  def preview(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        concat(
+          array_join(slice(col("toks"), 1, 10), " "),
+          when(size(col("toks")) > 10, lit(" ...")).otherwise(lit(""))).as("preview"),
+        size(col("toks")).cast("bigint").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val previewOracle: String =
+    """SELECT doc_id,
+      |  array_to_string(string_split(text, ' ')[1:10], ' ') ||
+      |    CASE WHEN len(string_split(text, ' ')) > 10 THEN ' ...' ELSE '' END AS preview,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- O14+O23: context assembly (top-3 × 300 chars per query) ------------
+  /** Retrieval context exactly as the reference assembles it
+    * (app.py:359, 544): top-3 docs per query, first 300 chars each,
+    * joined with ' '. Retrieval = cosine top-3 over embeddings, joined to
+    * documents on vec_id=doc_id (broadcast: k·|queries| rows). */
+  def contextAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cands = emb.select(col("vec_id"), col("embedding").as("cvec"))
+    val top3 = TopK.topKCosine(queries, cands, k = 3)
+    val docs = Tables.documents(spark, dir)
+    top3.join(docs, top3("vec_id") === docs("doc_id"))
+      .withColumn("snippet", substring(col("text"), 1, 300))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("rank"), col("snippet")))), _.getField("snippet")),
+          " ").as("context"))
+      .orderBy(col("query_id"))
+  }
+
+  val contextAssemblyOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 3),
+      |     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      |     scored AS (
+      |       SELECT q.query_id, c.vec_id,
+      |              row_number() OVER (PARTITION BY q.query_id
+      |                                 ORDER BY list_cosine_similarity(qe, ce) DESC, c.vec_id) AS rnk
+      |       FROM q CROSS JOIN c),
+      |     top3 AS (SELECT query_id, vec_id, rnk FROM scored WHERE rnk <= 3)
+      |SELECT query_id, count(*) AS n_sources,
+      |       string_agg(substring(d.text, 1, 300), ' ' ORDER BY rnk) AS context
+      |FROM top3 JOIN documents d ON top3.vec_id = d.doc_id
+      |GROUP BY query_id ORDER BY query_id""".stripMargin
+
+  // --- O19/O20: relevance gate --------------------------------------------
+  /** Replicates app.py:279-295 arithmetic exactly: relevant iff
+    * n_docs >= 3 (short-circuit) OR matches >= n_keywords/2, where
+    * keywords are distinct query tokens with length > 3 and a match is a
+    * (doc, keyword) pair with the keyword contained in the doc text.
+    * The "retrieved set" is a deterministic 5/5/2-doc window per query. */
+  def relevanceGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = chatQueriesDf(spark)
+    val retrieved = queries.join(docs,
+      col("doc_id") >= col("query_id") * 5 &&
+        col("doc_id") <= col("query_id") * 5 + when(col("query_id") === 2, 1).otherwise(4))
+    val kws = queries
+      .select(col("query_id"), explode(split(lower(col("qtext")), " ")).as("kw"))
+      .filter(length(col("kw")) > 3).distinct()
+    val matches = retrieved.join(kws, Seq("query_id"))
+      .filter(col("text").contains(col("kw")))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_matches"))
+    val nDocs = retrieved.groupBy(col("query_id")).agg(count(lit(1)).as("n_docs"))
+    val nKws = kws.groupBy(col("query_id")).agg(count(lit(1)).as("n_keywords"))
+    queries.select("query_id")
+      .join(nDocs, Seq("query_id"), "left")
+      .join(nKws, Seq("query_id"), "left")
+      .join(matches, Seq("query_id"), "left")
+      .na.fill(0, Seq("n_docs", "n_keywords", "n_matches"))
+      .withColumn("relevant",
+        col("n_docs") >= 3 || col("n_matches") >= col("n_keywords") / lit(2.0))
+      .orderBy(col("query_id"))
+  }
+
+  val relevanceGateOracle: String =
+    s"""WITH q(query_id, qtext) AS (VALUES $chatQueriesSqlValues),
+       |  retrieved AS (
+       |    SELECT q.query_id, d.doc_id, d.text FROM q JOIN documents d
+       |    ON d.doc_id >= q.query_id * 5
+       |   AND d.doc_id <= q.query_id * 5 + CASE WHEN q.query_id = 2 THEN 1 ELSE 4 END),
+       |  kws AS (
+       |    SELECT DISTINCT query_id, kw
+       |    FROM (SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS kw FROM q)
+       |    WHERE length(kw) > 3),
+       |  m AS (SELECT r.query_id, count(*) AS n_matches
+       |        FROM retrieved r JOIN kws k ON r.query_id = k.query_id
+       |        WHERE contains(r.text, k.kw) GROUP BY r.query_id),
+       |  nd AS (SELECT query_id, count(*) AS n_docs FROM retrieved GROUP BY query_id),
+       |  nk AS (SELECT query_id, count(*) AS n_keywords FROM kws GROUP BY query_id)
+       |SELECT q.query_id, coalesce(nd.n_docs, 0) AS n_docs,
+       |       coalesce(nk.n_keywords, 0) AS n_keywords,
+       |       coalesce(m.n_matches, 0) AS n_matches,
+       |       (coalesce(nd.n_docs, 0) >= 3
+       |        OR coalesce(m.n_matches, 0) >= coalesce(nk.n_keywords, 0) / 2.0) AS relevant
+       |FROM q LEFT JOIN nd USING (query_id) LEFT JOIN nk USING (query_id)
+       |       LEFT JOIN m USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
+  // --- O22/O13: containment theta-join ------------------------------------
+  /** The (query-token × doc) containment join itself, pairs materialized.
+    * The token side is tiny and broadcast — BroadcastNestedLoopJoin with
+    * the `contains` predicate evaluated in codegen. */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 20)
+    val kws = chatQueriesDf(spark)
+      .select(col("query_id"), explode(split(lower(col("qtext")), " ")).as("kw"))
+      .filter(length(col("kw")) > 3).distinct()
+    docs.join(broadcast(kws), col("text").contains(col("kw")))
+      .select(col("query_id"), col("kw"), col("doc_id"))
+      .orderBy(col("query_id"), col("kw"), col("doc_id"))
+  }
+
+  val containmentJoinOracle: String =
+    s"""WITH q(query_id, qtext) AS (VALUES $chatQueriesSqlValues),
+       |  kws AS (
+       |    SELECT DISTINCT query_id, kw
+       |    FROM (SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS kw FROM q)
+       |    WHERE length(kw) > 3)
+       |SELECT query_id, kw, doc_id
+       |FROM documents d JOIN kws k ON contains(d.text, k.kw)
+       |WHERE d.doc_id < 20
+       |ORDER BY query_id, kw, doc_id""".stripMargin
+
+  // --- O10: extension-based dispatch --------------------------------------
+  /** Synthesizes the reference's `name.split('.')[-1].lower()` dispatch
+    * (app.py:460) over generated file names, then counts per format. */
+  def extensionDispatch(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("file_name",
+        format_string("file_%d.%s", col("doc_id"),
+          when(col("doc_id") % 3 === 0, "PDF")
+            .when(col("doc_id") % 3 === 1, "docx").otherwise("txt")))
+      .withColumn("ext", lower(element_at(split(col("file_name"), "\\."), -1)))
+      .groupBy(col("ext"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("ext"))
+  }
+
+  val extensionDispatchOracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |         printf('file_%d.%s', doc_id,
+      |                CASE WHEN doc_id % 3 = 0 THEN 'PDF'
+      |                     WHEN doc_id % 3 = 1 THEN 'docx' ELSE 'txt' END) AS file_name
+      |  FROM documents)
+      |SELECT lower(string_split(file_name, '.')[-1]) AS ext,
+      |       count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM f GROUP BY 1 ORDER BY ext""".stripMargin
+
+  // --- O11: non-empty predicate / coalesce default ------------------------
+  def nonEmptyDefaults(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(length(trim(col("props"))) > 0)
+      .withColumn("etype", coalesce(nullif(trim(col("event_type")), lit("")), lit("unknown")))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("etype"))
+  }
+
+  val nonEmptyDefaultsOracle: String =
+    """SELECT coalesce(nullif(trim(event_type), ''), 'unknown') AS etype,
+      |       count(*) AS n_events
+      |FROM events WHERE length(trim(props)) > 0
+      |GROUP BY 1 ORDER BY etype""".stripMargin
+
+  // --- O15/O25: anti-join re-ingest guard ---------------------------------
+  /** New-file change detection (app.py:455): incoming batch minus already
+    * indexed docs, as a left_anti join. */
+  def reingestGuard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.filter(col("source") === "src0")
+    val indexed = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("ix_id"))
+    incoming.join(indexed, col("doc_id") === col("ix_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val reingestGuardOracle: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE source = 'src0'
+      |  AND NOT EXISTS (SELECT 1 FROM documents i
+      |                  WHERE i.doc_id % 7 = 0 AND i.doc_id = documents.doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- D2: fixed-stride chunker (oracle-checkable variant) ----------------
+  /** SQL-expressible stride chunking (SURVEY §7.2 step 2): windows of 120
+    * chars every 80 chars. The separator-aware recursive variant below is
+    * the faithful one; this variant exists for cross-engine verification. */
+  def chunkStride(spark: SparkSession, dir: String): DataFrame = {
+    val size = 120
+    val stride = 80
+    Tables.documents(spark, dir)
+      .withColumn("len", length(col("text")))
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), col("len") - 1, lit(stride))).as(Seq("chunk_id", "start")))
+      .select(
+        col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("start").cast("bigint").as("start"),
+        expr(s"substring(text, start + 1, $size)").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkStrideOracle: String =
+    """SELECT doc_id,
+      |  CAST(start // 80 AS INTEGER) AS chunk_id,
+      |  CAST(start AS BIGINT) AS start,
+      |  substring(text, CAST(start AS INTEGER) + 1, 120) AS chunk
+      |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) - 1, 80)) AS start
+      |      FROM documents)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // --- D2 faithful: recursive separator-aware chunker (rows-only) ---------
+  /** The reference's actual splitter semantics via Dataset.flatMap
+    * (size/overlap scaled to the corpus: 200/40). Not SQL-expressible —
+    * covered by ChunkerSpec unit tests; the driver records a rows>0 check. */
+  def chunkRecursive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.flatMap { case (id, text) =>
+      Chunker.chunkWithIds(text, chunkSize = 200, overlap = 40)
+        .map(c => (id, c.chunkId, c.text.length, c.text))
+    }.toDF("doc_id", "chunk_id", "chunk_len", "chunk")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // --- O7: embed + index build (rows-only) --------------------------------
+  /** Ingestion tail (app.py:204-212): chunks → deterministic hash embedding
+    * → index rows. Writing the result IS the index build; embedding values
+    * are unit-tested (EmbedderSpec), not oracle-checked. */
+  def indexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkRecursive(spark, dir)
+    val emb = HashEmbedder.embedUdf(64)
+    chunks
+      .withColumn("embedding", emb(col("chunk")))
+      .withColumn("emb_norm", round(graft.functions.VectorFns.normL2(col("embedding")), 6))
+      .select(col("doc_id"), col("chunk_id"), col("chunk"), col("embedding"), col("emb_norm"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // --- registry -----------------------------------------------------------
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_memory_window" -> ((s, d) => memoryWindow(s, d)),
+    "q09_preview" -> ((s, d) => preview(s, d)),
+    "q14_context_assembly" -> ((s, d) => contextAssembly(s, d)),
+    "q19_relevance_gate" -> ((s, d) => relevanceGate(s, d)),
+    "q22_containment_join" -> ((s, d) => containmentJoin(s, d)),
+    "q10b_ext_dispatch" -> ((s, d) => extensionDispatch(s, d)),
+    "q11b_nonempty_defaults" -> ((s, d) => nonEmptyDefaults(s, d)),
+    "q25_reingest_guard" -> ((s, d) => reingestGuard(s, d)),
+    "q02_chunk_stride" -> ((s, d) => chunkStride(s, d)),
+    "q02b_chunk_recursive" -> ((s, d) => chunkRecursive(s, d)),
+    "q07_index_build" -> ((s, d) => indexBuild(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q16_memory_window" -> memoryWindowOracle,
+    "q09_preview" -> previewOracle,
+    "q14_context_assembly" -> contextAssemblyOracle,
+    "q19_relevance_gate" -> relevanceGateOracle,
+    "q22_containment_join" -> containmentJoinOracle,
+    "q10b_ext_dispatch" -> extensionDispatchOracle,
+    "q11b_nonempty_defaults" -> nonEmptyDefaultsOracle,
+    "q25_reingest_guard" -> reingestGuardOracle,
+    "q02_chunk_stride" -> chunkStrideOracle
+  )
+}
