@@ -20,8 +20,8 @@ object SparkEntry {
     VectorQueries.topkCosine(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VectorQueries.all ++ RelationalQueries.all ++ RagQueries.all
+    VectorQueries.all ++ RelationalQueries.all ++ RagQueries.all ++ AgentQueries.all
 
   def oracleSql: Map[String, String] =
-    VectorQueries.oracles ++ RelationalQueries.oracles ++ RagQueries.oracles
+    VectorQueries.oracles ++ RelationalQueries.oracles ++ RagQueries.oracles ++ AgentQueries.oracles
 }
