@@ -20,8 +20,10 @@ object SparkEntry {
     VectorQueries.topkCosine(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VectorQueries.all ++ RelationalQueries.all ++ RagQueries.all ++ AgentQueries.all
+    VectorQueries.all ++ RelationalQueries.all ++ RagQueries.all ++
+      AgentQueries.all ++ PipelineQueries.all
 
   def oracleSql: Map[String, String] =
-    VectorQueries.oracles ++ RelationalQueries.oracles ++ RagQueries.oracles ++ AgentQueries.oracles
+    VectorQueries.oracles ++ RelationalQueries.oracles ++ RagQueries.oracles ++
+      AgentQueries.oracles ++ PipelineQueries.oracles
 }

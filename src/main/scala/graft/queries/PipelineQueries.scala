@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Sketches
+import graft.core.Tables
+import graft.functions.VectorFns
+
+/** Training-data-pipeline operators (builder mandate + VERDICT.md): exact
+  * dedup, near-dup via n-gram Jaccard / MinHash-LSH / SimHash, embedding
+  * near-dup, and ANN search (IVF cells + SRP-LSH buckets).
+  *
+  * The driver corpus has no planted duplicates (verified: max pairwise
+  * embedding cosine ≈ 0.45, zero repeated texts), so dedup queries build
+  * them BY CONSTRUCTION: the corpus is documents ∪ a deterministic
+  * "mutant" copy of each doc (exact copy for exact dedup; 90%-prefix
+  * truncation for near-dup), ids offset by 1,000,000. Both engines build
+  * the same corpus, so oracles stay exact.
+  *
+  * Scale: every candidate generator is an EQUI-join on a block/bucket key
+  * (prefix block, MinHash band, SimHash band, SRP band, IVF cell) — never
+  * an all-pairs cross join. At 100 TB the bucket join hash-partitions;
+  * bucket sizes are bounded by construction (band width / cell count are
+  * the knobs).
+  */
+object PipelineQueries {
+
+  // ---- corpus builders ----------------------------------------------------
+  private def corpusExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private val corpusExactSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents""".stripMargin
+
+  private def corpusMutant(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, CAST(n_chars * 9 DIV 10 AS INT))").as("text")))
+  }
+
+  private val corpusMutantSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |  substring(text, 1, CAST(n_chars * 9 // 10 AS INTEGER)) AS text
+      |FROM documents""".stripMargin
+
+  // ---- shingle expression (token 3-grams), Spark + DuckDB mirrors --------
+  private def shingleExpr(textCol: String): Column = {
+    val toks = s"filter(split($textCol, ' '), x -> x != '')"
+    expr(
+      s"""CASE WHEN size($toks) < 3 THEN array(concat_ws(' ', $toks))
+         |ELSE array_distinct(transform(sequence(0, size($toks) - 3),
+         |       i -> concat(element_at($toks, i + 1), ' ',
+         |                   element_at($toks, i + 2), ' ',
+         |                   element_at($toks, i + 3))))
+         |END""".stripMargin)
+  }
+
+  private def shingleSql(textCol: String): String =
+    s"""CASE WHEN len(list_filter(string_split($textCol, ' '), x -> x != '')) < 3
+       |  THEN [array_to_string(list_filter(string_split($textCol, ' '), x -> x != ''), ' ')]
+       |  ELSE list_distinct(list_transform(
+       |         generate_series(1, len(list_filter(string_split($textCol, ' '), x -> x != '')) - 2),
+       |         i -> list_filter(string_split($textCol, ' '), x -> x != '')[i] || ' ' ||
+       |              list_filter(string_split($textCol, ' '), x -> x != '')[i+1] || ' ' ||
+       |              list_filter(string_split($textCol, ' '), x -> x != '')[i+2]))
+       |END""".stripMargin
+
+  // ---- exact dedup (hash groupBy) ----------------------------------------
+  /** Exact dedup: group by full text, canonical = min id. One shuffle on
+    * the (hashable) text; at 100 TB you'd group on sha2(text) first —
+    * semantics identical, key 32 bytes. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    corpusExact(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"), length(col("text")).cast("bigint").as("text_len"))
+      .orderBy(col("canonical_id"))
+  }
+
+  val dedupExactOracle: String =
+    s"""WITH corpus AS ($corpusExactSql)
+       |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+       |       CAST(length(text) AS BIGINT) AS text_len
+       |FROM corpus GROUP BY text ORDER BY canonical_id""".stripMargin
+
+  // ---- near-dup: exact n-gram Jaccard over prefix blocks ------------------
+  /** Near-dup detection, exact Jaccard over token 3-shingles, candidate
+    * pairs blocked on the first-5-token prefix (mutants preserve the
+    * prefix; unrelated docs almost never share it). Equi-join on the
+    * block key — never all-pairs. */
+  def neardupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpusMutant(spark, dir)
+      .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
+      .withColumn("sh", shingleExpr("text"))
+    val a = c.select(col("block"), col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = c.select(col("block"), col("doc_id").as("id2"), col("sh").as("sh2"))
+    a.join(b, Seq("block")).filter(col("id1") < col("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni").cast("double"), 6))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val neardupJaccardOracle: String = {
+    val sh = shingleSql("text")
+    s"""WITH corpus AS ($corpusMutantSql),
+       |  c AS (SELECT doc_id,
+       |          array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:5], ' ') AS block,
+       |          $sh AS sh
+       |        FROM corpus),
+       |  pairs AS (
+       |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |           len(list_intersect(a.sh, b.sh)) AS inter,
+       |           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+       |    FROM c a JOIN c b ON a.block = b.block AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+       |FROM pairs WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= 0.3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // ---- near-dup: MinHash LSH (banded) ------------------------------------
+  /** MinHash LSH: 16 bands × 4 rows; docs sharing any band bucket become
+    * candidates; candidates are verified with exact Jaccard. Rows-only
+    * (Murmur isn't in DuckDB); recall vs exact Jaccard is unit-tested. */
+  def neardupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val bandsUdf = udf((t: String) => Sketches.minhashBands(t))
+    val jacUdf = udf((a: String, b: String) => Sketches.jaccard(a, b))
+    val c = corpusMutant(spark, dir).withColumn("bands", bandsUdf(col("text")))
+    val exploded = c.select(col("doc_id"), col("text"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val a = exploded.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("text").as("t1"))
+    val b = exploded.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("text").as("t2"))
+    a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("t1"), col("t2")).distinct()
+      .withColumn("jaccard", round(jacUdf(col("t1"), col("t2")), 6))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // ---- near-dup: SimHash bands -------------------------------------------
+  /** SimHash 64-bit fingerprints, 4 × 16-bit bands for candidates, kept if
+    * hamming ≤ 16. Rows-only; fingerprint properties unit-tested. */
+  def neardupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val bandsUdf = udf((t: String) => Sketches.simhashBands(t))
+    val shUdf = udf((t: String) => Sketches.simhash64(t))
+    val c = corpusMutant(spark, dir)
+      .withColumn("sh", shUdf(col("text")))
+      .withColumn("bands", bandsUdf(col("text")))
+    val exploded = c.select(col("doc_id"), col("sh"), explode(col("bands")).as("bucket"))
+    val a = exploded.select(col("bucket"), col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = exploded.select(col("bucket"), col("doc_id").as("id2"), col("sh").as("sh2"))
+    val hammingUdf = udf((x: Long, y: Long) => Sketches.hamming64(x, y))
+    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sh1"), col("sh2")).distinct()
+      .withColumn("hamming", hammingUdf(col("sh1"), col("sh2")))
+      .filter(col("hamming") <= 16)
+      .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // ---- near-dup: embedding cosine within label blocks ---------------------
+  /** Embedding-cosine near-dup, pairs blocked on the label column (the
+    * data's natural coarse cluster). Oracle-checked exact variant; the
+    * unbounded-scale path is q_ann_lsh's bucketing. */
+  def neardupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorFns.normL2(col("v")))
+    val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
+    val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2"))
+    a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+      .withColumn("cosine", round(VectorFns.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cosine") >= 0.35)
+      .select(col("label"), col("id1"), col("id2"), col("cosine"))
+      .orderBy(col("label"), col("id1"), col("id2"))
+  }
+
+  val neardupEmbeddingOracle: String =
+    """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2,
+      |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+      |ORDER BY label, id1, id2""".stripMargin
+
+  // ---- ANN: IVF cells ------------------------------------------------------
+  /** IVF-flat ANN: codebook = every 100th vector; every vector is assigned
+    * to its max-cosine centroid cell (broadcast NL over the tiny codebook);
+    * queries search ONLY their own cell — the classic recall/throughput
+    * trade, oracle-checked because the cell assignment is deterministic. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorFns.normL2(col("v")))
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("ccos", VectorFns.dot(col("v"), col("cv")) / (col("n") * col("cn")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("n"), col("cent_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    queries.join(assigned, Seq("cell"))
+      .withColumn("cosine", VectorFns.dot(col("qv"), col("v")) / (col("qn") * col("n")))
+      .withColumn("rank", row_number().over(wq).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+      |  assigned AS (
+      |    SELECT vec_id, v, cent_id AS cell FROM (
+      |      SELECT e.vec_id, e.v, cent.cent_id,
+      |             row_number() OVER (PARTITION BY e.vec_id
+      |               ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cent_id) AS crn
+      |      FROM e CROSS JOIN cent) WHERE crn = 1),
+      |  q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned WHERE vec_id < 3),
+      |  scored AS (
+      |    SELECT q.query_id, a.vec_id, a.cell,
+      |           list_cosine_similarity(q.qv, a.v) AS cos,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id) AS rnk
+      |    FROM q JOIN assigned a ON q.cell = a.cell)
+      |SELECT query_id, vec_id, cell, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank
+      |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---- ANN: SRP-LSH buckets ------------------------------------------------
+  /** LSH-bucketed ANN: 8-bit sign-random-projection signatures, 2 × 4-bit
+    * bands; candidates = bucket collisions (self-match guaranteed — the
+    * query's own signature collides with itself), then exact cosine top-5
+    * among candidates. Rows-only; recall is unit-tested on synthetic
+    * clusters. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bandsUdf = udf((v: Seq[Double]) => Sketches.srpBands(v.toArray))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorFns.normL2(col("v")))
+      .withColumn("bands", bandsUdf(col("v")))
+    val exploded = e.select(col("vec_id"), col("v"), col("n"), explode(col("bands")).as("bucket"))
+    val queries = exploded.filter(col("vec_id") < 3)
+      .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val cands = exploded
+      .select(col("bucket"), col("vec_id"), col("v"), col("n"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    queries.join(cands, Seq("bucket"))
+      .select(col("query_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("n")).distinct()
+      .withColumn("cosine", VectorFns.dot(col("qv"), col("v")) / (col("qn") * col("n")))
+      .withColumn("rank", row_number().over(wq).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- registry ------------------------------------------------------------
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> ((s, d) => dedupExact(s, d)),
+    "q31_neardup_jaccard" -> ((s, d) => neardupJaccard(s, d)),
+    "q32_neardup_minhash" -> ((s, d) => neardupMinhash(s, d)),
+    "q33_neardup_simhash" -> ((s, d) => neardupSimhash(s, d)),
+    "q34_neardup_embedding" -> ((s, d) => neardupEmbedding(s, d)),
+    "q35_ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "q36_ann_lsh" -> ((s, d) => annLsh(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q30_dedup_exact" -> dedupExactOracle,
+    "q31_neardup_jaccard" -> neardupJaccardOracle,
+    "q34_neardup_embedding" -> neardupEmbeddingOracle,
+    "q35_ann_ivf" -> annIvfOracle
+  )
+}

@@ -1,0 +1,62 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+
+  private val base = Seq.tabulate(60)(i => s"tok$i").mkString(" ")
+  private val nearDup = Seq.tabulate(54)(i => s"tok$i").mkString(" ") // 90% prefix
+  private val unrelated = Seq.tabulate(60)(i => s"other$i").mkString(" ")
+
+  test("jaccard: identity, symmetry, disjoint") {
+    assert(Sketches.jaccard(base, base) === 1.0)
+    assert(Sketches.jaccard(base, nearDup) === Sketches.jaccard(nearDup, base))
+    assert(Sketches.jaccard(base, unrelated) === 0.0)
+    assert(Sketches.jaccard(base, nearDup) > 0.8)
+  }
+
+  test("minhash is deterministic and signature approximates jaccard") {
+    val s1 = Sketches.minhash(base, 128)
+    assert(s1.toSeq === Sketches.minhash(base, 128).toSeq)
+    val s2 = Sketches.minhash(nearDup, 128)
+    val agree = s1.zip(s2).count { case (a, b) => a == b } / 128.0
+    val trueJ = Sketches.jaccard(base, nearDup)
+    assert(math.abs(agree - trueJ) < 0.15, s"minhash est $agree vs true $trueJ")
+  }
+
+  test("minhash bands: near-dups collide on at least one band, unrelated don't") {
+    val b1 = Sketches.minhashBands(base)
+    val b2 = Sketches.minhashBands(nearDup)
+    val b3 = Sketches.minhashBands(unrelated)
+    assert(b1.zip(b2).exists { case (x, y) => x == y })
+    assert(!b1.zip(b3).exists { case (x, y) => x == y })
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val h1 = Sketches.simhash64(base)
+    val h2 = Sketches.simhash64(nearDup)
+    val h3 = Sketches.simhash64(unrelated)
+    assert(Sketches.hamming64(h1, h1) === 0)
+    assert(Sketches.hamming64(h1, h2) < 16)
+    assert(Sketches.hamming64(h1, h3) > 16)
+  }
+
+  test("srp: identical vectors share all bands; perturbed vectors usually collide") {
+    val rnd = new scala.util.Random(7)
+    var hits = 0
+    val trials = 50
+    for (_ <- 1 to trials) {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val p = v.map(_ + rnd.nextGaussian() * 0.05) // cosine ≈ 0.999
+      assert(Sketches.srpBands(v).toSeq === Sketches.srpBands(v).toSeq)
+      val shared = Sketches.srpBands(v).zip(Sketches.srpBands(p)).exists { case (a, b) => a == b }
+      if (shared) hits += 1
+    }
+    assert(hits >= trials * 7 / 10, s"only $hits/$trials perturbed vectors collided")
+  }
+
+  test("shingles: short text degenerates to whole-text shingle") {
+    assert(Sketches.shingles("a b").toSeq === Seq("a b"))
+    assert(Sketches.shingles("").isEmpty)
+  }
+}
