@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.all ++ RelationalQueries.all ++ RagQueries.all ++
-      AgentQueries.all ++ PipelineQueries.all
+      AgentQueries.all ++ PipelineQueries.all ++ TextQueries.all
 
   def oracleSql: Map[String, String] =
     VectorQueries.oracles ++ RelationalQueries.oracles ++ RagQueries.oracles ++
-      AgentQueries.oracles ++ PipelineQueries.oracles
+      AgentQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles
 }

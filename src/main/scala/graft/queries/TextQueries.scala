@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline (builder mandate):
+  * quality scoring, token counting (whitespace + regex sub-tokens),
+  * data-driven language-ID, document fingerprinting (rolling hash), and
+  * tf-idf term extraction. All SQL-expressible → all oracle-checked.
+  *
+  * Everything stays in codegen'd higher-order functions / built-ins — no
+  * UDFs in any of these paths, so they scale with whole-stage codegen and
+  * the only shuffles are the final aggregations.
+  */
+object TextQueries {
+
+  private val stopList = "('the','a','of','and','to','in')"
+
+  // --- q40: quality scoring ------------------------------------------------
+  /** Length / stopword-ratio / type-token-ratio quality score. The score
+    * formula is computed from exact integer counts in double on both
+    * engines, so it is bit-reproducible. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("n_tokens", expr("size(toks)").cast("bigint"))
+      .withColumn("n_distinct", expr("size(array_distinct(toks))").cast("bigint"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, x -> x IN $stopList))").cast("bigint"))
+      .withColumn("sum_len", expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("ttr", col("n_distinct") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens").cast("double"))
+      .withColumn("avg_token_len", col("sum_len") / col("n_tokens").cast("double"))
+      .withColumn("quality",
+        round(lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+          + lit(0.3) * least(lit(1.0), col("avg_token_len") / lit(8.0)), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"),
+        round(col("ttr"), 6).as("ttr"), round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("avg_token_len"), 6).as("avg_token_len"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |  c AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(toks, x -> x IN $stopList)) AS BIGINT) AS n_stop,
+       |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
+       |  FROM d)
+       |SELECT doc_id, n_tokens, n_distinct, n_stop,
+       |  round(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       |  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+       |  round(sum_len / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+       |  round(0.4 * (n_distinct / CAST(n_tokens AS DOUBLE))
+       |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
+       |      + 0.3 * least(1.0, (sum_len / CAST(n_tokens AS DOUBLE)) / 8.0), 6) AS quality
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // --- q41: token counting (whitespace + BPE-ish regex pieces) -------------
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("n_ws", expr("size(filter(split(text, ' '), x -> x != ''))").cast("bigint"))
+      .withColumn("n_sub", size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("bigint"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("total_ws_tokens"),
+        sum(col("n_sub")).as("total_subtokens"),
+        round(sum(col("n_sub")).cast("double") / sum(col("n_ws")), 6).as("subtokens_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenStatsOracle: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_ws,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_sub
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+      |  CAST(sum(n_sub) AS BIGINT) AS total_subtokens,
+      |  round(CAST(sum(n_sub) AS DOUBLE) / sum(n_ws), 6) AS subtokens_per_token
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --- q42: data-driven language ID ---------------------------------------
+  /** N-gram-profile language ID: build a top-20-token frequency profile per
+    * lang from the corpus itself, score each doc by profile overlap,
+    * predict the argmax lang. (On this synthetic corpus all langs share a
+    * vocabulary, so accuracy ≈ chance — the operator shape is the point.)
+    * Per-lang accuracy output. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokens = docs.select(col("doc_id"), col("lang"),
+      explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+    val profile = tokens.groupBy(col("lang").as("plang"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val wTop = Window.partitionBy("plang").orderBy(desc("freq"), asc("token"))
+    val top20 = profile.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 20)
+      .select(col("plang"), col("token"))
+    val docTokens = tokens.select(col("doc_id"), col("lang"), col("token")).distinct()
+    val scores = docTokens.join(broadcast(top20), Seq("token"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("overlap"))
+    val wBest = Window.partitionBy("doc_id").orderBy(desc("overlap"), asc("plang"))
+    val predicted = scores.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("predicted"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(predicted.select(col("doc_id"), col("predicted")), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", round(col("n_correct") / col("n_docs").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
+  val langIdOracle: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      |  FROM documents),
+      |  profile AS (
+      |    SELECT lang AS plang, token, count(*) AS freq FROM tokens GROUP BY 1, 2),
+      |  top20 AS (
+      |    SELECT plang, token FROM (
+      |      SELECT plang, token,
+      |             row_number() OVER (PARTITION BY plang ORDER BY freq DESC, token) AS rn
+      |      FROM profile) WHERE rn <= 20),
+      |  doctok AS (SELECT DISTINCT doc_id, lang, token FROM tokens),
+      |  scores AS (
+      |    SELECT d.doc_id, d.lang, t.plang, count(*) AS overlap
+      |    FROM doctok d JOIN top20 t ON d.token = t.token
+      |    GROUP BY 1, 2, 3),
+      |  predicted AS (
+      |    SELECT doc_id, lang, plang AS predicted FROM (
+      |      SELECT doc_id, lang, plang,
+      |             row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
+      |      FROM scores) WHERE rn = 1)
+      |SELECT d.lang AS lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  round(sum(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+      |FROM documents d LEFT JOIN predicted p ON d.doc_id = p.doc_id
+      |GROUP BY d.lang ORDER BY lang""".stripMargin
+
+  // --- q43: document fingerprint (rolling polynomial hash) -----------------
+  /** Rolling hash fp = fold(31·acc + ascii(ch)) mod (2^31−1) over every
+    * character — a content-defined fingerprint computed entirely in
+    * codegen'd HOFs (no UDF), mirrored with list_reduce in DuckDB. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("fp",
+        expr("aggregate(filter(split(text, ''), x -> x != ''), 0L, " +
+          "(acc, x) -> (acc * 31 + ascii(x)) % 2147483647)"))
+      .select(col("doc_id"), col("fp"), length(col("text")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(text, ''), x -> x != ''),
+      |                     x -> CAST(ord(x) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- q44: tf-idf top terms per doc ---------------------------------------
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // tiny driver-side scalar: corpus cardinality
+    val tokens = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), round(col("score"), 6).as("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfOracle: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      |  FROM documents),
+      |  tf AS (SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2),
+      |  df AS (SELECT token, count(*) AS df
+      |         FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token),
+      |  n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |  scored AS (
+      |    SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / df.df) AS score
+      |    FROM tf JOIN df USING (token) CROSS JOIN n),
+      |  ranked AS (
+      |    SELECT doc_id, token, score,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+      |    FROM scored)
+      |SELECT doc_id, token, round(score, 6) AS tfidf, CAST(rnk AS INTEGER) AS rank
+      |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // --- registry ------------------------------------------------------------
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_quality_score" -> ((s, d) => qualityScore(s, d)),
+    "q41_token_stats" -> ((s, d) => tokenStats(s, d)),
+    "q42_lang_id" -> ((s, d) => langId(s, d)),
+    "q43_fingerprint" -> ((s, d) => fingerprint(s, d)),
+    "q44_tfidf" -> ((s, d) => tfidf(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q40_quality_score" -> qualityScoreOracle,
+    "q41_token_stats" -> tokenStatsOracle,
+    "q42_lang_id" -> langIdOracle,
+    "q43_fingerprint" -> fingerprintOracle,
+    "q44_tfidf" -> tfidfOracle
+  )
+}
