@@ -21,9 +21,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.all ++ RelationalQueries.all ++ RagQueries.all ++
-      AgentQueries.all ++ PipelineQueries.all ++ TextQueries.all
+      AgentQueries.all ++ PipelineQueries.all ++ TextQueries.all ++ StreamQueries.all
 
   def oracleSql: Map[String, String] =
     VectorQueries.oracles ++ RelationalQueries.oracles ++ RagQueries.oracles ++
-      AgentQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles
+      AgentQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S2 — windowed aggregations with watermarks (SURVEY §2.7).
+  *
+  * Each transform takes a DataFrame with (ts TIMESTAMP, user_id, event_type,
+  * value) and works IDENTICALLY on a batch DataFrame (watermark is a no-op)
+  * and a streaming one (`readStream`/MemoryStream) — the batch≡stream
+  * differential is asserted in StreamingSpec, and the batch form is
+  * oracle-checked by the driver (q50-q52).
+  *
+  * The reference has no event-time processing (its only "window" is the
+  * last-10-messages slice, app.py:110-120); these are the engine extensions
+  * SURVEY §2.7 mandates on the `events` table.
+  */
+object EventStreams {
+
+  private def decimal2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Tumbling 1-hour windows, 30-minute watermark for late-data drop. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(decimal2(col("value"))).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"))
+
+  /** Per-user session windows with a 5-minute inactivity gap (S3). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(decimal2(col("value"))).cast("double").as("total_value"))
+      .select(unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("user_id"), col("n_events"), col("total_value"))
+}

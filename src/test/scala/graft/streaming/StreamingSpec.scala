@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+import graft.streaming.Sessionize.Ev
+
+/** SURVEY §5.4: batch≡stream differentials on the same rows, watermark
+  * late-drop, per-key state with reset + event-time TTL, and S1 ordered
+  * foreachBatch accumulation. */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(1704067200000L + minutes * 60000L)
+
+  private val rows = Seq(
+    Ev(ts(0), 1L, "error", 10.0),
+    Ev(ts(5), 1L, "purchase", 20.0),
+    Ev(ts(65), 1L, "error", 30.0),   // second hour, second session
+    Ev(ts(2), 2L, "signup", 5.0),
+    Ev(ts(130), 2L, "purchase", 7.0))
+
+  test("S2 tumbling: stream (complete mode) equals batch on same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = EventStreams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode(OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("tumb").orderBy("window_start_us", "event_type").collect().toSeq
+    val batch = EventStreams.tumblingCounts(rows.toDF())
+      .orderBy("window_start_us", "event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("S3 session windows: stream equals batch; 5-minute gap splits sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = EventStreams.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sess").orderBy("user_id", "session_start_us").collect().toSeq
+    val batch = EventStreams.sessionCounts(rows.toDF())
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    assert(streamed === batch)
+    // user 1: ts(0) and ts(5) merge (gap exactly 5min => merge, end=start+gap
+    // is exclusive only past last+gap); ts(65) is its own session
+    val u1 = batch.filter(_.getLong(2) == 1L)
+    assert(u1.length === 2)
+  }
+
+  test("S2 watermark: event later than watermark delay is dropped (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("late").outputMode(OutputMode.Update).start()
+    // batch 1 advances the watermark to ts(240) − 30min = ts(210)
+    mem.addData(Ev(ts(240), 9L, "error", 1.0))
+    q.processAllAvailable()
+    val before = spark.table("late").count()
+    // batch 2: an event 4 hours late — far behind the watermark — must be dropped
+    mem.addData(Ev(ts(0), 9L, "error", 1.0))
+    q.processAllAvailable()
+    val after = spark.table("late").collect().toSeq
+    q.stop()
+    assert(after.size === before) // no new output row for the stale window
+    assert(!after.exists(r => r.getLong(0) == 1704067200000000L))
+  }
+
+  test("S3/S4 flatMapGroupsWithState: running state, reset event, event-time TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Sessionize.updates(mem.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("state").outputMode(OutputMode.Update).start()
+
+    mem.addData(Ev(ts(0), 1L, "purchase", 10.0), Ev(ts(1), 1L, "purchase", 5.0))
+    q.processAllAvailable()
+    val s1 = spark.table("state").filter("user_id = 1").orderBy(desc("n")).first()
+    assert(s1.getLong(1) === 2L && s1.getDouble(2) === 15.0)
+
+    // reset event clears the running aggregate (app.py:488-491 analog)
+    mem.addData(Ev(ts(2), 1L, "reset", 0.0), Ev(ts(3), 1L, "purchase", 7.0))
+    q.processAllAvailable()
+    val s2 = spark.table("state").filter("user_id = 1 AND n = 1").collect()
+    assert(s2.nonEmpty && s2.head.getDouble(2) === 7.0)
+
+    // advancing the watermark past lastTs + TTL fires the timeout: the
+    // closing summary is emitted with closed=true and state is removed
+    mem.addData(Ev(ts(60), 2L, "signup", 1.0))
+    q.processAllAvailable()
+    val closed = spark.table("state").filter("user_id = 1 AND closed = true").collect()
+    q.stop()
+    assert(closed.length === 1)
+    assert(closed.head.getLong(1) === 1L && closed.head.getDouble(2) === 7.0)
+  }
+
+  test("S1 foreachBatch: ordered token accumulation equals eager concat") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)] // (response_id, seq, token)
+    val acc = new scala.collection.concurrent.TrieMap[Long, Vector[(Long, String)]]()
+    val q = mem.toDF().toDF("response_id", "seq", "token")
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          acc.updateWith(r.getLong(0)) {
+            case Some(v) => Some(v :+ (r.getLong(1), r.getString(2)))
+            case None => Some(Vector((r.getLong(1), r.getString(2))))
+          }
+        }
+      }.start()
+    mem.addData((1L, 0L, "Hel"), (1L, 1L, "lo "))
+    q.processAllAvailable()
+    mem.addData((1L, 2L, "wor"), (1L, 3L, "ld"))
+    q.processAllAvailable(); q.stop()
+    val full = acc(1L).sortBy(_._1).map(_._2).mkString
+    assert(full === "Hello world")
+  }
+}
