@@ -21,10 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.all ++ RelationalQueries.all ++ RagQueries.all ++
-      AgentQueries.all ++ PipelineQueries.all ++ TextQueries.all ++ StreamQueries.all
+      AgentQueries.all ++ PipelineQueries.all ++ TextQueries.all ++ StreamQueries.all ++
+      SourceQueries.all
 
   def oracleSql: Map[String, String] =
     VectorQueries.oracles ++ RelationalQueries.oracles ++ RagQueries.oracles ++
       AgentQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles ++
-      StreamQueries.oracles
+      StreamQueries.oracles ++ SourceQueries.oracles
 }

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.sources.Multimodal
+
+/** Source/sink-shaped operators (SURVEY §2.1): ordered page reassembly
+  * (O1/O2 analog), hybrid full-outer combine (O24), and the multimodal
+  * binary decode pipeline (D8 + builder mandate).
+  */
+object SourceQueries {
+
+  // --- q01: paged scan + ordered concat (O1/O2) ----------------------------
+  /** The reference reads PDFs page-by-page and concatenates in order
+    * (app.py:123-132). Model: split each doc into non-overlapping 200-char
+    * pages, then reassemble via ordered group-concat and prove the
+    * round-trip is lossless. One scan, two projections (O4): the same
+    * scan feeds the page set and the reassembly check. */
+  def pagesConcat(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.documents(spark, dir)
+      .withColumn("len", length(col("text")))
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), col("len") - 1, lit(200))).as(Seq("page_no", "start")))
+      .withColumn("page", expr("substring(text, start + 1, 200)"))
+    pages.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_pages"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("page_no"), col("page")))),
+            _.getField("page")), "").as("reassembled"),
+        first(col("text")).as("orig"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("orig")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pagesConcatOracle: String =
+    """WITH pages AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(0, length(text) - 1, 200)) AS start
+      |  FROM documents),
+      |  re AS (
+      |    SELECT doc_id,
+      |           count(*) AS n_pages,
+      |           string_agg(substring(text, CAST(start AS INTEGER) + 1, 200), '' ORDER BY start) AS reassembled,
+      |           any_value(text) AS orig
+      |    FROM pages GROUP BY doc_id)
+      |SELECT doc_id, n_pages, (reassembled = orig) AS roundtrip_ok,
+      |       CAST(length(reassembled) AS BIGINT) AS n_chars
+      |FROM re ORDER BY doc_id""".stripMargin
+
+  // --- q23: hybrid source combine (O24) -------------------------------------
+  /** Full-outer join of document-retrieval results with web-search results
+    * keyed by query (app.py:347-374 concatenates both into one prompt).
+    * Query 0 has docs only, query 3 web only — both outer sides exercised. */
+  def hybridCombine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docSide = RagQueries.contextAssembly(spark, dir)
+      .select(col("query_id"), col("context"))
+    val webSide = Seq(
+      (1L, "web result alpha"), (2L, "web result beta"), (3L, "web result gamma"))
+      .toDF("query_id", "web_answer")
+    docSide.join(webSide, Seq("query_id"), "full_outer")
+      .select(
+        col("query_id"),
+        col("context").isNotNull.as("has_doc"),
+        col("web_answer").isNotNull.as("has_web"),
+        concat_ws(" | ",
+          substring(coalesce(col("context"), lit("")), 1, 120),
+          coalesce(col("web_answer"), lit(""))).as("combined"))
+      .orderBy(col("query_id"))
+  }
+
+  val hybridCombineOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 3),
+      |     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      |     scored AS (
+      |       SELECT q.query_id, c.vec_id,
+      |              row_number() OVER (PARTITION BY q.query_id
+      |                                 ORDER BY list_cosine_similarity(qe, ce) DESC, c.vec_id) AS rnk
+      |       FROM q CROSS JOIN c),
+      |     ctx AS (
+      |       SELECT query_id, string_agg(substring(d.text, 1, 300), ' ' ORDER BY rnk) AS context
+      |       FROM scored JOIN documents d ON scored.vec_id = d.doc_id
+      |       WHERE rnk <= 3 GROUP BY query_id),
+      |     web(query_id, web_answer) AS (VALUES
+      |       (1, 'web result alpha'), (2, 'web result beta'), (3, 'web result gamma'))
+      |SELECT coalesce(ctx.query_id, web.query_id) AS query_id,
+      |       (ctx.context IS NOT NULL) AS has_doc,
+      |       (web.web_answer IS NOT NULL) AS has_web,
+      |       concat_ws(' | ', substring(coalesce(ctx.context, ''), 1, 120),
+      |                 coalesce(web.web_answer, '')) AS combined
+      |FROM ctx FULL OUTER JOIN web ON ctx.query_id = web.query_id
+      |ORDER BY query_id""".stripMargin
+
+  // --- q60: multimodal binary decode ---------------------------------------
+  /** Binary-column pipeline: documents.text cast to BINARY stands in for
+    * the blob payload; Multimodal.extractFeatures (mapPartitions, stubbed
+    * codec) pools 8 segment means and samples every-16th "frames". The
+    * oracle replays the same arithmetic over ord() codes in DuckDB — the
+    * payload is ASCII so bytes ≡ char codes. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    val feats = Multimodal.extractFeatures(blobs)
+    feats.select(
+      col("doc_id"), col("n_bytes"),
+      round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+      round(col("b2"), 6).as("b2"), round(col("b3"), 6).as("b3"),
+      round(col("b4"), 6).as("b4"), round(col("b5"), 6).as("b5"),
+      round(col("b6"), 6).as("b6"), round(col("b7"), 6).as("b7"),
+      col("frame_checksum"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalDecodeOracle: String = {
+    def bucket(k: Int) =
+      s"round(list_avg(list_transform(list_filter(generate_series(1, n), i -> (i-1)*8 // n = $k), i -> codes[i])), 6) AS b$k"
+    s"""WITH d AS (
+       |  SELECT doc_id, length(text) AS n,
+       |         list_transform(list_filter(string_split(text, ''), c -> c != ''),
+       |                        c -> CAST(ord(c) AS BIGINT)) AS codes
+       |  FROM documents)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       |  ${(0 to 7).map(bucket).mkString(",\n  ")},
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_filter(generate_series(1, n), i -> (i-1) % 16 = 0),
+       |                     i -> codes[i])),
+       |    (a, b) -> (a * 31 + b) % 2147483647) AS frame_checksum,
+       |  CAST(len(list_filter(generate_series(1, n), i -> (i-1) % 16 = 0)) AS BIGINT) AS n_frames
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
+    "q23_hybrid_combine" -> ((s, d) => hybridCombine(s, d)),
+    "q60_multimodal_decode" -> ((s, d) => multimodalDecode(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pages_concat" -> pagesConcatOracle,
+    "q23_hybrid_combine" -> hybridCombineOracle,
+    "q60_multimodal_decode" -> multimodalDecodeOracle
+  )
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+class SourcesSpec extends SparkSuite {
+
+  test("O3 decode: valid UTF-8 stays UTF-8, malformed falls back to latin-1") {
+    val (t1, e1) = TextExtract.decodeWithFallback("héllo wörld".getBytes("UTF-8"))
+    assert(t1 === "héllo wörld" && e1 === "utf-8")
+    // 0xE9 alone is malformed UTF-8 but valid latin-1 'é'
+    val (t2, e2) = TextExtract.decodeWithFallback(Array[Byte]('h', 0xE9.toByte, 'l', 'l', 'o'))
+    assert(t2 === "héllo" && e2 === "latin-1")
+    assert(TextExtract.decodeWithFallback(null)._1 === "")
+  }
+
+  test("O2 paragraph join drops blanks and trims (app.py:134-143)") {
+    assert(TextExtract.joinParagraphs(Seq(" a ", "", "  ", "b")) === "a\nb")
+  }
+
+  test("O6/O7/O8 collection lifecycle: idempotent create, append upsert, truncate") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/coll"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    import spark.implicits._
+
+    Collections.create(spark, dir, schema)
+    Collections.create(spark, dir, schema) // idempotent — must not throw
+    assert(Collections.exists(spark, dir))
+    assert(spark.read.parquet(dir).count() === 0)
+
+    Collections.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Collections.upsert(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(spark.read.parquet(dir).count() === 3)
+
+    Collections.truncate(spark, dir, schema)
+    assert(spark.read.parquet(dir).count() === 0)
+  }
+}
