@@ -51,14 +51,21 @@ object PipelineQueries {
       |FROM documents""".stripMargin
 
   // ---- shingle expression (token 3-grams), Spark + DuckDB mirrors --------
+  /** Shingles via zip_with over shifted slices. The naive form —
+    * `transform(sequence(...), i -> element_at(toks, i+1) ...)` —
+    * re-evaluates the token-split INSIDE the lambda once per element
+    * (measured ~30k splits/doc at sf0.1); zip_with's array arguments are
+    * evaluated once per row. */
   private def shingleExpr(textCol: String): Column = {
     val toks = s"filter(split($textCol, ' '), x -> x != '')"
     expr(
       s"""CASE WHEN size($toks) < 3 THEN array(concat_ws(' ', $toks))
-         |ELSE array_distinct(transform(sequence(0, size($toks) - 3),
-         |       i -> concat(element_at($toks, i + 1), ' ',
-         |                   element_at($toks, i + 2), ' ',
-         |                   element_at($toks, i + 3))))
+         |ELSE array_distinct(zip_with(
+         |       zip_with(slice($toks, 1, size($toks) - 2),
+         |                slice($toks, 2, size($toks) - 2),
+         |                (a, b) -> concat(a, ' ', b)),
+         |       slice($toks, 3, size($toks) - 2),
+         |       (ab, c) -> concat(ab, ' ', c)))
          |END""".stripMargin)
   }
 
@@ -96,9 +103,13 @@ object PipelineQueries {
     * prefix; unrelated docs almost never share it). Equi-join on the
     * block key — never all-pairs. */
   def neardupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // cache: the block self-join would otherwise evaluate the shingle
+    // HOFs twice per doc (once per join branch)
     val c = corpusMutant(spark, dir)
       .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
       .withColumn("sh", shingleExpr("text"))
+      .drop("text")
+      .cache()
     val a = c.select(col("block"), col("doc_id").as("id1"), col("sh").as("sh1"))
     val b = c.select(col("block"), col("doc_id").as("id2"), col("sh").as("sh2"))
     a.join(b, Seq("block")).filter(col("id1") < col("id2"))
@@ -134,13 +145,24 @@ object PipelineQueries {
   def neardupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val bandsUdf = udf((t: String) => Sketches.minhashBands(t))
     val jacUdf = udf((a: String, b: String) => Sketches.jaccard(a, b))
-    val c = corpusMutant(spark, dir).withColumn("bands", bandsUdf(col("text")))
-    val exploded = c.select(col("doc_id"), col("text"),
+    // cache at the bands column so the MinHash UDF runs exactly once per
+    // row: below a bare posexplode, Catalyst duplicates the UDF into the
+    // Generate's size()>0 pre-filter AND both self-join branches.
+    val withBands = corpusMutant(spark, dir)
+      .withColumn("bands", bandsUdf(col("text"))).cache()
+    // candidate pairs travel as bare (id1, id2) longs — texts are joined
+    // back only for the ≤thousands of verified candidates, so the
+    // band-join shuffle never carries document payloads.
+    val exploded = withBands.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = exploded.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("text").as("t1"))
-    val b = exploded.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("text").as("t2"))
-    a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("t1"), col("t2")).distinct()
+    val a = exploded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val b = exploded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val texts = withBands.select(col("doc_id"), col("text"))
+    pairs
+      .join(texts.select(col("doc_id").as("id1"), col("text").as("t1")), Seq("id1"))
+      .join(texts.select(col("doc_id").as("id2"), col("text").as("t2")), Seq("id2"))
       .withColumn("jaccard", round(jacUdf(col("t1"), col("t2")), 6))
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), col("jaccard"))
@@ -153,9 +175,12 @@ object PipelineQueries {
   def neardupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val bandsUdf = udf((t: String) => Sketches.simhashBands(t))
     val shUdf = udf((t: String) => Sketches.simhash64(t))
+    // cache at the sketch columns (same UDF-duplication trap as MinHash)
     val c = corpusMutant(spark, dir)
       .withColumn("sh", shUdf(col("text")))
       .withColumn("bands", bandsUdf(col("text")))
+      .drop("text")
+      .cache()
     val exploded = c.select(col("doc_id"), col("sh"), explode(col("bands")).as("bucket"))
     val a = exploded.select(col("bucket"), col("doc_id").as("id1"), col("sh").as("sh1"))
     val b = exploded.select(col("bucket"), col("doc_id").as("id2"), col("sh").as("sh2"))

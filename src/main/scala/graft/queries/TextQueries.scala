@@ -174,7 +174,8 @@ object TextQueries {
   // --- q44: tf-idf top terms per doc ---------------------------------------
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count() // tiny driver-side scalar: corpus cardinality
+    // corpus cardinality as a broadcast scalar — no driver-side .count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
     val tokens = docs.select(col("doc_id"),
       explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -182,7 +183,8 @@ object TextQueries {
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
     tf.join(broadcast(df), Seq("token"))
-      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n") / col("df")))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("token"), round(col("score"), 6).as("tfidf"), col("rank"))
