@@ -21,7 +21,13 @@ object VectorFns {
     * similarity join so per-pair work is pure double FMA. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Hot-path dot: native codegen expression (no intermediate array).
+    * Callers must pass ARRAY<DOUBLE> (see [[asDouble]]). Produces the same
+    * left-to-right summation as [[dotHof]] and the DuckDB oracle. */
+  def dot(a: Column, b: Column): Column = DotProductExpr.dotNative(a, b)
+
+  /** Reference HOF form (codegen'd but allocates the zipped array). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def normL2(a: Column): Column =
