@@ -22,10 +22,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.all ++ RelationalQueries.all ++ RagQueries.all ++
       AgentQueries.all ++ PipelineQueries.all ++ TextQueries.all ++ StreamQueries.all ++
-      SourceQueries.all
+      SourceQueries.all ++ OlapQueries.all
 
   def oracleSql: Map[String, String] =
     VectorQueries.oracles ++ RelationalQueries.oracles ++ RagQueries.oracles ++
       AgentQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles ++
-      StreamQueries.oracles ++ SourceQueries.oracles
+      StreamQueries.oracles ++ SourceQueries.oracles ++ OlapQueries.oracles
 }

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Additional OLAP breadth beyond the reference surface (SURVEY §2.4's
+  * "range/as-of" row and classic window/percentile analytics). */
+object OlapQueries {
+
+  // --- q61: pure range (inequality) join ----------------------------------
+  /** events.value binned by a tiny bracket dimension via value ∈ [lo, hi).
+    * The build side is 4 literal rows → broadcast nested-loop, the correct
+    * physical choice at any fact-side scale. */
+  def rangeBracket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brackets = Seq(
+      ("small", 0.0, 50.0), ("mid", 50.0, 120.0),
+      ("large", 120.0, 180.0), ("huge", 180.0, 1e9))
+      .toDF("bracket", "lo", "hi")
+    Tables.events(spark, dir)
+      .join(broadcast(brackets), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("bracket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("bracket"))
+  }
+
+  val rangeBracketOracle: String =
+    """WITH b(bracket, lo, hi) AS (VALUES
+      |  ('small', 0.0, 50.0), ('mid', 50.0, 120.0),
+      |  ('large', 120.0, 180.0), ('huge', 180.0, 1000000000.0))
+      |SELECT bracket, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN b ON value >= lo AND value < hi
+      |GROUP BY bracket ORDER BY bracket""".stripMargin
+
+  // --- q62: running totals + lag deltas ------------------------------------
+  /** Cumulative account of each customer's order history: running revenue
+    * and gap-to-previous-order, per customer ordered by date. Windows
+    * shuffle once on o_custkey; frames are ROWS UNBOUNDED PRECEDING. */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val wCum = Window.partitionBy("o_custkey")
+      .orderBy(col("order_us"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy("o_custkey")
+      .orderBy(col("order_us"), col("o_orderkey"))
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      // o_orderdate is TIMESTAMP_NTZ; session is pinned UTC so the cast
+      // to (LTZ) timestamp is an identity on the instant
+      unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+      col("o_totalprice"))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(wCum).cast("double"))
+      .withColumn("order_seq", row_number().over(wLag).cast("int"))
+      .withColumn("prev_us", lag(col("order_us"), 1).over(wLag))
+      .withColumn("gap_days",
+        when(col("prev_us").isNull, lit(null).cast("long"))
+          .otherwise(((col("order_us") - col("prev_us")) / lit(86400000000L)).cast("long")))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_us"),
+        col("running_total"), col("order_seq"), col("gap_days"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  val runningTotalsOracle: String =
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq,
+      |  CAST((epoch_us(o_orderdate) -
+      |        lag(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |       // 86400000000 AS BIGINT) AS gap_days
+      |FROM orders ORDER BY o_custkey, order_seq""".stripMargin
+
+  // --- q63: exact percentiles per group ------------------------------------
+  /** Exact interpolated percentiles of order value per market segment —
+    * Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    * interpolation definition, so values match to rounding. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val percentilesOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_range_bracket" -> ((s, d) => rangeBracket(s, d)),
+    "q62_running_totals" -> ((s, d) => runningTotals(s, d)),
+    "q63_percentiles" -> ((s, d) => percentiles(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q61_range_bracket" -> rangeBracketOracle,
+    "q62_running_totals" -> runningTotalsOracle,
+    "q63_percentiles" -> percentilesOracle
+  )
+}
