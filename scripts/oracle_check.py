@@ -19,17 +19,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(rows, cols):
+    # exact repr compare — the whole surface is bit-identical to DuckDB
+    # (in-query DECIMAL aggregation + rounding discipline), so no epsilon
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             vals.append(repr(v))
         out.append(tuple(vals))
     out.sort()
