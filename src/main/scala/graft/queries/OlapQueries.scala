@@ -102,15 +102,40 @@ object OlapQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --- q64: skew-safe exact distinct (two-phase on the low-card key) -------
+  /** `l_returnflag` has 3 values — a COUNT(DISTINCT x) keyed on it funnels
+    * the whole table into 3 reducers at scale. The skew-safe form is the
+    * classic two-phase shape: Phase 1 dedups on the HIGH-cardinality
+    * (flag, partkey) pair — hash-partitioned evenly, the salting pattern's
+    * aggregation analog — Phase 2 counts the already-distinct pairs per
+    * flag. Same semantics, no hot reducer. */
+  def skewDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val pairs = l.select(col("l_returnflag"), col("l_partkey")).distinct()
+    val supPairs = l.select(col("l_returnflag"), col("l_suppkey")).distinct()
+    pairs.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_parts"))
+      .join(supPairs.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_suppliers")),
+        Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val skewDistinctOracle: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_suppliers
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_range_bracket" -> ((s, d) => rangeBracket(s, d)),
     "q62_running_totals" -> ((s, d) => runningTotals(s, d)),
-    "q63_percentiles" -> ((s, d) => percentiles(s, d))
+    "q63_percentiles" -> ((s, d) => percentiles(s, d)),
+    "q64_skew_distinct" -> ((s, d) => skewDistinct(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "q61_range_bracket" -> rangeBracketOracle,
     "q62_running_totals" -> runningTotalsOracle,
-    "q63_percentiles" -> percentilesOracle
+    "q63_percentiles" -> percentilesOracle,
+    "q64_skew_distinct" -> skewDistinctOracle
   )
 }
