@@ -113,9 +113,15 @@ object PipelineQueries {
     val a = c.select(col("block"), col("doc_id").as("id1"), col("sh").as("sh1"))
     val b = c.select(col("block"), col("doc_id").as("id2"), col("sh").as("sh2"))
     a.join(b, Seq("block")).filter(col("id1") < col("id2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
-      .withColumn("jaccard", round(col("inter") / col("uni").cast("double"), 6))
+      // equal shingle sets (exact copies) short-circuit the intersect;
+      // CASE branches evaluate lazily in codegen so the O(|sh|²)
+      // intersect only runs for genuinely different texts
+      .withColumn("jaccard",
+        when(col("sh1") === col("sh2"), lit(1.0))
+          .otherwise(round(
+            size(array_intersect(col("sh1"), col("sh2"))) /
+              (size(col("sh1")) + size(col("sh2"))
+                - size(array_intersect(col("sh1"), col("sh2")))).cast("double"), 6)))
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
@@ -163,7 +169,12 @@ object PipelineQueries {
     pairs
       .join(texts.select(col("doc_id").as("id1"), col("text").as("t1")), Seq("id1"))
       .join(texts.select(col("doc_id").as("id2"), col("text").as("t2")), Seq("id2"))
-      .withColumn("jaccard", round(jacUdf(col("t1"), col("t2")), 6))
+      // identical-text short-circuit: in a corpus with many exact copies
+      // the candidate set is quadratic in dup-group size, and shingling
+      // both sides of an identical pair is pure waste
+      .withColumn("jaccard",
+        when(col("t1") === col("t2"), lit(1.0))
+          .otherwise(round(jacUdf(col("t1"), col("t2")), 6)))
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
