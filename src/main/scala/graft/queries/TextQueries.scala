@@ -179,8 +179,9 @@ object TextQueries {
     val tokens = docs.select(col("doc_id"),
       explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tokens.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df derives from tf (already one row per (doc, token)) — no second
+    // explode + distinct pass over the corpus
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(nDocs))
