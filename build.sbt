@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through unprefixed: the driver parses
+// Bench's one-line JSON from stdout, and sbt's default logger decorates
+// every line with "[info] ", which breaks line-anchored JSON parsing
+// (see BENCH_r01.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
