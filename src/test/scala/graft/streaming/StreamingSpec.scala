@@ -104,6 +104,23 @@ class StreamingSpec extends SparkSuite {
     assert(closed.head.getLong(1) === 1L && closed.head.getDouble(2) === 7.0)
   }
 
+  test("streaming exact dedup: duplicate event_ids across batches emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("event_id", "payload")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Update).start()
+    mem.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+    q.processAllAvailable()
+    mem.addData((2L, "b-dup-next-batch"), (3L, "c"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dedup").orderBy("event_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // first occurrence wins — the cross-batch duplicate never surfaces
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "b", "c"))
+  }
+
   test("S1 foreachBatch: ordered token accumulation equals eager concat") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
