@@ -63,4 +63,9 @@ object DotProductExpr {
   /** Column form: dotNative(a, b) over ARRAY<DOUBLE> columns. */
   def dotNative(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Make `graft_dot(a, b)` callable from SQL strings on this session. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.registerFunction(spark, "graft_dot",
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1)))
 }

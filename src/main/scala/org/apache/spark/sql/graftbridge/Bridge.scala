@@ -1,14 +1,23 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Access bridge for `private[sql]` Column↔Expression conversion — the
-  * standard pattern for out-of-tree Catalyst expressions (same technique
-  * every public Spark extension library uses). No Spark internals are
-  * modified; this only re-exports two conversions. */
+/** Access bridge for `private[sql]` Column↔Expression conversion and
+  * session function registration — the standard pattern for out-of-tree
+  * Catalyst expressions (same technique every public Spark extension
+  * library uses). No Spark internals are modified; this only re-exports
+  * conversions and the temp-function hook. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a scalar expression builder as a SQL temp function on this
+    * session (works on any session, no SparkSessionExtensions needed). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -34,6 +34,14 @@ class DotProductExprSpec extends SparkSuite {
     assert(out(2).getDouble(0) === 0.0)
   }
 
+  test("graft_dot is callable from SQL after registration") {
+    DotProductExpr.registerSql(spark)
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(v === 11.0)
+  }
+
   test("interpreted eval matches codegen (non-codegen path via filter on literal)") {
     val e = DotProductExpr.dotNative(
       array(lit(1.5), lit(2.0)), array(lit(2.0), lit(0.5)))
