@@ -125,7 +125,34 @@ object OlapQueries {
       |  count(DISTINCT l_suppkey) AS n_suppliers
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --- q65: ranking-window family ------------------------------------------
+  /** dense_rank / percent_rank / ntile / first_value over one window
+    * definition — one shuffle on c_nationkey, every function evaluated in
+    * the same WindowExec pass. */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    c.select(
+      col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+      dense_rank().over(w).cast("int").as("drank"),
+      round(percent_rank().over(w), 6).as("prank"),
+      ntile(4).over(w).cast("int").as("quartile"),
+      first(col("c_custkey")).over(w).as("richest_custkey"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  val windowFuncsOracle: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+      |  round(percent_rank() OVER w, 6) AS prank,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  first_value(c_custkey) OVER w AS richest_custkey
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
     "q61_range_bracket" -> ((s, d) => rangeBracket(s, d)),
     "q62_running_totals" -> ((s, d) => runningTotals(s, d)),
     "q63_percentiles" -> ((s, d) => percentiles(s, d)),
@@ -133,6 +160,7 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q65_window_funcs" -> windowFuncsOracle,
     "q61_range_bracket" -> rangeBracketOracle,
     "q62_running_totals" -> runningTotalsOracle,
     "q63_percentiles" -> percentilesOracle,

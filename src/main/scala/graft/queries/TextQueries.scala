@@ -31,6 +31,9 @@ object TextQueries {
       .withColumn("n_stop",
         expr(s"size(filter(toks, x -> x IN $stopList))").cast("bigint"))
       .withColumn("sum_len", expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))"))
+      // guard: a fully-empty document would make every ratio NaN — the
+      // driver corpus has none, but 100 TB corpora will (mirrored in SQL)
+      .filter(col("n_tokens") > 0)
       .withColumn("ttr", col("n_distinct") / col("n_tokens").cast("double"))
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens").cast("double"))
       .withColumn("avg_token_len", col("sum_len") / col("n_tokens").cast("double"))
@@ -61,7 +64,7 @@ object TextQueries {
        |  round(0.4 * (n_distinct / CAST(n_tokens AS DOUBLE))
        |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
        |      + 0.3 * least(1.0, (sum_len / CAST(n_tokens AS DOUBLE)) / 8.0), 6) AS quality
-       |FROM c ORDER BY doc_id""".stripMargin
+       |FROM c WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
 
   // --- q41: token counting (whitespace + BPE-ish regex pieces) -------------
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {

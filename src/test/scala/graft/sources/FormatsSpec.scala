@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Source-format breadth (SURVEY §2.1 / D8): CSV with encoding options
+  * (the DataFrame-level analog of O3's fallback), JSON lines with
+  * PERMISSIVE corrupt-record capture, wholetext, ORC round-trip, and the
+  * binaryFile source feeding the multimodal pipeline. */
+class FormatsSpec extends SparkSuite {
+
+  private def tmp(): String = Files.createTempDirectory("graft-fmt").toString
+
+  test("CSV: latin-1 encoded file reads correctly with the encoding option") {
+    val dir = tmp()
+    val f = Paths.get(dir, "latin.csv")
+    Files.write(f, "id,name\n1,héllo\n2,wörld\n".getBytes(StandardCharsets.ISO_8859_1))
+    val utf8Wrong = spark.read.option("header", "true").csv(f.toString)
+      .collect().map(_.getString(1)).toSeq
+    val latin = spark.read.option("header", "true")
+      .option("encoding", "ISO-8859-1").csv(f.toString)
+      .collect().map(_.getString(1)).toSeq
+    assert(latin === Seq("héllo", "wörld"))
+    assert(utf8Wrong !== latin) // mis-decoded without the option
+  }
+
+  test("JSON lines: PERMISSIVE mode captures the corrupt record, keeps good rows") {
+    val dir = tmp()
+    Files.write(Paths.get(dir, "rows.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "also ok"}
+        |{not valid json at all
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema).option("mode", "PERMISSIVE")
+      .json(dir).cache()
+    assert(df.filter(col("_corrupt_record").isNull).count() === 2)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+  }
+
+  test("wholetext: one row per file, content intact") {
+    val dir = tmp()
+    Files.write(Paths.get(dir, "a.txt"), "line1\nline2".getBytes(StandardCharsets.UTF_8))
+    val rows = spark.read.option("wholetext", "true").text(dir).collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "line1\nline2")
+  }
+
+  test("ORC: documents round-trip losslessly") {
+    val dir = tmp() + "/docs_orc"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("binaryFile source feeds the multimodal pipeline") {
+    val dir = tmp()
+    Files.write(Paths.get(dir, "blob_7.bin"), "some fake image payload".getBytes)
+    Files.write(Paths.get(dir, "blob_9.bin"), "another binary body here!".getBytes)
+    val blobs = spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "blob_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content"))
+    val feats = Multimodal.extractFeatures(blobs).orderBy("doc_id").collect()
+    assert(feats.map(_.getLong(0)).toSeq === Seq(7L, 9L))
+    assert(feats.head.getLong(1) === "some fake image payload".length.toLong)
+    assert(feats.forall(_.getLong(11) >= 1L)) // n_frames
+  }
+}
