@@ -213,8 +213,110 @@ object TextQueries {
       |SELECT doc_id, token, round(score, 6) AS tfidf, CAST(rnk AS INTEGER) AS rank
       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // --- q45: repetition signals (C4/Gopher-style quality filters) -----------
+  /** Repetitiousness metrics used by public corpus-curation pipelines:
+    * fraction of tokens that are the single most frequent token, and the
+    * distinct-bigram ratio (low = loopy/templated text). Pure HOF + agg. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokens = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+    val freq = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("f"))
+    val agg = freq.groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("n_tokens"), max(col("f")).as("max_f"))
+      .withColumn("top_token_ratio", round(col("max_f") / col("n_tokens").cast("double"), 6))
+    val bigrams = docs
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("n2", expr("greatest(size(toks) - 1, 0)"))
+      .withColumn("d2", expr(
+        """size(array_distinct(zip_with(
+          |  slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |  slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |  (a, b) -> concat(a, ' ', b))))""".stripMargin))
+      .select(col("doc_id"), col("n2").cast("bigint").as("n_bigrams"),
+        col("d2").cast("bigint").as("n_distinct_bigrams"))
+    agg.join(bigrams, Seq("doc_id"))
+      .withColumn("distinct_bigram_ratio",
+        when(col("n_bigrams") > 0,
+          round(col("n_distinct_bigrams") / col("n_bigrams").cast("double"), 6)).otherwise(1.0))
+      .select(col("doc_id"), col("n_tokens"), col("top_token_ratio"),
+        col("n_bigrams"), col("n_distinct_bigrams"), col("distinct_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionOracle: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      |  FROM documents),
+      |  freq AS (SELECT doc_id, token, count(*) AS f FROM tokens GROUP BY 1, 2),
+      |  agg AS (
+      |    SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens, max(f) AS max_f
+      |    FROM freq GROUP BY doc_id),
+      |  bi AS (
+      |    SELECT doc_id,
+      |      CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
+      |      CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+      |             i -> t[i] || ' ' || t[i+1]))) AS BIGINT) AS n_distinct_bigrams
+      |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      |          FROM documents))
+      |SELECT agg.doc_id AS doc_id, n_tokens,
+      |  round(max_f / CAST(n_tokens AS DOUBLE), 6) AS top_token_ratio,
+      |  n_bigrams, n_distinct_bigrams,
+      |  CASE WHEN n_bigrams > 0
+      |       THEN round(n_distinct_bigrams / CAST(n_bigrams AS DOUBLE), 6)
+      |       ELSE 1.0 END AS distinct_bigram_ratio
+      |FROM agg JOIN bi ON agg.doc_id = bi.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q46: corpus curation composition ------------------------------------
+  /** The training-data use-case end-to-end: exact-dedup to canonical docs,
+    * quality-gate, then per-lang curated stats — the composition of q30 +
+    * q40 a 100 TB curation pipeline runs nightly. */
+  def curation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val canonical = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"), col("n_tokens"))
+    docs.join(canonical, Seq("doc_id"))
+      .join(q, Seq("doc_id"))
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        round(avg(col("quality")), 6).as("avg_quality"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val curationOracle: String =
+    s"""WITH canonical AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |  d AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |  q AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    round(0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+       |        + 0.3 * (1.0 - len(list_filter(toks, x -> x IN $stopList)) / CAST(len(toks) AS DOUBLE))
+       |        + 0.3 * least(1.0, (list_sum(list_transform(toks, x -> length(x)))
+       |                            / CAST(len(toks) AS DOUBLE)) / 8.0), 6) AS quality
+       |  FROM d WHERE len(toks) > 0)
+       |SELECT lang, count(*) AS n_kept,
+       |  round(avg(quality), 6) AS avg_quality,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM d
+       |JOIN canonical USING (doc_id)
+       |JOIN q USING (doc_id)
+       |WHERE quality >= 0.5 AND n_tokens >= 10
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // --- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_repetition" -> ((s, d) => repetition(s, d)),
+    "q46_curation" -> ((s, d) => curation(s, d)),
     "q40_quality_score" -> ((s, d) => qualityScore(s, d)),
     "q41_token_stats" -> ((s, d) => tokenStats(s, d)),
     "q42_lang_id" -> ((s, d) => langId(s, d)),
@@ -223,6 +325,8 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q45_repetition" -> repetitionOracle,
+    "q46_curation" -> curationOracle,
     "q40_quality_score" -> qualityScoreOracle,
     "q41_token_stats" -> tokenStatsOracle,
     "q42_lang_id" -> langIdOracle,
