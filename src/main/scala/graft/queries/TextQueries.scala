@@ -313,10 +313,52 @@ object TextQueries {
        |WHERE quality >= 0.5 AND n_tokens >= 10
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- q47: deterministic stratified sampling -------------------------------
+  /** Content-hash stratified sampling: per-lang quotas applied via the
+    * rolling-hash fingerprint mod 100 — fully reproducible (re-running
+    * selects the same docs, unlike rand()-based sample()), shuffle-free
+    * (a filter), and cross-engine exact. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val fp = "aggregate(filter(split(text, ''), x -> x != ''), 0L, " +
+      "(acc, x) -> (acc * 31 + ascii(x)) % 2147483647)"
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(s"$fp % 100"))
+      .withColumn("quota",
+        when(col("lang") === "en", 40).when(col("lang") === "zh", 30).otherwise(20))
+      .withColumn("sampled", col("bucket") < col("quota"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("achieved_rate", round(col("n_sampled") / col("n_total").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
+  val stratifiedSampleOracle: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(list_filter(string_split(text, ''), x -> x != ''),
+      |                       x -> CAST(ord(x) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 2147483647) % 100 AS bucket
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 40
+      |                                    WHEN lang = 'zh' THEN 30
+      |                                    ELSE 20 END)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  round(sum(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 40
+      |                                     WHEN lang = 'zh' THEN 30
+      |                                     ELSE 20 END)
+      |            THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS achieved_rate
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   // --- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition" -> ((s, d) => repetition(s, d)),
     "q46_curation" -> ((s, d) => curation(s, d)),
+    "q47_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "q40_quality_score" -> ((s, d) => qualityScore(s, d)),
     "q41_token_stats" -> ((s, d) => tokenStats(s, d)),
     "q42_lang_id" -> ((s, d) => langId(s, d)),
@@ -327,6 +369,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q45_repetition" -> repetitionOracle,
     "q46_curation" -> curationOracle,
+    "q47_stratified_sample" -> stratifiedSampleOracle,
     "q40_quality_score" -> qualityScoreOracle,
     "q41_token_stats" -> tokenStatsOracle,
     "q42_lang_id" -> langIdOracle,
