@@ -23,14 +23,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4
-    * rejects by default. Read it as long nanos and truncate to µs — the
-    * same ns→µs truncation DuckDB applies — so oracle comparisons agree. */
+  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver corpus
+    * (FIXTURES.md), which Spark 4 rejects by default — with the legacy
+    * conf it surfaces as LONG nanos, which we truncate to µs (the same
+    * ns→µs truncation DuckDB applies, so oracle comparisons agree).
+    * Files from other writers surface as TIMESTAMP or TIMESTAMP_NTZ; a
+    * 100 TB lake has mixed writers, so the reader adapts to whatever
+    * physical type the footer declares instead of assuming one layout. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
