@@ -1,0 +1,51 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the
+  * cluster-representative dedup stage (SCALING.md design note): pairs
+  * (id1, id2) → one `canonical_id` (component minimum) per doc.
+  *
+  * Iterative min-label propagation on DataFrames: each round joins every
+  * node's current label with its neighbors' labels and keeps the min.
+  * Rounds needed = graph diameter ≈ O(log n) with doubling; dup groups
+  * are stars (diameter ≤ 2), so this converges in 2-3 rounds. Each round
+  * is one shuffle on id — no driver-side graph state; at 100 TB this is
+  * the standard label-propagation loop (AQE handles the shrinking
+  * frontier; production would checkpoint every ~5 rounds to cut lineage).
+  */
+object Clusters {
+
+  /** pairs(id1, id2) → (id, canonical_id), one row per node appearing in
+    * any pair. Deterministic: canonical = min id in the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // every node adopts min(own label, neighbors' labels)
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("minNeighbor"))
+      val next = labels.join(neighborLabels, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+}

@@ -304,8 +304,57 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- dedup clusters (connected components over near-dup pairs) ----------
+  /** The cluster-representative stage: exact-dup pairs → connected
+    * components → canonical_id per doc + cluster sizes. Rows-only (CC is
+    * iterative, not SQL); ClustersSpec pins the star-shape invariants. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusExact(spark, dir)
+    val pairs = corpus.groupBy(col("text"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(expr("array_min(ids)").as("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    val cc = graft.analytics.Clusters.connectedComponents(pairs)
+    cc.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("canonical_id"))
+  }
+
+  // ---- sequence packing -----------------------------------------------------
+  /** Training-batch assembly: pack docs into 512-token bins, first-fit in
+    * doc_id order within deterministic doc_id buckets. Rows-only;
+    * PackingSpec asserts capacity/coverage/determinism. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", expr("size(filter(split(text, ' '), x -> x != ''))"))
+      .select(col("doc_id"), col("n_tokens"))
+    graft.analytics.Packing.packFirstFit(spark, docs, capacity = 512, bucketSize = 100)
+      .orderBy(col("bucket"), col("bin_id"))
+  }
+
+  // ---- approximate distinct (HLL) ------------------------------------------
+  /** approx_count_distinct (HyperLogLog++) next to the exact count with
+    * the observed relative error — the sketch an interactive layer uses
+    * when exact distinct is too expensive. Deterministic for fixed data
+    * (no RNG); rows-only (HLL internals differ across engines),
+    * error bound unit-tested. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .withColumn("rel_error",
+        round(abs(col("approx_parts") - col("exact_parts")) / col("exact_parts").cast("double"), 6))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "q49_sequence_packing" -> ((s, d) => sequencePacking(s, d)),
+    "q66_approx_distinct" -> ((s, d) => approxDistinct(s, d)),
     "q30_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "q31_neardup_jaccard" -> ((s, d) => neardupJaccard(s, d)),
     "q32_neardup_minhash" -> ((s, d) => neardupMinhash(s, d)),

@@ -1,0 +1,52 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ClustersPackingSpec extends SparkSuite {
+
+  test("connected components: stars, chains, and singletons resolve to min id") {
+    import spark.implicits._
+    // component A: chain 1-2-3-4 (diameter 3); component B: star 10-{11,12};
+    // pair 20-21 alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("id1", "id2")
+    val cc = Clusters.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L && cc(4L) === 1L)
+    assert(cc(10L) === 10L && cc(11L) === 10L && cc(12L) === 10L)
+    assert(cc(20L) === 20L && cc(21L) === 20L)
+  }
+
+  test("dedup clusters on the exact-copy corpus: every cluster has size 2") {
+    val out = graft.queries.PipelineQueries.dedupClusters(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) === 2L)) // doc + its offset copy
+    assert(out.forall(_.getLong(0) < 1000000L)) // canonical is the original id
+  }
+
+  test("packing: bins respect capacity, every doc packed, deterministic") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("n_tokens", expr("size(filter(split(text, ' '), x -> x != ''))"))
+      .select(col("doc_id"), col("n_tokens"))
+    val packed = Packing.packFirstFit(spark, docs, capacity = 512, bucketSize = 100)
+    val rows = packed.collect()
+    assert(rows.forall(_.getLong(3) <= 512L)) // no bin over capacity
+    val totalDocs = rows.map(_.getLong(2)).sum
+    assert(totalDocs === docs.count())
+    val totalTokens = rows.map(_.getLong(3)).sum
+    assert(totalTokens === docs.agg(sum("n_tokens")).collect().head.getLong(0))
+    // deterministic across runs and partitioning
+    val again = Packing.packFirstFit(spark, docs.repartition(13), capacity = 512, bucketSize = 100)
+    assert(packed.orderBy("bucket", "bin_id").collect().toSeq ===
+      again.orderBy("bucket", "bin_id").collect().toSeq)
+  }
+
+  test("approx distinct: HLL relative error within the configured 2% rsd bound") {
+    val out = graft.queries.PipelineQueries.approxDistinct(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(3) < 0.1), out.map(_.getDouble(3)).mkString(","))
+  }
+}
