@@ -27,6 +27,10 @@ object Clusters {
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    // min-propagation only ever lowers labels, so the label sum is a
+    // strictly-decreasing convergence witness: one cheap scalar agg per
+    // round instead of a change-detection join
+    var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -39,11 +43,11 @@ object Clusters {
         .select(col("id"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val nextSum = next.agg(sum(col("label"))).collect()(0).getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     labels.select(col("id"), col("label").as("canonical_id"))
