@@ -30,7 +30,12 @@ object Clusters {
     // min-propagation only ever lowers labels, so the label sum is a
     // strictly-decreasing convergence witness: one cheap scalar agg per
     // round instead of a change-detection join
-    var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+    val firstSum = labels.agg(sum(col("label"))).collect()(0)
+    if (firstSum.isNullAt(0)) { // no pairs at all → no components
+      edges.unpersist()
+      return labels.select(col("id"), col("label").as("canonical_id"))
+    }
+    var prevSum = firstSum.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -50,6 +55,7 @@ object Clusters {
       prevSum = nextSum
       iter += 1
     }
+    edges.unpersist()
     labels.select(col("id"), col("label").as("canonical_id"))
   }
 }

@@ -37,12 +37,20 @@ object Sketches {
     }
   }
 
+  // universal-hash coefficients depend only on the permutation index —
+  // memoized so per-row UDF calls don't recompute numPerm string hashes
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coeffs(numPerm: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(numPerm, n => (
+      Array.tabulate(n)(i => ((MurmurHash3.stringHash("a" + i, 7) & 0x7fffffff) | 1).toLong),
+      Array.tabulate(n)(i => (MurmurHash3.stringHash("b" + i, 11) & 0x7fffffff).toLong)))
+
   /** MinHash signature: numPerm universal-hash permutations
     * h_i(x) = (a_i·x + b_i) mod p over shingle Murmur hashes. */
   def minhash(text: String, numPerm: Int): Array[Long] = {
     val sh = shingles(text)
-    val as = Array.tabulate(numPerm)(i => ((MurmurHash3.stringHash("a" + i, 7) & 0x7fffffff) | 1).toLong)
-    val bs = Array.tabulate(numPerm)(i => (MurmurHash3.stringHash("b" + i, 11) & 0x7fffffff).toLong)
+    val (as, bs) = coeffs(numPerm)
     val sig = Array.fill(numPerm)(Long.MaxValue)
     var s = 0
     while (s < sh.length) {
@@ -103,17 +111,23 @@ object Sketches {
   /** Sign-random-projection signature (`bits` hyperplanes with ±1 entries
     * derived from Murmur of (plane, dim)); cosine-similar vectors agree on
     * most bits. */
+  // hyperplane signs depend only on (plane, dim) — memoized per (bits, dim)
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private def planes(bits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, dim), { case (b, n) =>
+      Array.tabulate(b)(j => Array.tabulate(n)(d =>
+        if (MurmurHash3.stringHash(j + ":" + d, 13) >= 0) 1.0 else -1.0))
+    })
+
   def srpSignature(vec: Array[Double], bits: Int = 8): Int = {
+    val r = planes(bits, vec.length)
     var sig = 0
     var j = 0
     while (j < bits) {
       var acc = 0.0
       var d = 0
-      while (d < vec.length) {
-        val r = if (MurmurHash3.stringHash(j + ":" + d, 13) >= 0) 1.0 else -1.0
-        acc += r * vec(d)
-        d += 1
-      }
+      while (d < vec.length) { acc += r(j)(d) * vec(d); d += 1 }
       if (acc >= 0) sig |= (1 << j)
       j += 1
     }

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the similarity hot path (SURVEY §2.8 /
   * §7.3: "custom codegen Expression for perf only — measure first").
@@ -25,9 +26,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // callers are internal (VectorFns routes ARRAY<DOUBLE> only), so no
-  // ExpectsInputTypes coercion machinery is needed
   override def dataType: DataType = DoubleType
+
+  // reject non-double arrays at analysis time instead of ClassCastException
+  // (or silent codegen garbage) at execution — SQL users reach this via
+  // graft_dot, whose builder also auto-casts numeric arrays (below)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires two ARRAY<DOUBLE> arguments, got ${l.sql} and ${r.sql}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -64,8 +74,19 @@ object DotProductExpr {
   def dotNative(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Make `graft_dot(a, b)` callable from SQL strings on this session. */
+  /** Make `graft_dot(a, b)` callable from SQL strings on this session.
+    * The builder enforces arity and auto-casts numeric arrays to
+    * ARRAY<DOUBLE> so `graft_dot(array(1, 2), array(3, 4))` works. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
-    Bridge.registerFunction(spark, "graft_dot",
-      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "graft_dot", (exprs: Seq[Expression]) => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"graft_dot takes exactly 2 arguments, got ${exprs.length}")
+      def coerce(e: Expression): Expression = e.dataType match {
+        case ArrayType(DoubleType, _) => e
+        case ArrayType(_, cn) => Cast(e, ArrayType(DoubleType, cn))
+        case _ => e // let checkInputDataTypes report it
+      }
+      DotProductExpr(coerce(exprs(0)), coerce(exprs(1)))
+    })
 }

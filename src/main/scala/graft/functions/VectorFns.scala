@@ -37,7 +37,16 @@ object VectorFns {
     * vectors (see [[l2Normalize]]) in joins: norms are then computed n+m
     * times instead of n·m times. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (normL2(a) * normL2(b))
+    safeCosine(dot(a, b), normL2(a), normL2(b))
+
+  /** Cosine from precomputed parts, defined as 0 for zero-norm vectors —
+    * matching the JVM-side Mmr.cosine and avoiding DIVIDE_BY_ZERO under
+    * Spark 4's default ANSI mode when a corpus contains an all-zero
+    * embedding. */
+  def safeCosine(dotCol: Column, n1: Column, n2: Column): Column = {
+    val denom = n1 * n2
+    when(denom === 0.0d, lit(0.0d)).otherwise(dotCol / denom)
+  }
 
   /** Scale to unit length; cosine of two unit vectors is a plain dot. */
   def l2Normalize(v: Column): Column = {

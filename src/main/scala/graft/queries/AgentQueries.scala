@@ -64,7 +64,7 @@ object AgentQueries {
   }
 
   val routerDecisionOracle: String = {
-    val values = RagQueries.chatQueries.map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+    val values = RagQueries.chatQueriesSqlValues
     s"""WITH q(query_id, qtext) AS (VALUES $values),
        |  retrieved AS (
        |    SELECT q.query_id, d.doc_id, d.text FROM q JOIN documents d

@@ -215,7 +215,7 @@ object PipelineQueries {
     val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
     val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2"))
     a.join(b, Seq("label")).filter(col("id1") < col("id2"))
-      .withColumn("cosine", round(VectorFns.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .withColumn("cosine", round(VectorFns.safeCosine(VectorFns.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6))
       .filter(col("cosine") >= 0.35)
       .select(col("label"), col("id1"), col("id2"), col("cosine"))
       .orderBy(col("label"), col("id1"), col("id2"))
@@ -241,16 +241,19 @@ object PipelineQueries {
     val centroids = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
     val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))
+    // cache: the assignment (the expensive broadcast-NL + window stage)
+    // feeds both the query side and the candidate side of the cell join
     val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("ccos", VectorFns.dot(col("v"), col("cv")) / (col("n") * col("cn")))
+      .withColumn("ccos", VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("n"), col("cent_id").as("cell"))
+      .cache()
     val queries = assigned.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell"))
     val wq = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     queries.join(assigned, Seq("cell"))
-      .withColumn("cosine", VectorFns.dot(col("qv"), col("v")) / (col("qn") * col("n")))
+      .withColumn("cosine", VectorFns.safeCosine(VectorFns.dot(col("qv"), col("v")), col("qn"), col("n")))
       .withColumn("rank", row_number().over(wq).cast("int"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id"), col("cell"),
@@ -297,7 +300,7 @@ object PipelineQueries {
     val wq = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     queries.join(cands, Seq("bucket"))
       .select(col("query_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("n")).distinct()
-      .withColumn("cosine", VectorFns.dot(col("qv"), col("v")) / (col("qn") * col("n")))
+      .withColumn("cosine", VectorFns.safeCosine(VectorFns.dot(col("qv"), col("v")), col("qn"), col("n")))
       .withColumn("rank", row_number().over(wq).cast("int"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))

@@ -25,8 +25,10 @@ object RagQueries {
     1 -> "filter window hash table scan",
     2 -> "purple elephant quantum")
 
-  private val chatQueriesSqlValues =
-    chatQueries.map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+  /** VALUES list for oracle SQL — shared with AgentQueries' router oracle
+    * so quoting can never diverge between the gate and the router. */
+  private[queries] val chatQueriesSqlValues =
+    chatQueries.map { case (i, q) => s"($i, '${q.replace("'", "''")}')" }.mkString(", ")
 
   private def chatQueriesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -273,6 +275,9 @@ object RagQueries {
     val size = 120
     val stride = 80
     Tables.documents(spark, dir)
+      // empty docs produce no chunks (sequence(0,-1,s) throws under ANSI;
+      // the oracle's generate_series returns empty — filter on both sides)
+      .filter(length(col("text")) > 0)
       .withColumn("len", length(col("text")))
       .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(0), col("len") - 1, lit(stride))).as(Seq("chunk_id", "start")))
@@ -289,7 +294,7 @@ object RagQueries {
       |  CAST(start AS BIGINT) AS start,
       |  substring(text, CAST(start AS INTEGER) + 1, 120) AS chunk
       |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) - 1, 80)) AS start
-      |      FROM documents)
+      |      FROM documents WHERE length(text) > 0)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
   // --- D2 faithful: recursive separator-aware chunker (rows-only) ---------

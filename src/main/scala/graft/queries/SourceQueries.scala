@@ -20,6 +20,8 @@ object SourceQueries {
     * scan feeds the page set and the reassembly check. */
   def pagesConcat(spark: SparkSession, dir: String): DataFrame = {
     val pages = Tables.documents(spark, dir)
+      // empty docs have no pages (and sequence(0,-1,s) throws under ANSI)
+      .filter(length(col("text")) > 0)
       .withColumn("len", length(col("text")))
       .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(0), col("len") - 1, lit(200))).as(Seq("page_no", "start")))
@@ -41,7 +43,7 @@ object SourceQueries {
     """WITH pages AS (
       |  SELECT doc_id, text,
       |         unnest(generate_series(0, length(text) - 1, 200)) AS start
-      |  FROM documents),
+      |  FROM documents WHERE length(text) > 0),
       |  re AS (
       |    SELECT doc_id,
       |           count(*) AS n_pages,

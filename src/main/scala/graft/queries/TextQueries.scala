@@ -76,7 +76,10 @@ object TextQueries {
         count(lit(1)).as("n_docs"),
         sum(col("n_ws")).as("total_ws_tokens"),
         sum(col("n_sub")).as("total_subtokens"),
-        round(sum(col("n_sub")).cast("double") / sum(col("n_ws")), 6).as("subtokens_per_token"))
+        // nullif guard: a lang whose docs are all token-empty must yield
+        // NULL, not an ANSI DIVIDE_BY_ZERO
+        round(sum(col("n_sub")).cast("double") / nullif(sum(col("n_ws")), lit(0L)), 6)
+          .as("subtokens_per_token"))
       .orderBy(col("lang"))
   }
 
@@ -89,7 +92,7 @@ object TextQueries {
       |SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
       |  CAST(sum(n_sub) AS BIGINT) AS total_subtokens,
-      |  round(CAST(sum(n_sub) AS DOUBLE) / sum(n_ws), 6) AS subtokens_per_token
+      |  round(CAST(sum(n_sub) AS DOUBLE) / nullif(sum(n_ws), 0), 6) AS subtokens_per_token
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   // --- q42: data-driven language ID ---------------------------------------

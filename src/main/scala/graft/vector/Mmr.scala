@@ -39,7 +39,10 @@ object Mmr {
       var i = 0
       while (i < remaining.length) {
         val (id, rel, vec) = remaining(i)
-        var maxSim = 0.0
+        // the redundancy term is max over SIGNED similarities — a
+        // candidate anti-correlated with everything selected must get a
+        // bonus, not be clamped to 0 (public MMR semantics)
+        var maxSim = Double.NegativeInfinity
         var j = 0
         while (j < selectedVecs.length) {
           val s = cosine(vec, selectedVecs(j))
@@ -86,7 +89,7 @@ object Mmr {
     // candidate stage = top-fetchK per query, vectors carried through
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     val fetched = c.crossJoin(broadcast(q))
-      .withColumn("cosine", VectorFns.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("cosine", VectorFns.safeCosine(VectorFns.dot(col("qvec"), col("cvec")), col("qnorm"), col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= fetchK)
       .select(col("query_id").cast("long"), col("vec_id").cast("long"),

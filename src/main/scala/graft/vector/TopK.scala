@@ -38,7 +38,7 @@ object TopK {
 
     val scored = c
       .crossJoin(broadcast(q))
-      .withColumn("cosine", VectorFns.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("cosine", VectorFns.safeCosine(VectorFns.dot(col("qvec"), col("cvec")), col("qnorm"), col("cnorm")))
 
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     scored
