@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * are stars (diameter ≤ 2), so this converges in 2-3 rounds. Each round
   * is one shuffle on id — no driver-side graph state; at 100 TB this is
   * the standard label-propagation loop (AQE handles the shrinking
-  * frontier; production would checkpoint every ~5 rounds to cut lineage).
+  * frontier). Each round's labels are locally checkpointed so lineage
+  * stays one-join deep: a straggler retry at round k replays one join,
+  * not the whole k-round chain.
   */
 object Clusters {
 
@@ -27,6 +29,7 @@ object Clusters {
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(false) // materialized by the firstSum action below
     // min-propagation only ever lowers labels, so the label sum is a
     // strictly-decreasing convergence witness: one cheap scalar agg per
     // round instead of a change-detection join
@@ -44,12 +47,16 @@ object Clusters {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("minNeighbor"))
+      // lazy local checkpoint: the single convergence action below both
+      // materializes this round's labels AND truncates lineage, so each
+      // round is exactly one job and retries never recompute prior
+      // rounds. Old rounds' checkpoint blocks are dropped by the
+      // ContextCleaner once the superseded DataFrame is unreachable.
       val next = labels.join(neighborLabels, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint(false)
       val nextSum = next.agg(sum(col("label"))).collect()(0).getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.vector.Mmr
+import graft.functions.VectorFns
+import graft.vector.{Mmr, MmrAggregator}
 
 /** The agentic layer as data (SURVEY §3 E2): MMR-diversified retrieval and
   * the four-way answer router expressed as one DataFrame with a `route`
@@ -22,6 +23,32 @@ object AgentQueries {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val cands = emb.select(col("vec_id"), col("embedding").as("cvec"))
     Mmr.mmrRerank(queries, cands, k = 5, fetchK = 20, lambda = 0.5)
+      .select(col("query_id"), col("vec_id"),
+        round(col("mmr_score"), 6).as("mmr_score"), col("mmr_rank"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** O18 via the partial-aggregation path: the same MMR semantics as
+    * [[mmrRerank]] but through the typed `MmrAggregator` UDAF, whose
+    * buffer trims to fetch_k BEFORE the shuffle — at scale each map task
+    * ships ≤20 candidates per query instead of its whole score set.
+    * Parity with the flatMapGroups path is pinned by MmrAggregatorSpec;
+    * the driver records rows>0. */
+  def mmrAggRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("rel"), col("v"))
+      .as[(Long, Long, Double, Array[Double])]
+    scored.groupByKey(_._1)
+      .mapValues { case (_, id, rel, vec) => MmrAggregator.Cand(id, rel, vec) }
+      .agg(new MmrAggregator(k = 5, fetchK = 20, lambda = 0.5).toColumn)
+      .flatMap { case (qid, picks) => picks.map(p => (qid, p.id, p.score, p.rank)) }
+      .toDF("query_id", "vec_id", "mmr_score", "mmr_rank")
       .select(col("query_id"), col("vec_id"),
         round(col("mmr_score"), 6).as("mmr_score"), col("mmr_rank"))
       .orderBy(col("query_id"), col("mmr_rank"))
@@ -122,6 +149,7 @@ object AgentQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_mmr" -> ((s, d) => mmrRerank(s, d)),
+    "q18b_mmr_agg" -> ((s, d) => mmrAggRerank(s, d)),
     "q24_router" -> ((s, d) => routerDecision(s, d))
   )
 

@@ -105,14 +105,18 @@ object PipelineQueries {
   def neardupJaccard(spark: SparkSession, dir: String): DataFrame = {
     // cache: the block self-join would otherwise evaluate the shingle
     // HOFs twice per doc (once per join branch)
-    val c = corpusMutant(spark, dir)
+    val c0 = corpusMutant(spark, dir)
       .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
       .withColumn("sh", shingleExpr("text"))
       .drop("text")
+    // skew guard: a boilerplate corpus collapses many docs into one
+    // prefix block; salt blocks over 256 rows (BlockingSpec pins the
+    // bound; every driver block is far smaller, so oracles are unchanged)
+    val c = graft.analytics.Blocking.saltOversized(c0, "block", "doc_id", maxBlock = 256)
       .cache()
-    val a = c.select(col("block"), col("doc_id").as("id1"), col("sh").as("sh1"))
-    val b = c.select(col("block"), col("doc_id").as("id2"), col("sh").as("sh2"))
-    a.join(b, Seq("block")).filter(col("id1") < col("id2"))
+    val a = c.select(col("salted_block"), col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = c.select(col("salted_block"), col("doc_id").as("id2"), col("sh").as("sh2"))
+    a.join(b, Seq("salted_block")).filter(col("id1") < col("id2"))
       // equal shingle sets (exact copies) short-circuit the intersect;
       // CASE branches evaluate lazily in codegen so the O(|sh|²)
       // intersect only runs for genuinely different texts
@@ -209,12 +213,16 @@ object PipelineQueries {
     * data's natural coarse cluster). Oracle-checked exact variant; the
     * unbounded-scale path is q_ann_lsh's bucketing. */
   def neardupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e0 = Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
-    val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
-    val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2"))
-    a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+    // skew guard: label-block size grows linearly with the corpus (pairs
+    // quadratically); salt blocks over 256 rows. Largest driver block is
+    // 218 (sf0.1), so the oracle result is unchanged at any tested SF.
+    val e = graft.analytics.Blocking.saltOversized(e0, "label", "vec_id", maxBlock = 256)
+    val a = e.select(col("salted_block"), col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
+    val b = e.select(col("salted_block"), col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2"))
+    a.join(b, Seq("salted_block")).filter(col("id1") < col("id2"))
       .withColumn("cosine", round(VectorFns.safeCosine(VectorFns.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6))
       .filter(col("cosine") >= 0.35)
       .select(col("label"), col("id1"), col("id2"), col("cosine"))
@@ -307,6 +315,44 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- ANN: MLlib LSH cross-check -------------------------------------------
+  /** MLlib's `BucketedRandomProjectionLSH.approxSimilarityJoin` against the
+    * exact label-blocked pairs of q34, per-label recall as a column
+    * (SURVEY §7.2 step 8). Vectors are unit-normalized so the Euclidean
+    * LSH answers a cosine question: ‖a−b‖² = 2·(1−cos) for unit vectors,
+    * so cos ≥ 0.35 ⟺ dist ≤ √1.3. Fixed seed → deterministic buckets;
+    * rows-only (MLlib hash internals have no DuckDB mirror); the recall
+    * floor is additionally pinned by MllibCrossCheckSpec. */
+  def annMllibCrossCheck(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    val toUnitVec = udf((xs: Seq[Double]) => {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      Vectors.dense((if (n == 0) xs else xs.map(_ / n)).toArray)
+    })
+    val feat = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("features", toUnitVec(col("v")))
+      .select(col("vec_id"), col("features"))
+      .cache()
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+    val minCos = 0.35
+    val thresh = math.sqrt(2.0 * (1.0 - minCos))
+    val approx = lsh.fit(feat).approxSimilarityJoin(feat, feat, thresh, "dist")
+      .select(col("datasetA.vec_id").as("id1"), col("datasetB.vec_id").as("id2"))
+      .filter(col("id1") < col("id2")).distinct()
+      .withColumn("found", lit(1))
+    val exact = neardupEmbedding(spark, dir).select(col("label"), col("id1"), col("id2"))
+    exact.join(approx, Seq("id1", "id2"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0))).as("n_found"))
+      .withColumn("recall", round(col("n_found") / col("n_exact").cast("double"), 6))
+      .orderBy(col("label"))
+  }
+
   // ---- dedup clusters (connected components over near-dup pairs) ----------
   /** The cluster-representative stage: exact-dup pairs → connected
     * components → canonical_id per doc + cluster sizes. Rows-only (CC is
@@ -364,7 +410,8 @@ object PipelineQueries {
     "q33_neardup_simhash" -> ((s, d) => neardupSimhash(s, d)),
     "q34_neardup_embedding" -> ((s, d) => neardupEmbedding(s, d)),
     "q35_ann_ivf" -> ((s, d) => annIvf(s, d)),
-    "q36_ann_lsh" -> ((s, d) => annLsh(s, d))
+    "q36_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d))
   )
 
   def oracles: Map[String, String] = Map(

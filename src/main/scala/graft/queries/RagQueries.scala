@@ -315,14 +315,19 @@ object RagQueries {
   // --- O7: embed + index build (rows-only) --------------------------------
   /** Ingestion tail (app.py:204-212): chunks → deterministic hash embedding
     * → index rows. Writing the result IS the index build; embedding values
-    * are unit-tested (EmbedderSpec), not oracle-checked. */
+    * are unit-tested (EmbedderSpec), not oracle-checked. The output carries
+    * scalar digests of the vector (dim, L2 norm, element sum) rather than
+    * the raw ARRAY column — array cells aren't sortable/hashable in the
+    * driver's comparator, and the digests pin the same bytes. */
   def indexBuild(spark: SparkSession, dir: String): DataFrame = {
     val chunks = chunkRecursive(spark, dir)
     val emb = HashEmbedder.embedUdf(64)
     chunks
-      .withColumn("embedding", emb(col("chunk")))
-      .withColumn("emb_norm", round(graft.functions.VectorFns.normL2(col("embedding")), 6))
-      .select(col("doc_id"), col("chunk_id"), col("chunk"), col("embedding"), col("emb_norm"))
+      .withColumn("embedding", graft.functions.VectorFns.asDouble(emb(col("chunk"))))
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        size(col("embedding")).as("emb_dim"),
+        round(graft.functions.VectorFns.normL2(col("embedding")), 6).as("emb_norm"),
+        round(expr("aggregate(embedding, 0D, (a, x) -> a + x)"), 6).as("emb_sum"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 

@@ -54,6 +54,76 @@ object SourceQueries {
       |       CAST(length(reassembled) AS BIGINT) AS n_chars
       |FROM re ORDER BY doc_id""".stripMargin
 
+  // --- q02c: DOCX-style paragraph join (O2) ---------------------------------
+  /** The reference's DOCX extraction appends every paragraph plus "\n"
+    * (`text += para.text + "\n"`, app.py:138-139 — no empty-paragraph
+    * filtering at extract time; the preview path filters, see O9).
+    * Paragraphs are modeled as 10-token windows of the doc text; the
+    * reassembly is the same ordered group-concat shape as q01. */
+  def paragraphJoin(spark: SparkSession, dir: String): DataFrame = {
+    val paras = Tables.documents(spark, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, (size(toks) - 1) div 10), i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))"))
+          .as(Seq("para_no", "para")))
+    paras.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("para_no"), col("para")))),
+            x => concat(x.getField("para"), lit("\n"))), "").as("doc_text"))
+      .select(col("doc_id"), col("n_paras"),
+        length(col("doc_text")).cast("bigint").as("n_chars"), col("doc_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val paragraphJoinOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |  FROM documents),
+      |  p AS (
+      |    SELECT doc_id, i AS para_no,
+      |           array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS para
+      |    FROM (SELECT doc_id, toks, unnest(generate_series(0, (len(toks)-1)//10)) AS i
+      |          FROM t WHERE len(toks) > 0))
+      |SELECT doc_id, count(*) AS n_paras,
+      |       CAST(length(string_agg(para || chr(10), '' ORDER BY para_no)) AS BIGINT) AS n_chars,
+      |       string_agg(para || chr(10), '' ORDER BY para_no) AS doc_text
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- q03: TXT decode with encoding fallback (O3) --------------------------
+  /** app.py:145-158: strict UTF-8 read, latin-1 on UnicodeDecodeError.
+    * Every third doc's payload gets a dangling 0xC3 lead byte appended —
+    * malformed UTF-8, so those rows take the latin-1 path (0xC3 → 'Ã').
+    * The decode runs executor-side over a BINARY column (Dataset.map);
+    * the oracle replays the byte arithmetic, which is exact because the
+    * corpus is pure ASCII (verified at sf0.01/sf0.1). */
+  def encodingFallback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text").cast("binary"), lit(Array[Byte](0xC3.toByte))))
+          .otherwise(col("text").cast("binary")).as("content"))
+      .as[(Long, Array[Byte])]
+    blobs.map { case (id, bytes) =>
+      val (decoded, enc) = graft.sources.TextExtract.decodeWithFallback(bytes)
+      (id, enc, decoded.length.toLong, decoded)
+    }.toDF("doc_id", "encoding", "text_len", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val encodingFallbackOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'latin-1' ELSE 'utf-8' END AS encoding,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || 'Ã' ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id, encoding, CAST(length(text) AS BIGINT) AS text_len, text
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // --- q23: hybrid source combine (O24) -------------------------------------
   /** Full-outer join of document-retrieval results with web-search results
     * keyed by query (app.py:347-374 concatenates both into one prompt).
@@ -138,15 +208,76 @@ object SourceQueries {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  // --- q60b: real binaryFile ingestion (D8, app.py:162-164) -----------------
+  /** The upload path closed for real: blobs are materialized as one .bin
+    * file per doc (distributed foreachPartition write — the file-sink side
+    * of a blob exchange), then read back with the `binaryFile` source and
+    * fed through the same feature extractor as q60. doc_id rides in the
+    * file name, recovered from the source's `path` column. On a cluster
+    * the blob dir would be DFS; local-mode it's a shared local dir. */
+  def multimodalBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = new java.io.File(dir).getName
+    val blobRoot = new java.io.File(s"/root/repo/target/blobs_$sfName")
+    if (!blobRoot.exists()) {
+      val staging = new java.io.File(blobRoot.getParentFile,
+        s".blobs_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      staging.mkdirs()
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+          it.foreach { case (id, bytes) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.bin").toPath,
+              if (bytes == null) Array.empty[Byte] else bytes)
+          }
+        }
+      // publish atomically; if a concurrent run won the rename, use theirs
+      if (!staging.renameTo(blobRoot) && !blobRoot.exists())
+        sys.error(s"could not publish blob dir $blobRoot")
+    }
+    val blobs = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("content"))
+    Multimodal.extractFeatures(blobs)
+      .select(col("doc_id"), col("n_bytes"), col("frame_checksum"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same byte arithmetic as q60's oracle, minus the pooled buckets (the
+    * ingestion check is about the source path, not the pooling). */
+  val multimodalBinaryFilesOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, length(text) AS n,
+      |         list_transform(list_filter(string_split(text, ''), c -> c != ''),
+      |                        c -> CAST(ord(c) AS BIGINT)) AS codes
+      |  FROM documents)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(generate_series(1, n), i -> (i-1) % 16 = 0),
+      |                     i -> codes[i])),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS frame_checksum,
+      |  CAST(len(list_filter(generate_series(1, n), i -> (i-1) % 16 = 0)) AS BIGINT) AS n_frames
+      |FROM d ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
+    "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
+    "q03_encoding_fallback" -> ((s, d) => encodingFallback(s, d)),
     "q23_hybrid_combine" -> ((s, d) => hybridCombine(s, d)),
-    "q60_multimodal_decode" -> ((s, d) => multimodalDecode(s, d))
+    "q60_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
+    "q60b_multimodal_binaryfile" -> ((s, d) => multimodalBinaryFiles(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "q01_pages_concat" -> pagesConcatOracle,
+    "q02c_paragraph_join" -> paragraphJoinOracle,
+    "q03_encoding_fallback" -> encodingFallbackOracle,
     "q23_hybrid_combine" -> hybridCombineOracle,
-    "q60_multimodal_decode" -> multimodalDecodeOracle
+    "q60_multimodal_decode" -> multimodalDecodeOracle,
+    "q60b_multimodal_binaryfile" -> multimodalBinaryFilesOracle
   )
 }

@@ -63,15 +63,43 @@ object StreamQueries {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** S1's batch analog (app.py:536-576): token chunks accumulate IN ARRIVAL
+    * ORDER into one response string (`full_response += chunk`). Modeled as
+    * per-response (user) ordered concat of event_type "tokens" by event_id
+    * seq — the same stateful-accumulation shape StreamingSpec drives
+    * through foreachBatch, here as the driver-checkable batch query. */
+  def orderedAccum(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id").as("response_id"), col("event_id").as("seq"),
+        col("event_type").as("token"))
+      .groupBy(col("response_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seq"), col("token")))),
+            _.getField("token")), "").as("full_response"))
+      .select(col("response_id"), col("n_tokens"),
+        length(col("full_response")).cast("bigint").as("response_len"),
+        col("full_response"))
+      .orderBy(col("response_id"))
+
+  val orderedAccumOracle: String =
+    """SELECT user_id AS response_id, count(*) AS n_tokens,
+      |       CAST(length(string_agg(event_type, '' ORDER BY event_id)) AS BIGINT) AS response_len,
+      |       string_agg(event_type, '' ORDER BY event_id) AS full_response
+      |FROM events GROUP BY user_id ORDER BY response_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_tumbling_window" -> ((s, d) => tumbling(s, d)),
     "q51_sliding_window" -> ((s, d) => sliding(s, d)),
-    "q52_session_window" -> ((s, d) => session(s, d))
+    "q52_session_window" -> ((s, d) => session(s, d)),
+    "q53_ordered_accum" -> ((s, d) => orderedAccum(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "q50_tumbling_window" -> tumblingOracle,
     "q51_sliding_window" -> slidingOracle,
-    "q52_session_window" -> sessionOracle
+    "q52_session_window" -> sessionOracle,
+    "q53_ordered_accum" -> orderedAccumOracle
   )
 }

@@ -19,6 +19,16 @@ class ClustersPackingSpec extends SparkSuite {
     assert(cc(20L) === 20L && cc(21L) === 20L)
   }
 
+  test("connected components: diameter-8 chain converges under the checkpointed loop") {
+    import spark.implicits._
+    // chain 0-1-2-...-8: min-label propagation needs several rounds, so
+    // this exercises the per-round localCheckpoint lineage cut
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = Clusters.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc.size === 9)
+    assert((0L to 8L).forall(cc(_) === 0L))
+  }
+
   test("dedup clusters on the exact-copy corpus: every cluster has size 2") {
     val out = graft.queries.PipelineQueries.dedupClusters(spark, sfDir).collect()
     assert(out.nonEmpty)

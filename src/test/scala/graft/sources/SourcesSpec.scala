@@ -21,6 +21,31 @@ class SourcesSpec extends SparkSuite {
     assert(TextExtract.joinParagraphs(Seq(" a ", "", "  ", "b")) === "a\nb")
   }
 
+  test("q03 encoding fallback query: utf-8 rows untouched, %3==0 rows latin-1") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.queries.SourceQueries.encodingFallback(spark, sfDir).cache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(out.count() === docs.count())
+    assert(out.filter(col("doc_id") % 3 === 0)
+      .filter(col("encoding") =!= "latin-1").count() === 0)
+    assert(out.filter(col("doc_id") % 3 =!= 0)
+      .filter(col("encoding") =!= "utf-8").count() === 0)
+    // latin-1 rows end with the Ã that the dangling 0xC3 decodes to
+    assert(out.filter(col("doc_id") % 3 === 0)
+      .filter(!col("text").endsWith("Ã")).count() === 0)
+    out.unpersist()
+  }
+
+  test("q60b binaryFile ingestion matches the synthesized-blob features") {
+    import org.apache.spark.sql.functions.col
+    val viaFiles = graft.queries.SourceQueries.multimodalBinaryFiles(spark, sfDir)
+    val viaCast = graft.queries.SourceQueries.multimodalDecode(spark, sfDir)
+      .select(col("doc_id"), col("n_bytes"), col("frame_checksum"), col("n_frames"))
+    assert(viaFiles.count() > 0)
+    assert(viaFiles.exceptAll(viaCast).count() === 0)
+    assert(viaCast.exceptAll(viaFiles).count() === 0)
+  }
+
   test("O6/O7/O8 collection lifecycle: idempotent create, append upsert, truncate") {
     val dir = Files.createTempDirectory("graft-coll").toString + "/coll"
     val schema = StructType(Seq(
