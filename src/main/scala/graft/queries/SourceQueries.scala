@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.Multimodal
+import graft.sources.{Collections, Multimodal}
 
 /** Source/sink-shaped operators (SURVEY §2.1): ordered page reassembly
   * (O1/O2 analog), hybrid full-outer combine (O24), and the multimodal
@@ -123,6 +123,48 @@ object SourceQueries {
       |  FROM documents)
       |SELECT doc_id, encoding, CAST(length(text) AS BIGINT) AS text_len, text
       |FROM d ORDER BY doc_id""".stripMargin
+
+  // --- q08: collection lifecycle (O6/O7/O8) ---------------------------------
+  /** The Qdrant collection lifecycle (create idempotent, upsert-as-append,
+    * drop+recreate — app.py:84-91, 204-212, 493-498) run against a real
+    * parquet collection dir, with the observed row count after each step
+    * as the query result. The reference's add_documents is insert-only, so
+    * a second upsert doubles the rows (dedup is the O25 anti-join
+    * upstream). Counts are scalar lifecycle witnesses, not data collects. */
+  def collectionLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = new java.io.File(dir).getName
+    val coll = s"/root/repo/target/coll_$sfName"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val schema = docs.schema
+    def n(): Long = spark.read.parquet(coll).count()
+    Collections.truncate(spark, coll, schema) // deterministic start state
+    Collections.create(spark, coll, schema)
+    val afterCreate = n()
+    Collections.create(spark, coll, schema) // idempotent — must not throw
+    val afterCreate2 = n()
+    Collections.upsert(docs, coll)
+    val afterUpsert = n()
+    Collections.upsert(docs, coll)
+    val afterUpsert2 = n()
+    Collections.truncate(spark, coll, schema)
+    val afterTruncate = n()
+    Seq(
+      ("a_create", afterCreate), ("b_create_again", afterCreate2),
+      ("c_upsert", afterUpsert), ("d_upsert_again", afterUpsert2),
+      ("e_truncate", afterTruncate)).toDF("step", "n_rows")
+      .orderBy(col("step"))
+  }
+
+  val collectionLifecycleOracle: String =
+    """WITH n AS (SELECT count(*) AS c FROM documents)
+      |SELECT step, CAST(n_rows AS BIGINT) AS n_rows FROM (
+      |  SELECT 'a_create' AS step, 0 AS n_rows
+      |  UNION ALL SELECT 'b_create_again', 0
+      |  UNION ALL SELECT 'c_upsert', (SELECT c FROM n)
+      |  UNION ALL SELECT 'd_upsert_again', 2 * (SELECT c FROM n)
+      |  UNION ALL SELECT 'e_truncate', 0)
+      |ORDER BY step""".stripMargin
 
   // --- q23: hybrid source combine (O24) -------------------------------------
   /** Full-outer join of document-retrieval results with web-search results
@@ -267,6 +309,7 @@ object SourceQueries {
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
     "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
     "q03_encoding_fallback" -> ((s, d) => encodingFallback(s, d)),
+    "q08_collection_lifecycle" -> ((s, d) => collectionLifecycle(s, d)),
     "q23_hybrid_combine" -> ((s, d) => hybridCombine(s, d)),
     "q60_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
     "q60b_multimodal_binaryfile" -> ((s, d) => multimodalBinaryFiles(s, d))
@@ -276,6 +319,7 @@ object SourceQueries {
     "q01_pages_concat" -> pagesConcatOracle,
     "q02c_paragraph_join" -> paragraphJoinOracle,
     "q03_encoding_fallback" -> encodingFallbackOracle,
+    "q08_collection_lifecycle" -> collectionLifecycleOracle,
     "q23_hybrid_combine" -> hybridCombineOracle,
     "q60_multimodal_decode" -> multimodalDecodeOracle,
     "q60b_multimodal_binaryfile" -> multimodalBinaryFilesOracle

@@ -89,17 +89,62 @@ object StreamQueries {
       |       string_agg(event_type, '' ORDER BY event_id) AS full_response
       |FROM events GROUP BY user_id ORDER BY response_id""".stripMargin
 
+  /** S4's batch analog: per-key state with explicit reset markers
+    * (app.py:488-491 "Clear Chat History"). 'signup' events play the
+    * reset; the surviving state is the aggregate of each user's events
+    * AFTER their last reset — exactly what Sessionize's
+    * flatMapGroupsWithState holds once the log is replayed. Epoch =
+    * running reset count (gaps-and-islands); one shuffle on user_id
+    * shared by both window passes and the final agg. */
+  def stateReset(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRun = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("user_id")
+    val o = Tables.events(spark, dir)
+      .withColumn("is_reset", (col("event_type") === "signup").cast("int"))
+      .withColumn("epoch", sum(col("is_reset")).over(wRun))
+      .withColumn("n_resets", max(col("epoch")).over(wAll))
+    val live = col("epoch") === col("n_resets") && col("is_reset") === 0
+    o.groupBy(col("user_id"))
+      .agg(
+        max(col("n_resets")).cast("bigint").as("n_resets"),
+        sum(when(live, 1).otherwise(0)).cast("bigint").as("n_live"),
+        coalesce(sum(when(live, col("value").cast("decimal(18,2)"))),
+          lit(0).cast("decimal(18,2)")).cast("double").as("total_live"))
+      .orderBy(col("user_id"))
+  }
+
+  val stateResetOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, value,
+      |         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_reset,
+      |         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS epoch
+      |  FROM events),
+      |  g AS (SELECT user_id, max(epoch) AS nr FROM o GROUP BY user_id)
+      |SELECT o.user_id,
+      |       CAST(g.nr AS BIGINT) AS n_resets,
+      |       CAST(sum(CASE WHEN o.epoch = g.nr AND o.is_reset = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      |       CAST(coalesce(sum(CASE WHEN o.epoch = g.nr AND o.is_reset = 0
+      |                         THEN CAST(o.value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total_live
+      |FROM o JOIN g ON o.user_id = g.user_id
+      |GROUP BY o.user_id, g.nr ORDER BY o.user_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_tumbling_window" -> ((s, d) => tumbling(s, d)),
     "q51_sliding_window" -> ((s, d) => sliding(s, d)),
     "q52_session_window" -> ((s, d) => session(s, d)),
-    "q53_ordered_accum" -> ((s, d) => orderedAccum(s, d))
+    "q53_ordered_accum" -> ((s, d) => orderedAccum(s, d)),
+    "q54_state_reset" -> ((s, d) => stateReset(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "q50_tumbling_window" -> tumblingOracle,
     "q51_sliding_window" -> slidingOracle,
     "q52_session_window" -> sessionOracle,
-    "q53_ordered_accum" -> orderedAccumOracle
+    "q53_ordered_accum" -> orderedAccumOracle,
+    "q54_state_reset" -> stateResetOracle
   )
 }
