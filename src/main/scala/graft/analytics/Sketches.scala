@@ -48,20 +48,26 @@ object Sketches {
 
   /** MinHash signature: numPerm universal-hash permutations
     * h_i(x) = (a_i·x + b_i) mod p over shingle Murmur hashes. */
-  def minhash(text: String, numPerm: Int): Array[Long] = {
-    val sh = shingles(text)
+  def minhash(text: String, numPerm: Int): Array[Long] =
+    minhashOf(shingles(text), numPerm)
+
+  /** Signature from an ALREADY-COMPUTED shingle set — consumers that carry
+    * a shingle column (e.g. for exact-Jaccard verify) hash it once instead
+    * of re-shingling the text. Empty shingles ("" entries) are ignored so
+    * the result is byte-identical to `minhash(text, _)`. */
+  def minhashOf(shinglesIn: Seq[String], numPerm: Int): Array[Long] = {
+    val sh = shinglesIn.filter(_.nonEmpty)
     val (as, bs) = coeffs(numPerm)
     val sig = Array.fill(numPerm)(Long.MaxValue)
-    var s = 0
-    while (s < sh.length) {
-      val h = (MurmurHash3.stringHash(sh(s), 5) & 0x7fffffffL)
+    val it = sh.iterator
+    while (it.hasNext) {
+      val h = (MurmurHash3.stringHash(it.next(), 5) & 0x7fffffffL)
       var i = 0
       while (i < numPerm) {
         val v = (as(i) * h + bs(i)) % P
         if (v < sig(i)) sig(i) = v
         i += 1
       }
-      s += 1
     }
     if (sh.isEmpty) Array.fill(numPerm)(0L) else sig
   }
@@ -69,8 +75,12 @@ object Sketches {
   /** LSH band keys: mix `rowsPerBand` consecutive signature slots into one
     * bucket hash per band. Docs sharing ANY band bucket become candidate
     * pairs (prob ≈ 1 − (1 − j^r)^b for Jaccard j). */
-  def minhashBands(text: String, bands: Int = 16, rowsPerBand: Int = 4): Array[Long] = {
-    val sig = minhash(text, bands * rowsPerBand)
+  def minhashBands(text: String, bands: Int = 16, rowsPerBand: Int = 4): Array[Long] =
+    minhashBandsOf(shingles(text), bands, rowsPerBand)
+
+  /** Band keys from an already-computed shingle set (see [[minhashOf]]). */
+  def minhashBandsOf(sh: Seq[String], bands: Int = 16, rowsPerBand: Int = 4): Array[Long] = {
+    val sig = minhashOf(sh, bands * rowsPerBand)
     Array.tabulate(bands) { b =>
       var acc = 1125899906842597L
       var r = 0
@@ -79,23 +89,29 @@ object Sketches {
     }
   }
 
-  /** 64-bit SimHash over tokens (two seeded 32-bit Murmur halves). */
+  /** 64-bit SimHash over tokens (two seeded 32-bit Murmur halves).
+    * Counter update iterates only the SET bits of each token hash
+    * (`h &= h−1` popcount walk, +2 per set bit): with sign-sum
+    * 2·set(b) − n > 0 ⟺ acc(b) > n, this halves the inner-loop work vs
+    * the branchy all-64-bits form while producing identical fingerprints
+    * (golden values pinned in SketchesSpec). */
   def simhash64(text: String): Long = {
     val toks = if (text == null) Array.empty[String] else text.split(" ").filter(_.nonEmpty)
     val acc = new Array[Int](64)
+    var n = 0
     for (t <- toks) {
       val h1 = MurmurHash3.stringHash(t, 17)
       val h2 = MurmurHash3.stringHash(t, 23)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-      var bit = 0
-      while (bit < 64) {
-        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
-        bit += 1
+      var h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      while (h != 0L) {
+        acc(java.lang.Long.numberOfTrailingZeros(h)) += 2
+        h &= h - 1
       }
+      n += 1
     }
     var out = 0L
     var bit = 0
-    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+    while (bit < 64) { if (acc(bit) > n) out |= (1L << bit); bit += 1 }
     out
   }
 
@@ -103,10 +119,13 @@ object Sketches {
 
   /** SimHash band keys: 4 × 16-bit bands; near-identical docs (hamming ≤ a
     * few bits) collide on at least one band with high probability. */
-  def simhashBands(text: String): Array[Long] = {
-    val h = simhash64(text)
+  def simhashBands(text: String): Array[Long] = simhashBandsOf(simhash64(text))
+
+  /** Band keys from an ALREADY-COMPUTED fingerprint — consumers that carry
+    * the fingerprint column derive bands from it instead of re-hashing the
+    * text (the fingerprint is the expensive part: O(tokens) murmurs). */
+  def simhashBandsOf(h: Long): Array[Long] =
     Array.tabulate(4)(b => ((b.toLong << 32) | ((h >>> (16 * b)) & 0xffffL)))
-  }
 
   /** Sign-random-projection signature (`bits` hyperplanes with ±1 entries
     * derived from Murmur of (plane, dim)); cosine-similar vectors agree on

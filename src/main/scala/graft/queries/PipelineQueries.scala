@@ -50,6 +50,21 @@ object PipelineQueries {
       |  substring(text, 1, CAST(n_chars * 9 // 10 AS INTEGER)) AS text
       |FROM documents""".stripMargin
 
+  /** Adds exact Jaccard over two (distinct-element) shingle-array columns.
+    * The intersect lands in its own projection so it is computed once per
+    * pair (CollapseProject refuses to inline expensive expressions into
+    * multiple uses); the identical-set CASE short-circuits it entirely for
+    * exact copies — in a dup-heavy corpus most candidate pairs. */
+  private def withJaccard(df: DataFrame, sh1: String, sh2: String): DataFrame =
+    df.withColumn("_inter",
+        when(col(sh1) === col(sh2), size(col(sh1)))
+          .otherwise(size(array_intersect(col(sh1), col(sh2)))))
+      .withColumn("jaccard",
+        when(col(sh1) === col(sh2), lit(1.0))
+          .otherwise(round(col("_inter") /
+            (size(col(sh1)) + size(col(sh2)) - col("_inter")).cast("double"), 6)))
+      .drop("_inter")
+
   // ---- shingle expression (token 3-grams), Spark + DuckDB mirrors --------
   /** Shingles via zip_with over shifted slices. The naive form —
     * `transform(sequence(...), i -> element_at(toks, i+1) ...)` —
@@ -116,16 +131,8 @@ object PipelineQueries {
       .cache()
     val a = c.select(col("salted_block"), col("doc_id").as("id1"), col("sh").as("sh1"))
     val b = c.select(col("salted_block"), col("doc_id").as("id2"), col("sh").as("sh2"))
-    a.join(b, Seq("salted_block")).filter(col("id1") < col("id2"))
-      // equal shingle sets (exact copies) short-circuit the intersect;
-      // CASE branches evaluate lazily in codegen so the O(|sh|²)
-      // intersect only runs for genuinely different texts
-      .withColumn("jaccard",
-        when(col("sh1") === col("sh2"), lit(1.0))
-          .otherwise(round(
-            size(array_intersect(col("sh1"), col("sh2"))) /
-              (size(col("sh1")) + size(col("sh2"))
-                - size(array_intersect(col("sh1"), col("sh2")))).cast("double"), 6)))
+    withJaccard(
+      a.join(b, Seq("salted_block")).filter(col("id1") < col("id2")), "sh1", "sh2")
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
@@ -153,32 +160,34 @@ object PipelineQueries {
     * candidates; candidates are verified with exact Jaccard. Rows-only
     * (Murmur isn't in DuckDB); recall vs exact Jaccard is unit-tested. */
   def neardupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val bandsUdf = udf((t: String) => Sketches.minhashBands(t))
-    val jacUdf = udf((a: String, b: String) => Sketches.jaccard(a, b))
-    // cache at the bands column so the MinHash UDF runs exactly once per
-    // row: below a bare posexplode, Catalyst duplicates the UDF into the
-    // Generate's size()>0 pre-filter AND both self-join branches.
-    val withBands = corpusMutant(spark, dir)
-      .withColumn("bands", bandsUdf(col("text"))).cache()
-    // candidate pairs travel as bare (id1, id2) longs — texts are joined
-    // back only for the ≤thousands of verified candidates, so the
+    val bandsOfUdf = udf((sh: Seq[String]) => Sketches.minhashBandsOf(sh))
+    // shingle once per doc (codegen HOF), derive the MinHash bands FROM
+    // the shingle column (no re-shingling inside the UDF), and cache at
+    // the sketch columns so neither runs twice: below a bare posexplode,
+    // Catalyst duplicates expressions into the Generate's size()>0
+    // pre-filter AND both self-join branches. The cached shingles also
+    // feed the exact-Jaccard verify, which previously re-shingled both
+    // sides of every candidate pair.
+    val withSketch = corpusMutant(spark, dir)
+      .withColumn("sh", shingleExpr("text"))
+      .withColumn("bands", bandsOfUdf(col("sh")))
+      .drop("text")
+      .cache()
+    // candidate pairs travel as bare (id1, id2) longs — shingle arrays are
+    // joined back only for the ≤thousands of verified candidates, so the
     // band-join shuffle never carries document payloads.
-    val exploded = withBands.select(col("doc_id"),
+    val exploded = withSketch.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
     val a = exploded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
     val b = exploded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-    val texts = withBands.select(col("doc_id"), col("text"))
-    pairs
-      .join(texts.select(col("doc_id").as("id1"), col("text").as("t1")), Seq("id1"))
-      .join(texts.select(col("doc_id").as("id2"), col("text").as("t2")), Seq("id2"))
-      // identical-text short-circuit: in a corpus with many exact copies
-      // the candidate set is quadratic in dup-group size, and shingling
-      // both sides of an identical pair is pure waste
-      .withColumn("jaccard",
-        when(col("t1") === col("t2"), lit(1.0))
-          .otherwise(round(jacUdf(col("t1"), col("t2")), 6)))
+    val sketches = withSketch.select(col("doc_id"), col("sh"))
+    withJaccard(
+      pairs
+        .join(sketches.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(sketches.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2")),
+      "sh1", "sh2")
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
@@ -188,12 +197,14 @@ object PipelineQueries {
   /** SimHash 64-bit fingerprints, 4 × 16-bit bands for candidates, kept if
     * hamming ≤ 16. Rows-only; fingerprint properties unit-tested. */
   def neardupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val bandsUdf = udf((t: String) => Sketches.simhashBands(t))
     val shUdf = udf((t: String) => Sketches.simhash64(t))
-    // cache at the sketch columns (same UDF-duplication trap as MinHash)
+    val bandsOfUdf = udf((h: Long) => Sketches.simhashBandsOf(h))
+    // fingerprint once per doc; bands derive from the fingerprint column
+    // (pure bit-slicing) instead of re-hashing the text. Cache at the
+    // sketch columns (same UDF-duplication trap as MinHash).
     val c = corpusMutant(spark, dir)
       .withColumn("sh", shUdf(col("text")))
-      .withColumn("bands", bandsUdf(col("text")))
+      .withColumn("bands", bandsOfUdf(col("sh")))
       .drop("text")
       .cache()
     val exploded = c.select(col("doc_id"), col("sh"), explode(col("bands")).as("bucket"))
