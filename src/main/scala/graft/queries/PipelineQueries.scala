@@ -309,18 +309,25 @@ object PipelineQueries {
     * clusters. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val bandsUdf = udf((v: Seq[Double]) => Sketches.srpBands(v.toArray))
+    // cache: the signature UDF would otherwise run once per join branch
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
       .withColumn("bands", bandsUdf(col("v")))
-    val exploded = e.select(col("vec_id"), col("v"), col("n"), explode(col("bands")).as("bucket"))
+      .cache()
+    // candidate (query, cand) ids dedup BEFORE vectors join back: the
+    // distinct shuffles bare long pairs, never 64-double payloads
+    val exploded = e.select(col("vec_id"), explode(col("bands")).as("bucket"))
     val queries = exploded.filter(col("vec_id") < 3)
-      .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
-    val cands = exploded
-      .select(col("bucket"), col("vec_id"), col("v"), col("n"))
+      .select(col("bucket"), col("vec_id").as("query_id"))
+    val candIds = queries.join(exploded, Seq("bucket"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qvecs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
     val wq = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
-    queries.join(cands, Seq("bucket"))
-      .select(col("query_id"), col("qv"), col("qn"), col("vec_id"), col("v"), col("n")).distinct()
+    candIds
+      .join(broadcast(qvecs), Seq("query_id"))
+      .join(e.select(col("vec_id"), col("v"), col("n")), Seq("vec_id"))
       .withColumn("cosine", VectorFns.safeCosine(VectorFns.dot(col("qv"), col("v")), col("qn"), col("n")))
       .withColumn("rank", row_number().over(wq).cast("int"))
       .filter(col("rank") <= 5)
