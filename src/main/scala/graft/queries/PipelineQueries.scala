@@ -259,16 +259,21 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
+      .cache()
     val centroids = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))
-    // cache: the assignment (the expensive broadcast-NL + window stage)
-    // feeds both the query side and the candidate side of the cell join
-    val assigned = e.crossJoin(broadcast(centroids))
+    // assignment: argmax over the broadcast codebook as a max_by hash agg
+    // (ties → lower cent_id, same selection as the oracle's row_number).
+    // Partial aggregation reduces each map task's |codebook|× blowup back
+    // to one row per vector BEFORE the shuffle, and only (vec_id, cell)
+    // pairs travel — vectors rejoin from the cached table afterwards.
+    // cache: the assignment feeds both sides of the cell join.
+    val assignedIds = e.crossJoin(broadcast(centroids))
       .withColumn("ccos", VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("n"), col("cent_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
+    val assigned = assignedIds.join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("n"), col("cell"))
       .cache()
     val queries = assigned.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell"))
