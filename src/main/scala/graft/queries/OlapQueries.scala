@@ -151,8 +151,39 @@ object OlapQueries {
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_nationkey, c_custkey""".stripMargin
 
+  // --- q67: pivot (wide conditional aggregation) ----------------------------
+  /** `Dataset.pivot` over the l_linestatus domain: one grouped scan that
+    * fans each group into per-status columns (PivotFirst under the hood —
+    * a single HashAggregate, no self-join). The pivoted value list is
+    * pinned explicitly: at lake scale an unpinned pivot means a separate
+    * distinct-values job before the real one. Oracle = the equivalent
+    * conditional aggregation (how every engine desugars PIVOT). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .select(col("l_returnflag"),
+        coalesce(col("F_n"), lit(0L)).as("n_f"),
+        coalesce(col("F_qty"), lit(0.0)).as("qty_f"),
+        coalesce(col("O_n"), lit(0L)).as("n_o"),
+        coalesce(col("O_qty"), lit(0.0)).as("qty_o"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val pivotStatusOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_f,
+      |  CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
+      |  CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
+    "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
     "q61_range_bracket" -> ((s, d) => rangeBracket(s, d)),
     "q62_running_totals" -> ((s, d) => runningTotals(s, d)),
     "q63_percentiles" -> ((s, d) => percentiles(s, d)),
@@ -161,6 +192,7 @@ object OlapQueries {
 
   def oracles: Map[String, String] = Map(
     "q65_window_funcs" -> windowFuncsOracle,
+    "q67_pivot" -> pivotStatusOracle,
     "q61_range_bracket" -> rangeBracketOracle,
     "q62_running_totals" -> runningTotalsOracle,
     "q63_percentiles" -> percentilesOracle,
