@@ -181,9 +181,36 @@ object OlapQueries {
       |  CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --- q68: approximate quantiles (sketch) vs exact -------------------------
+  /** `approx_percentile` (positional-interpolation sketch, accuracy 100)
+    * next to the exact percentile with the observed relative error — the
+    * quantile sketch an interactive layer substitutes when the exact sort
+    * (q63) is too expensive. One aggregation pass, partial-merge-able at
+    * any cluster size; deterministic for fixed data (no RNG). Rows-only:
+    * sketch internals differ across engines; QuantileSketchSpec pins the
+    * error bound. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("exact"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 100)").as("approx"))
+      .select(col("l_returnflag"),
+        round(element_at(col("exact"), 1), 2).as("exact_p50"),
+        round(element_at(col("approx"), 1), 2).as("approx_p50"),
+        round(abs(element_at(col("approx"), 1) - element_at(col("exact"), 1)) /
+          element_at(col("exact"), 1), 6).as("err_p50"),
+        round(element_at(col("exact"), 2), 2).as("exact_p95"),
+        round(element_at(col("approx"), 2), 2).as("approx_p95"),
+        round(abs(element_at(col("approx"), 2) - element_at(col("exact"), 2)) /
+          element_at(col("exact"), 2), 6).as("err_p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
     "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
+    "q68_approx_quantiles" -> ((s, d) => approxQuantiles(s, d)),
     "q61_range_bracket" -> ((s, d) => rangeBracket(s, d)),
     "q62_running_totals" -> ((s, d) => runningTotals(s, d)),
     "q63_percentiles" -> ((s, d) => percentiles(s, d)),
