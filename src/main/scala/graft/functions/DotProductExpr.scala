@@ -74,19 +74,22 @@ object DotProductExpr {
   def dotNative(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Make `graft_dot(a, b)` callable from SQL strings on this session.
-    * The builder enforces arity and auto-casts numeric arrays to
-    * ARRAY<DOUBLE> so `graft_dot(array(1, 2), array(3, 4))` works. */
+  /** SQL builder: enforces arity and auto-casts numeric arrays to
+    * ARRAY<DOUBLE> so `graft_dot(array(1, 2), array(3, 4))` works.
+    * Shared by [[registerSql]] and [[GraftExtensions]]. */
+  private[functions] val sqlBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_dot takes exactly 2 arguments, got ${exprs.length}")
+    def coerce(e: Expression): Expression = e.dataType match {
+      case ArrayType(DoubleType, _) => e
+      case ArrayType(_, cn) => Cast(e, ArrayType(DoubleType, cn))
+      case _ => e // let checkInputDataTypes report it
+    }
+    DotProductExpr(coerce(exprs(0)), coerce(exprs(1)))
+  }
+
+  /** Make `graft_dot(a, b)` callable from SQL strings on this session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
-    Bridge.registerFunction(spark, "graft_dot", (exprs: Seq[Expression]) => {
-      if (exprs.length != 2)
-        throw new IllegalArgumentException(
-          s"graft_dot takes exactly 2 arguments, got ${exprs.length}")
-      def coerce(e: Expression): Expression = e.dataType match {
-        case ArrayType(DoubleType, _) => e
-        case ArrayType(_, cn) => Cast(e, ArrayType(DoubleType, cn))
-        case _ => e // let checkInputDataTypes report it
-      }
-      DotProductExpr(coerce(exprs(0)), coerce(exprs(1)))
-    })
+    Bridge.registerFunction(spark, "graft_dot", sqlBuilder)
 }

@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** `SparkSessionExtensions` entry point: setting
+  *
+  * {{{ spark.sql.extensions = graft.functions.GraftExtensions }}}
+  *
+  * on ANY session builder registers the graft SQL function surface at
+  * session construction — the declarative library-integration path for
+  * external users (cluster-wide via spark-defaults.conf, no imperative
+  * call sites). [[DotProductExpr.registerSql]] remains for attaching to
+  * an already-live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      DotProductExpr.sqlBuilder))
+  }
+}

@@ -260,7 +260,10 @@ object SourceQueries {
   def multimodalBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sfName = new java.io.File(dir).getName
-    val blobRoot = new java.io.File(s"/root/repo/target/blobs_$sfName")
+    // the source parquet's size keys the cache dir, so a regenerated
+    // testdata set can never be served stale blobs from a previous run
+    val srcLen = new java.io.File(s"$dir/documents.parquet").length()
+    val blobRoot = new java.io.File(s"/root/repo/target/blobs_${sfName}_$srcLen")
     if (!blobRoot.exists()) {
       val staging = new java.io.File(blobRoot.getParentFile,
         s".blobs_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")

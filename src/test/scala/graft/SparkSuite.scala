@@ -11,6 +11,9 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the library's declarative integration path — suites run on an
+    // extensions-injected session like an external user's cluster would
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .appName("graft-test")
     .getOrCreate()
 

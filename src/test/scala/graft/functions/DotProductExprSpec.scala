@@ -42,6 +42,21 @@ class DotProductExprSpec extends SparkSuite {
     assert(v === 11.0)
   }
 
+  test("spark.sql.extensions=graft.functions.GraftExtensions injects graft_dot at session build") {
+    // newSession() rebuilds session state from the injected extensions but
+    // does NOT inherit registerSql's session-scoped temp functions — so
+    // graft_dot resolving here proves the declarative injection path, not
+    // a leak from the registerSql test above
+    val s2 = spark.newSession()
+    val v = s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(v === 11.0)
+    // auto-cast path for non-double numeric arrays
+    val w = s2.sql("SELECT graft_dot(array(1, 2), array(3, 4)) AS d")
+      .collect().head.getDouble(0)
+    assert(w === 11.0)
+  }
+
   test("interpreted eval matches codegen (non-codegen path via filter on literal)") {
     val e = DotProductExpr.dotNative(
       array(lit(1.5), lit(2.0)), array(lit(2.0), lit(0.5)))
