@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -63,22 +63,32 @@ object Multimodal {
     (acc, n)
   }
 
+  /** Typed row for the feature stage — field names ARE the output schema. */
+  case class Features(
+      doc_id: Long, n_bytes: Long,
+      b0: Double, b1: Double, b2: Double, b3: Double,
+      b4: Double, b5: Double, b6: Double, b7: Double,
+      frame_checksum: Long, n_frames: Long)
+
   /** blobs(doc_id LONG, content BINARY) → per-blob features. Batch shape:
-    * one partition iterator pass, no per-row closure allocation beyond the
-    * Row — the mapInPandas-equivalent contract. */
+    * one partition iterator pass via typed `Dataset.mapPartitions` — the
+    * mapInPandas-equivalent contract — staying on the Dataset/encoder
+    * path (no RDD round-trip), so the object stage fuses into the
+    * surrounding plan with Serialize/DeserializeToObject boundaries. */
   def extractFeatures(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
-    val out = blobs.select(col("doc_id").cast("long"), col("content").cast("binary"))
-      .rdd.mapPartitions { it =>
-        it.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
           val samples = decodeSamples(if (bytes == null) Array.empty else bytes)
           val p = pool8(samples)
           val (ck, nf) = frames(samples)
-          Row(id, samples.length.toLong, p(0), p(1), p(2), p(3), p(4), p(5), p(6), p(7), ck, nf)
+          Features(id, samples.length.toLong,
+            p(0), p(1), p(2), p(3), p(4), p(5), p(6), p(7), ck, nf)
         }
       }
-    spark.createDataFrame(out, featureSchema)
+      .toDF()
   }
 }

@@ -121,6 +121,32 @@ class StreamingSpec extends SparkSuite {
     assert(rows.map(_.getString(1)).toSeq === Seq("a", "b", "c"))
   }
 
+  test("streaming dedup with bounded state: dropDuplicatesWithinWatermark evicts old keys") {
+    // the 100 TB-stream answer to exact dedup: same semantics within the
+    // watermark horizon, but per-key state is EVICTED as the watermark
+    // advances — state stays O(keys-per-horizon) instead of O(all keys)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = mem.toDF().toDF("ts", "doc_id", "payload")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((ts(0), 1L, "a"), (ts(1), 1L, "a-dup"), (ts(2), 2L, "b"))
+    q.processAllAvailable()
+    // advance the watermark far past key 1's horizon → its state is evicted
+    mem.addData((ts(60), 9L, "advance"))
+    q.processAllAvailable()
+    // a re-arrival of key 1 after eviction emits again — the horizon
+    // bounds state AND the dedup guarantee, by design
+    mem.addData((ts(61), 1L, "a-again"))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("dedup_wm").orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSeq
+    assert(emitted === Seq((1L, "a"), (2L, "b"), (9L, "advance"), (1L, "a-again")))
+  }
+
   test("S1 foreachBatch: ordered token accumulation equals eager concat") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
