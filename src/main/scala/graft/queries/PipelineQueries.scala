@@ -380,8 +380,12 @@ object PipelineQueries {
 
   // ---- dedup clusters (connected components over near-dup pairs) ----------
   /** The cluster-representative stage: exact-dup pairs → connected
-    * components → canonical_id per doc + cluster sizes. Rows-only (CC is
-    * iterative, not SQL); ClustersSpec pins the star-shape invariants. */
+    * components → canonical_id per doc + cluster sizes. The ALGORITHM is
+    * iterative (not SQL), but on this corpus its RESULT is derivable in
+    * closed form — exact-dup pairs are stars over text-equality groups,
+    * whose components are exactly the groups — so the oracle checks the
+    * expected output (min id + group size per text). Chain/diameter
+    * topologies, which no closed form covers, are pinned by ClustersSpec. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusExact(spark, dir)
     val pairs = corpus.groupBy(col("text"))
@@ -394,6 +398,11 @@ object PipelineQueries {
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy(col("canonical_id"))
   }
+
+  val dedupClustersOracle: String =
+    s"""WITH corpus AS ($corpusExactSql)
+       |SELECT min(doc_id) AS canonical_id, count(*) AS cluster_size
+       |FROM corpus GROUP BY text ORDER BY canonical_id""".stripMargin
 
   // ---- sequence packing -----------------------------------------------------
   /** Training-batch assembly: pack docs into 512-token bins, first-fit in
@@ -440,6 +449,7 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q48_dedup_clusters" -> dedupClustersOracle,
     "q30_dedup_exact" -> dedupExactOracle,
     "q31_neardup_jaccard" -> neardupJaccardOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
