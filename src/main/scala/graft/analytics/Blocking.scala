@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Blocking {
 
+  /** Separator between block key and salt. U+0001 cannot appear in any
+    * block key this engine produces (token prefixes and cluster labels are
+    * printable), so a genuine key like "x#0" can never merge with hot-block
+    * "x" sub-block 0 — cross-block candidate pairs are impossible. */
+  private val SaltSep = "\u0001"
+
   /** Adds a `salted_block` STRING column to `df`. Blocks with ≤ maxBlock
     * rows keep their key verbatim; larger blocks are split into
-    * ceil(n/maxBlock) hash-salted sub-blocks (`key#salt`). Deterministic:
+    * ceil(n/maxBlock) hash-salted sub-blocks (`key<U+0001>salt`). Deterministic:
     * the salt is a pure function of the id column, independent of
     * partitioning. Cost: one count agg + one (AQE-broadcastable) join on
     * the block key — no per-block window, so no hot single-task sort.
@@ -38,7 +44,7 @@ object Blocking {
         ceil(col("_block_n") / lit(maxBlock.toDouble)).cast("int"))
       .withColumn("salted_block",
         when(col("_nsub") <= 1, col(blockCol).cast("string"))
-          .otherwise(concat(col(blockCol).cast("string"), lit("#"),
+          .otherwise(concat(col(blockCol).cast("string"), lit(SaltSep),
             pmod(hash(col(idCol)), col("_nsub")).cast("string"))))
       .drop("_block_n", "_nsub")
   }

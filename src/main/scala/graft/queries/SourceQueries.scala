@@ -133,27 +133,31 @@ object SourceQueries {
     * upstream). Counts are scalar lifecycle witnesses, not data collects. */
   def collectionLifecycle(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sfName = new java.io.File(dir).getName
-    val coll = s"/root/repo/target/coll_$sfName"
+    // run-unique target: two concurrent invocations (bench + oracle runner
+    // on the same SF) must not interleave their appends/overwrites
+    val coll = s"/root/repo/target/coll_${java.util.UUID.randomUUID()}"
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val schema = docs.schema
     def n(): Long = spark.read.parquet(coll).count()
-    Collections.truncate(spark, coll, schema) // deterministic start state
-    Collections.create(spark, coll, schema)
-    val afterCreate = n()
-    Collections.create(spark, coll, schema) // idempotent — must not throw
-    val afterCreate2 = n()
-    Collections.upsert(docs, coll)
-    val afterUpsert = n()
-    Collections.upsert(docs, coll)
-    val afterUpsert2 = n()
-    Collections.truncate(spark, coll, schema)
-    val afterTruncate = n()
-    Seq(
-      ("a_create", afterCreate), ("b_create_again", afterCreate2),
-      ("c_upsert", afterUpsert), ("d_upsert_again", afterUpsert2),
-      ("e_truncate", afterTruncate)).toDF("step", "n_rows")
-      .orderBy(col("step"))
+    try {
+      Collections.create(spark, coll, schema)
+      val afterCreate = n()
+      Collections.create(spark, coll, schema) // idempotent — must not throw
+      val afterCreate2 = n()
+      Collections.upsert(docs, coll)
+      val afterUpsert = n()
+      Collections.upsert(docs, coll)
+      val afterUpsert2 = n()
+      Collections.truncate(spark, coll, schema)
+      val afterTruncate = n()
+      Seq(
+        ("a_create", afterCreate), ("b_create_again", afterCreate2),
+        ("c_upsert", afterUpsert), ("d_upsert_again", afterUpsert2),
+        ("e_truncate", afterTruncate)).toDF("step", "n_rows")
+        .orderBy(col("step"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(coll))
+    }
   }
 
   val collectionLifecycleOracle: String =
@@ -260,10 +264,18 @@ object SourceQueries {
   def multimodalBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sfName = new java.io.File(dir).getName
-    // the source parquet's size keys the cache dir, so a regenerated
-    // testdata set can never be served stale blobs from a previous run
-    val srcLen = new java.io.File(s"$dir/documents.parquet").length()
-    val blobRoot = new java.io.File(s"/root/repo/target/blobs_${sfName}_$srcLen")
+    // the source parquet's (length, mtime) fingerprint keys the cache dir —
+    // a regenerated set of the same byte size still misses the cache. The
+    // source may be a single file or a directory-style parquet; fold over
+    // every part file so both layouts fingerprint correctly.
+    val src = new java.io.File(s"$dir/documents.parquet")
+    def fingerprint(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fingerprint(c))
+      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
+    val srcKey = java.lang.Long.toHexString(fingerprint(src))
+    val blobRoot = new java.io.File(s"/root/repo/target/blobs_${sfName}_$srcKey")
     if (!blobRoot.exists()) {
       val staging = new java.io.File(blobRoot.getParentFile,
         s".blobs_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
