@@ -99,10 +99,13 @@ object PipelineQueries {
     * the (hashable) text; at 100 TB you'd group on sha2(text) first —
     * semantics identical, key 32 bytes. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    // shuffle the 256-bit digest + the scalars the output needs, never the
+    // document bytes; text_len rides along precomputed so no join back
     corpusExact(spark, dir)
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-      .select(col("canonical_id"), col("n_copies"), length(col("text")).cast("bigint").as("text_len"))
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"),
+        first(length(col("text"))).cast("bigint").as("text_len"))
+      .select(col("canonical_id"), col("n_copies"), col("text_len"))
       .orderBy(col("canonical_id"))
   }
 
@@ -388,7 +391,10 @@ object PipelineQueries {
     * topologies, which no closed form covers, are pinned by ClustersSpec. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusExact(spark, dir)
-    val pairs = corpus.groupBy(col("text"))
+    // group on the 256-bit digest, not the text: identical groups (modulo
+    // sha2 collisions, ~2^-128 at any corpus size), but the shuffle carries
+    // 64-hex keys instead of whole documents
+    val pairs = corpus.groupBy(sha2(col("text"), 256).as("h"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(expr("array_min(ids)").as("id1"), explode(col("ids")).as("id2"))

@@ -23,8 +23,10 @@ object TextQueries {
   /** Length / stopword-ratio / type-token-ratio quality score. The score
     * formula is computed from exact integer counts in double on both
     * engines, so it is bit-reproducible. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+  /** Adds token/quality columns to a documents-shaped df in one projection —
+    * shared by q40 and q46 so composed pipelines stay single-scan. */
+  private def withQuality(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .withColumn("n_tokens", expr("size(toks)").cast("bigint"))
       .withColumn("n_distinct", expr("size(array_distinct(toks))").cast("bigint"))
@@ -40,11 +42,13 @@ object TextQueries {
       .withColumn("quality",
         round(lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
           + lit(0.3) * least(lit(1.0), col("avg_token_len") / lit(8.0)), 6))
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    withQuality(Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"),
         round(col("ttr"), 6).as("ttr"), round(col("stop_ratio"), 6).as("stop_ratio"),
         round(col("avg_token_len"), 6).as("avg_token_len"), col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   val qualityScoreOracle: String =
     s"""WITH d AS (
@@ -186,8 +190,14 @@ object TextQueries {
       explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     // df derives from tf (already one row per (doc, token)) — no second
-    // explode + distinct pass over the corpus
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // explode + distinct pass over the corpus. The tf > 0 filter is
+    // semantically a no-op (every group has count ≥ 1) but Catalyst cannot
+    // prove it, so the tf count survives column pruning in this branch and
+    // its exchange canonicalizes identically to the join branch's —
+    // letting (AQE) ReuseExchange run the explode+count stage ONCE. Without
+    // it the corpus is exploded and aggregated twice (measured 2× on the
+    // tf stage at sf0.1).
+    val df = tf.filter(col("tf") > 0).groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(nDocs))
@@ -221,24 +231,35 @@ object TextQueries {
     * fraction of tokens that are the single most frequent token, and the
     * distinct-bigram ratio (low = loopy/templated text). Pure HOF + agg. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tokens = docs.select(col("doc_id"),
-      explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
-    val freq = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("f"))
-    val agg = freq.groupBy(col("doc_id"))
-      .agg(sum(col("f")).as("n_tokens"), max(col("f")).as("max_f"))
-      .withColumn("top_token_ratio", round(col("max_f") / col("n_tokens").cast("double"), 6))
-    val bigrams = docs
+    // Single scan, zero data shuffles (only the final presentation sort):
+    // the per-doc top-token count is a longest-run fold over the SORTED
+    // token array — O(n log n) per doc in executor CPU — instead of the
+    // previous explode → groupBy(doc,token) → groupBy(doc) → join-back
+    // shape, which shuffled every (doc_id, token) pair twice and scanned
+    // the parquet twice. At 100 TB per-row CPU scales with executors;
+    // token-pair shuffles are the bottleneck.
+    Tables.documents(spark, dir)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
-      .withColumn("n2", expr("greatest(size(toks) - 1, 0)"))
-      .withColumn("d2", expr(
+      .filter(expr("size(toks) > 0"))
+      .withColumn("n_tokens", expr("size(toks)").cast("bigint"))
+      .withColumn("max_f", expr(
+        // fold sorted tokens with (prev token, current run, best run) state
+        """aggregate(array_sort(toks),
+          |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+          |  (s, x) -> named_struct(
+          |    'prev', x,
+          |    'run',  IF(x = s.prev, s.run + 1L, 1L),
+          |    'best', greatest(s.best, IF(x = s.prev, s.run + 1L, 1L))),
+          |  s -> s.best)""".stripMargin))
+      .withColumn("top_token_ratio",
+        round(col("max_f") / col("n_tokens").cast("double"), 6))
+      .withColumn("n_bigrams",
+        expr("greatest(size(toks) - 1, 0)").cast("bigint"))
+      .withColumn("n_distinct_bigrams", expr(
         """size(array_distinct(zip_with(
           |  slice(toks, 1, greatest(size(toks) - 1, 0)),
           |  slice(toks, 2, greatest(size(toks) - 1, 0)),
-          |  (a, b) -> concat(a, ' ', b))))""".stripMargin))
-      .select(col("doc_id"), col("n2").cast("bigint").as("n_bigrams"),
-        col("d2").cast("bigint").as("n_distinct_bigrams"))
-    agg.join(bigrams, Seq("doc_id"))
+          |  (a, b) -> concat(a, ' ', b))))""".stripMargin).cast("bigint"))
       .withColumn("distinct_bigram_ratio",
         when(col("n_bigrams") > 0,
           round(col("n_distinct_bigrams") / col("n_bigrams").cast("double"), 6)).otherwise(1.0))
@@ -276,13 +297,19 @@ object TextQueries {
     * quality-gate, then per-lang curated stats — the composition of q30 +
     * q40 a 100 TB curation pipeline runs nightly. */
   def curation(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val canonical = docs.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"), col("n_tokens"))
-    docs.join(canonical, Seq("doc_id"))
-      .join(q, Seq("doc_id"))
+    // Single scan: quality is computed inline, dedup is an argmin hash agg
+    // on sha2(text) — compact 64-hex keys shuffle instead of full texts,
+    // min_by needs no sort/window/join-back, and the canonical row carries
+    // its own lang/quality so nothing rejoins documents. (Previous shape —
+    // groupBy(text) + two joins back — scanned the parquet three times and
+    // shuffled whole documents.)
+    withQuality(Tables.documents(spark, dir))
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("n_chars"),
+          col("quality"), col("n_tokens")),
+        col("doc_id")).as("c"))
+      .select(col("c.*"))
       .filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
       .groupBy(col("lang"))
       .agg(
