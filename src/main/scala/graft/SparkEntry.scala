@@ -22,10 +22,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.all ++ RelationalQueries.all ++ RagQueries.all ++
       AgentQueries.all ++ PipelineQueries.all ++ TextQueries.all ++ StreamQueries.all ++
-      SourceQueries.all ++ OlapQueries.all
+      SourceQueries.all ++ OlapQueries.all ++ CurationQueries.all
 
   def oracleSql: Map[String, String] =
     VectorQueries.oracles ++ RelationalQueries.oracles ++ RagQueries.oracles ++
       AgentQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles ++
-      StreamQueries.oracles ++ SourceQueries.oracles ++ OlapQueries.oracles
+      StreamQueries.oracles ++ SourceQueries.oracles ++ OlapQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-corpus hygiene operators a 100 TB pipeline runs before any
+  * tokens reach a trainer: benchmark decontamination, PII redaction, and
+  * deterministic domain-mixture sampling. All three are pure DataFrame
+  * plans with DuckDB oracles; none exist in the reference (it is a RAG
+  * chat app) — they extend the engine per the build mandate, reusing the
+  * reference's corpus conventions (space tokenization as in app.py:284).
+  */
+object CurationQueries {
+
+  /** Distinct 8-token shingles of a `toks` array column, guarded for short
+    * docs (Spark's sequence(1, n) with n < 1 would count DOWN). */
+  private def gramsExpr(toksCol: String) =
+    expr(s"""CASE WHEN size($toksCol) >= 8 THEN
+            |  array_distinct(transform(sequence(1, size($toksCol) - 7),
+            |    i -> concat_ws(' ', slice($toksCol, i, 8))))
+            |ELSE array() END""".stripMargin)
+
+  private val gramsSql =
+    // DuckDB list slice t[i:i+7] is 1-based inclusive = 8 elements
+    """CASE WHEN len(t) >= 8 THEN
+      |  list_distinct(list_transform(generate_series(1, len(t) - 7),
+      |    i -> array_to_string(t[i:i+7], ' ')))
+      |ELSE [] END""".stripMargin
+
+  // --- q70: benchmark decontamination ---------------------------------------
+  /** Decontamination: flag training docs that share any 8-token shingle
+    * with a held-out eval set (the n-gram-overlap rule public LLM corpora
+    * apply before training). Eval = every 19th doc; the training side is
+    * the rest PLUS planted leaks (eval docs truncated to their first 90%
+    * of tokens, id + 2,000,000) so the detector provably fires.
+    *
+    * Plan shape at 100 TB: the eval shingle dictionary is tiny relative
+    * to the corpus — broadcast it; the training side streams through a
+    * BroadcastHashJoin (no shuffle of corpus shingles) and the per-doc
+    * overlap count is a partial-aggregable count by doc_id. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), col("toks"))
+    val eval = d.filter(col("doc_id") % 19 === 0)
+    val evalGrams = eval
+      .select(explode(gramsExpr("toks")).as("gram")).distinct()
+    val train = d.filter(col("doc_id") % 19 =!= 0)
+      .unionByName(eval.select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        expr("slice(toks, 1, greatest(CAST(floor(size(toks) * 0.9) AS INT), 1))").as("toks")))
+    train
+      .select(col("doc_id"), explode(gramsExpr("toks")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      // grams are distinct per doc AND distinct on the eval side, so a
+      // plain count is the distinct-overlap count — no countDistinct shuffle
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+       |  FROM documents),
+       |  ev AS (SELECT doc_id, t FROM d WHERE doc_id % 19 = 0),
+       |  evg AS (SELECT DISTINCT unnest($gramsSql) AS gram FROM ev),
+       |  train AS (
+       |    SELECT doc_id, t FROM d WHERE doc_id % 19 <> 0
+       |    UNION ALL
+       |    SELECT doc_id + 2000000 AS doc_id,
+       |           t[1:greatest(CAST(floor(len(t) * 0.9) AS INT), 1)] AS t
+       |    FROM ev),
+       |  tg AS (SELECT doc_id, unnest($gramsSql) AS gram FROM train)
+       |SELECT doc_id, count(*) AS n_shared_ngrams
+       |FROM tg JOIN evg USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- q71: PII detection + redaction ---------------------------------------
+  /** PII scrub: detect and mask emails, phone numbers, and IPv4 addresses
+    * with codegen'd regexp built-ins (no UDFs). The driver corpus is
+    * synthetic lowercase prose with no real PII, so deterministic PII is
+    * injected first (keyed by doc_id) and the redactor is measured against
+    * it — same injection in the oracle. Patterns stay in the RE2-safe
+    * subset (character classes, +, {m,n}; no backreferences/lookaround) so
+    * Java regex and DuckDB RE2 agree byte-for-byte. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+    val phonePat = "555-[0-9]{4}"
+    val ipPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    Tables.documents(spark, dir)
+      .withColumn("dirty",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" server 10.0."), col("doc_id") % 256, lit(".7 up")))
+          .otherwise(col("text")))
+      .withColumn("n_emails", size(expr(s"regexp_extract_all(dirty, '$emailPat', 0)")).cast("bigint"))
+      .withColumn("n_phones", size(expr(s"regexp_extract_all(dirty, '$phonePat', 0)")).cast("bigint"))
+      .withColumn("n_ips", size(expr(s"regexp_extract_all(dirty, '$ipPat', 0)")).cast("bigint"))
+      .withColumn("clean",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("dirty"), emailPat, "<EMAIL>"),
+            ipPat, "<IP>"),
+          phonePat, "<PHONE>"))
+      // ship a digest of the cleaned text, not 1000-char strings, plus the
+      // structural witness that no PII pattern survives
+      .withColumn("clean_fp", sha2(col("clean"), 256))
+      .withColumn("residual_pii",
+        (size(expr(s"regexp_extract_all(clean, '$emailPat', 0)"))
+          + size(expr(s"regexp_extract_all(clean, '$phonePat', 0)"))
+          + size(expr(s"regexp_extract_all(clean, '$ipPat', 0)"))).cast("bigint"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        col("residual_pii"), col("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactOracle: String = {
+    val emailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+    val phonePat = "555-[0-9]{4}"
+    val ipPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    s"""WITH dirty AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN doc_id % 4 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+       |      WHEN doc_id % 4 = 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       |      WHEN doc_id % 4 = 2 THEN text || ' server 10.0.' || (doc_id % 256) || '.7 up'
+       |      ELSE text END AS dirty
+       |  FROM documents),
+       |  cleaned AS (
+       |  SELECT doc_id, dirty,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(dirty, '$emailPat', '<EMAIL>', 'g'),
+       |        '$ipPat', '<IP>', 'g'),
+       |      '$phonePat', '<PHONE>', 'g') AS clean
+       |  FROM dirty)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(dirty, '$emailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(dirty, '$phonePat')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(dirty, '$ipPat')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(clean, '$emailPat'))
+       |     + len(regexp_extract_all(clean, '$phonePat'))
+       |     + len(regexp_extract_all(clean, '$ipPat')) AS BIGINT) AS residual_pii,
+       |  sha256(clean) AS clean_fp
+       |FROM cleaned ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q72: deterministic domain-mixture sampling ---------------------------
+  /** Domain mixing: down-sample each source to hit a target mixture
+    * (src0-src4 15%, src5-src9 5% — basis points, so quota arithmetic is
+    * pure integer division and cross-engine exact). The achievable total
+    * T = min over sources of n_s·10000 ÷ w_s; each source keeps its
+    * w_s·T ÷ 10000 lowest docs by content fingerprint — reproducible
+    * (re-running selects the same docs), unlike rand()-based sample().
+    *
+    * Plan: one tiny counts agg (broadcast back), then rank-per-source —
+    * the rank <= quota filter compiles to WindowGroupLimit so each
+    * source's sort prunes map-side. At 100 TB the exact-quota rank sort is
+    * the cost; the documented relaxation is hash-threshold selection
+    * (fp % 10000 < rate), which is shuffle-free but only approximates the
+    * quota. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wBp = expr("CASE WHEN CAST(substring(source, 4, 8) AS INT) <= 4 THEN 1500 ELSE 500 END")
+    val fp = "aggregate(filter(split(text, ''), x -> x != ''), 0L, " +
+      "(acc, x) -> (acc * 31 + ascii(x)) % 2147483647)"
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w_bp", wBp)
+      .withColumn("fp", expr(fp))
+    val counts = docs.groupBy(col("source"), col("w_bp"))
+      .agg(count(lit(1)).as("n_avail"))
+    val t = counts.agg(min(col("n_avail") * 10000L / col("w_bp")).cast("long").as("t"))
+    val quotas = counts.crossJoin(broadcast(t))
+      .withColumn("quota", (col("w_bp") * col("t") / 10000L).cast("long"))
+      .select(col("source"), col("n_avail"), col("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("fp"), col("doc_id"))
+    docs.join(broadcast(quotas), Seq("source"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("quota"))
+      .groupBy(col("source"), col("n_avail"), col("quota"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  val domainMixOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN CAST(substring(source, 4, 8) AS INT) <= 4 THEN 1500 ELSE 500 END AS w_bp,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(list_filter(string_split(text, ''), x -> x != ''),
+      |                       c -> CAST(ord(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+      |  FROM documents),
+      |  counts AS (
+      |  SELECT source, w_bp, count(*) AS n_avail FROM d GROUP BY source, w_bp),
+      |  t AS (SELECT min(n_avail * 10000 // w_bp) AS t FROM counts),
+      |  quotas AS (
+      |  SELECT source, n_avail, w_bp * t // 10000 AS quota FROM counts CROSS JOIN t),
+      |  ranked AS (
+      |  SELECT d.source, d.n_chars, quotas.n_avail, quotas.quota,
+      |         row_number() OVER (PARTITION BY d.source ORDER BY d.fp, d.doc_id) AS rnk
+      |  FROM d JOIN quotas USING (source))
+      |SELECT source, n_avail, quota,
+      |       count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      |FROM ranked WHERE rnk <= quota
+      |GROUP BY source, n_avail, quota ORDER BY source""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "q71_pii_redact" -> ((s, d) => piiRedact(s, d)),
+    "q72_domain_mix" -> ((s, d) => domainMix(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q70_decontaminate" -> decontaminateOracle,
+    "q71_pii_redact" -> piiRedactOracle,
+    "q72_domain_mix" -> domainMixOracle
+  )
+}

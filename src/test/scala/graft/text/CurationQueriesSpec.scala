@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.queries.CurationQueries
+
+class CurationQueriesSpec extends SparkSuite {
+
+  test("decontaminate: every planted leak (truncated eval doc) is flagged") {
+    val flagged = CurationQueries.decontaminate(spark, sfDir)
+      .filter(col("doc_id") >= 2000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // planted leaks are eval docs (id % 19 == 0) truncated to 90% of their
+    // tokens — any eval doc long enough to retain an 8-gram must be caught
+    val expected = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 19 === 0)
+      .withColumn("n", expr("size(filter(split(text, ' '), x -> x != ''))"))
+      // 90% of the tokens must still contain at least one 8-token window
+      .filter(expr("CAST(floor(n * 0.9) AS INT) >= 8"))
+      .select((col("doc_id") + 2000000L).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture should produce at least one plant")
+    assert(expected.subsetOf(flagged),
+      s"missed plants: ${(expected -- flagged).take(5)}")
+  }
+
+  test("decontaminate: clean training docs share no 8-gram with eval") {
+    val out = CurationQueries.decontaminate(spark, sfDir)
+    // output only lists docs with >= 1 shared shingle
+    assert(out.filter(col("n_shared_ngrams") <= 0).count() === 0L)
+  }
+
+  test("pii redact: injected counts match the injection rule; zero residual") {
+    val out = CurationQueries.piiRedact(spark, sfDir).cache()
+    assert(out.filter(col("residual_pii") =!= 0).count() === 0L)
+    assert(out.filter(col("doc_id") % 4 === 0).filter(col("n_emails") =!= 1).count() === 0L)
+    assert(out.filter(col("doc_id") % 4 === 1).filter(col("n_phones") =!= 1).count() === 0L)
+    assert(out.filter(col("doc_id") % 4 === 2).filter(col("n_ips") =!= 1).count() === 0L)
+    // untouched docs: no PII found at all
+    assert(out.filter(col("doc_id") % 4 === 3)
+      .filter(col("n_emails") + col("n_phones") + col("n_ips") =!= 0).count() === 0L)
+    out.unpersist()
+  }
+
+  test("domain mix: every source fills its quota exactly and n_kept <= n_avail") {
+    val out = CurationQueries.domainMix(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_kept") =!= col("quota")).count() === 0L,
+      "quota must be achievable by construction of T")
+    assert(out.filter(col("n_kept") > col("n_avail")).count() === 0L)
+    out.unpersist()
+  }
+
+  test("domain mix: selection is reproducible across runs") {
+    val a = CurationQueries.domainMix(spark, sfDir).collect().toSeq
+    val b = CurationQueries.domainMix(spark, sfDir).collect().toSeq
+    assert(a === b)
+  }
+}
