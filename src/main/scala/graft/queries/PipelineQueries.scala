@@ -176,15 +176,27 @@ object PipelineQueries {
       .withColumn("bands", bandsOfUdf(col("sh")))
       .drop("text")
       .cache()
-    // candidate pairs travel as bare (id1, id2) longs — shingle arrays are
-    // joined back only for the ≤thousands of verified candidates, so the
-    // band-join shuffle never carries document payloads.
-    val exploded = withSketch.select(col("doc_id"),
+    // Band-join rows carry (id, all 16 band hashes) — 136 bytes, never the
+    // shingle payload. The 16-hash array buys exactly-once pair emission:
+    // keep only the row from the lowest colliding band ("every band below
+    // mine differs"), a codegen conjunction over the two arrays, instead
+    // of a full distinct shuffle of the pair stream — in a dup-heavy
+    // corpus every dup pair collides on ALL 16 bands, so the distinct was
+    // deduping a 16×-inflated stream. Shingle arrays still join back only
+    // for the unique candidates.
+    val exploded = withSketch.select(col("doc_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = exploded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
-    val b = exploded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    val a = exploded.select(col("band"), col("bucket"),
+      col("doc_id").as("id1"), col("bands").as("bands1"))
+    val b = exploded.select(col("band"), col("bucket"),
+      col("doc_id").as("id2"), col("bands").as("bands2"))
+    val firstCollision = (0 until 15).map { j =>
+      (col("band") <= j) ||
+        (element_at(col("bands1"), j + 1) =!= element_at(col("bands2"), j + 1))
+    }.reduce(_ && _)
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+      .filter(firstCollision)
+      .select(col("id1"), col("id2"))
     val sketches = withSketch.select(col("doc_id"), col("sh"))
     withJaccard(
       pairs
@@ -213,10 +225,29 @@ object PipelineQueries {
     val exploded = c.select(col("doc_id"), col("sh"), explode(col("bands")).as("bucket"))
     val a = exploded.select(col("bucket"), col("doc_id").as("id1"), col("sh").as("sh1"))
     val b = exploded.select(col("bucket"), col("doc_id").as("id2"), col("sh").as("sh2"))
-    val hammingUdf = udf((x: Long, y: Long) => Sketches.hamming64(x, y))
+    // Exactly-once pair emission WITHOUT a distinct: a pair colliding on
+    // k bands appears k times in the join stream; keep only the row from
+    // the lowest colliding band — "this band's index b has every 16-bit
+    // slice below b differing between the two fingerprints". Pure bit
+    // arithmetic on columns already in hand, so the multi-million-row
+    // dedup that used to be a full shuffle (12.3 s at sf1, the query's
+    // dominant stage) becomes a codegen filter. Band index rides in bits
+    // 32+ of the bucket key (Sketches.simhashBandsOf).
+    val x = col("sh1").bitwiseXOR(col("sh2"))
+    def bandDiffers(j: Int) =
+      shiftright(x, 16 * j).bitwiseAND(lit(0xffffL)) =!= 0L
+    val firstBand = shiftright(col("bucket"), 32).cast("int")
+    val firstCollision =
+      (firstBand === 0) ||
+        (firstBand === 1 && bandDiffers(0)) ||
+        (firstBand === 2 && bandDiffers(0) && bandDiffers(1)) ||
+        (firstBand === 3 && bandDiffers(0) && bandDiffers(1) && bandDiffers(2))
+    // hamming via the codegen'd bit_count built-in — ≡ Sketches.hamming64
+    // (spec'd) but stays inside whole-stage codegen over the pair stream
+    // instead of boxing through a UDF
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sh1"), col("sh2")).distinct()
-      .withColumn("hamming", hammingUdf(col("sh1"), col("sh2")))
+      .filter(firstCollision)
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("int"))
       .filter(col("hamming") <= 16)
       .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("id1"), col("id2"))

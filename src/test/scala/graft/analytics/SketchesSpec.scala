@@ -1,8 +1,8 @@
 package graft.analytics
 
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
 
-class SketchesSpec extends AnyFunSuite {
+class SketchesSpec extends SparkSuite {
 
   private val base = Seq.tabulate(60)(i => s"tok$i").mkString(" ")
   private val nearDup = Seq.tabulate(54)(i => s"tok$i").mkString(" ") // 90% prefix
@@ -39,6 +39,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.hamming64(h1, h1) === 0)
     assert(Sketches.hamming64(h1, h2) < 16)
     assert(Sketches.hamming64(h1, h3) > 16)
+  }
+
+  test("simhash: the codegen bit_count(xor) column equals hamming64 exactly") {
+    import org.apache.spark.sql.functions.{bit_count, col}
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(200)((rnd.nextLong(), rnd.nextLong())) :+
+      ((Long.MinValue, Long.MaxValue)) :+ ((0L, -1L))
+    val got = pairs.toDF("a", "b")
+      .withColumn("h", bit_count(col("a").bitwiseXOR(col("b"))).cast("int"))
+      .orderBy("a", "b").collect().map(_.getInt(2))
+    val want = pairs.sortBy(p => (p._1, p._2)).map { case (a, b) => Sketches.hamming64(a, b) }
+    assert(got.toSeq === want)
   }
 
   test("srp: identical vectors share all bands; perturbed vectors usually collide") {
