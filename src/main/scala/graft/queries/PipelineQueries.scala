@@ -54,9 +54,23 @@ object PipelineQueries {
     * The intersect lands in its own projection so it is computed once per
     * pair (CollapseProject refuses to inline expensive expressions into
     * multiple uses); the identical-set CASE short-circuits it entirely for
-    * exact copies — in a dup-heavy corpus most candidate pairs. */
-  private def withJaccard(df: DataFrame, sh1: String, sh2: String): DataFrame =
-    df.withColumn("_inter",
+    * exact copies — in a dup-heavy corpus most candidate pairs.
+    *
+    * `minJaccardTenths` (t/10) enables the PPJoin-family length filter: a
+    * necessary condition for J ≥ t is min(|A|,|B|) ≥ t·max(|A|,|B|) (the
+    * intersection is ≤ the smaller set, the union ≥ the larger), checked
+    * in exact integer arithmetic — pairs with mismatched set sizes skip
+    * the O(n) intersect entirely. Callers that filter `jaccard >= t`
+    * afterwards lose nothing: the pre-filter is implied by the post-filter. */
+  private def withJaccard(df: DataFrame, sh1: String, sh2: String,
+                          minJaccardTenths: Int = 0): DataFrame = {
+    val pre =
+      if (minJaccardTenths <= 0) df
+      else df.filter(
+        least(size(col(sh1)), size(col(sh2))).cast("long") * 10L >=
+          lit(minJaccardTenths.toLong) *
+            greatest(size(col(sh1)), size(col(sh2))).cast("long"))
+    pre.withColumn("_inter",
         when(col(sh1) === col(sh2), size(col(sh1)))
           .otherwise(size(array_intersect(col(sh1), col(sh2)))))
       .withColumn("jaccard",
@@ -64,6 +78,7 @@ object PipelineQueries {
           .otherwise(round(col("_inter") /
             (size(col(sh1)) + size(col(sh2)) - col("_inter")).cast("double"), 6)))
       .drop("_inter")
+  }
 
   // ---- shingle expression (token 3-grams), Spark + DuckDB mirrors --------
   /** Shingles via zip_with over shifted slices. The naive form —
@@ -135,7 +150,8 @@ object PipelineQueries {
     val a = c.select(col("salted_block"), col("doc_id").as("id1"), col("sh").as("sh1"))
     val b = c.select(col("salted_block"), col("doc_id").as("id2"), col("sh").as("sh2"))
     withJaccard(
-      a.join(b, Seq("salted_block")).filter(col("id1") < col("id2")), "sh1", "sh2")
+      a.join(b, Seq("salted_block")).filter(col("id1") < col("id2")), "sh1", "sh2",
+      minJaccardTenths = 3)
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
@@ -202,7 +218,7 @@ object PipelineQueries {
       pairs
         .join(sketches.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
         .join(sketches.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2")),
-      "sh1", "sh2")
+      "sh1", "sh2", minJaccardTenths = 3)
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
