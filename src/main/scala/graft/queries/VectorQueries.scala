@@ -35,11 +35,68 @@ object VectorQueries {
       |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank
       |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Symmetric int8 quantization of the embedding column — the 4× memory
+    * cut a 100 TB vector index takes before anything else (IVF codebooks
+    * and SRP buckets in q35/q36 then operate over codes). Per-vector
+    * max-abs scale, codes in [-127, 127], reconstruction error reported
+    * per vector. Pure codegen HOFs, one scan, no shuffle; the error fold
+    * runs left-to-right over the fixed array order so the float sum is
+    * order-pinned cross-engine. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("scale",
+        expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
+      // nullif guards the all-zero vector: codes collapse to 0, error 0
+      .withColumn("codes", expr(
+        """transform(v, x ->
+          |  CAST(least(greatest(coalesce(round(x / nullif(scale, 0.0D)), 0.0D),
+          |                      -127.0D), 127.0D) AS INT))""".stripMargin))
+      .withColumn("recon", expr("zip_with(codes, v, (c, x) -> c * scale)"))
+      .withColumn("mse", expr(
+        """aggregate(zip_with(v, recon, (x, r) -> (x - r) * (x - r)),
+          |  0.0D, (acc, e) -> acc + e, acc -> acc / size(v))""".stripMargin))
+      .withColumn("max_abs_err", expr(
+        "array_max(zip_with(v, recon, (x, r) -> abs(x - r)))"))
+      .select(col("vec_id"), col("label"),
+        round(col("scale"), 6).as("scale"),
+        round(col("mse"), 8).as("mse"),
+        round(col("max_abs_err"), 6).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embeddingQuantizeOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |  s AS (
+      |  SELECT vec_id, label, v,
+      |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM v),
+      |  c AS (
+      |  SELECT vec_id, label, v, scale,
+      |    list_transform(v, x -> CAST(least(greatest(
+      |      coalesce(round(x / nullif(scale, 0.0)), 0.0), -127.0), 127.0) AS INT)) AS codes
+      |  FROM s),
+      |  r AS (
+      |  SELECT vec_id, label, v, scale,
+      |    list_transform(codes, c -> c * scale) AS recon
+      |  FROM c)
+      |SELECT vec_id, label, round(scale, 6) AS scale,
+      |  round(list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(v)), i -> (v[i] - recon[i]) * (v[i] - recon[i]))),
+      |    (acc, e) -> acc + e) / len(v), 8) AS mse,
+      |  round(list_max(list_transform(generate_series(1, len(v)), i -> abs(v[i] - recon[i]))), 6) AS max_abs_err
+      |FROM r ORDER BY vec_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q17_topk_cosine" -> ((s, d) => topkCosine(s, d))
+    "q17_topk_cosine" -> ((s, d) => topkCosine(s, d)),
+    "q73_embedding_quantize" -> ((s, d) => embeddingQuantize(s, d))
   )
 
   def oracles: Map[String, String] = Map(
-    "q17_topk_cosine" -> topkCosineOracle
+    "q17_topk_cosine" -> topkCosineOracle,
+    "q73_embedding_quantize" -> embeddingQuantizeOracle
   )
 }
