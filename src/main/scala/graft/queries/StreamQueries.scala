@@ -132,7 +132,36 @@ object StreamQueries {
       |FROM o JOIN g ON o.user_id = g.user_id
       |GROUP BY o.user_id, g.nr ORDER BY o.user_id""".stripMargin
 
+  /** Batch form of the stream-stream interval join (S2 family): purchases
+    * matched to same-user views in the preceding 10 minutes, conversions
+    * rolled up per purchase hour. Identical EventStreams.viewToPurchase
+    * runs stream-stream in StreamingSpec. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    EventStreams.viewToPurchase(
+      e.filter(col("event_type") === "view"),
+      e.filter(col("event_type") === "purchase"))
+      .groupBy((unix_micros(date_trunc("hour", col("p_ts")))).as("hour_us"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_converting_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_us"))
+  }
+
+  val intervalJoinOracle: String =
+    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts FROM events WHERE event_type = 'view'),
+      |     p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+      |     j AS (SELECT p.p_id, p.user_id, p.p_ts
+      |           FROM p JOIN v ON p.user_id = v.v_user
+      |             AND v.v_ts <= p.p_ts AND v.v_ts > p.p_ts - INTERVAL 10 MINUTE)
+      |SELECT epoch_us(date_trunc('hour', p_ts)) AS hour_us,
+      |       count(*) AS n_pairs,
+      |       count(DISTINCT p_id) AS n_converting_purchases,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM j GROUP BY 1 ORDER BY hour_us""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_interval_join" -> ((s, d) => intervalJoin(s, d)),
     "q50_tumbling_window" -> ((s, d) => tumbling(s, d)),
     "q51_sliding_window" -> ((s, d) => sliding(s, d)),
     "q52_session_window" -> ((s, d) => session(s, d)),
@@ -141,6 +170,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q55_interval_join" -> intervalJoinOracle,
     "q50_tumbling_window" -> tumblingOracle,
     "q51_sliding_window" -> slidingOracle,
     "q52_session_window" -> sessionOracle,

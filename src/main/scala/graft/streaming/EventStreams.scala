@@ -38,6 +38,25 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's views in the preceding 10 minutes. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, so streaming state is evictable (Spark rejects an
+    * unbounded stream-stream join outright). Batch: the watermarks are
+    * no-ops and this is a plain equi+range join shuffled on user_id —
+    * never a cross join. */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** Per-user session windows with a 5-minute inactivity gap (S3). */
   def sessionCounts(events: DataFrame): DataFrame =
     events

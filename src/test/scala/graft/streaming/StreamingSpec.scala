@@ -9,6 +9,10 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSuite
 import graft.streaming.Sessionize.Ev
 
+/** Event with identity, for the stream-stream interval join (purchases
+  * need event_id). */
+case class PEv(ts: Timestamp, user_id: Long, event_type: String, event_id: Long)
+
 /** SURVEY §5.4: batch≡stream differentials on the same rows, watermark
   * late-drop, per-key state with reset + event-time TTL, and S1 ordered
   * foreachBatch accumulation. */
@@ -167,5 +171,33 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable(); q.stop()
     val full = acc(1L).sortBy(_._1).map(_._2).mkString
     assert(full === "Hello world")
+  }
+
+  test("S2 stream-stream interval join equals batch; 10-minute bound is strict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      PEv(ts(0), 1L, "view", 100L),
+      PEv(ts(12), 1L, "view", 101L),
+      PEv(ts(7), 2L, "view", 102L))
+    val purchases = Seq(
+      PEv(ts(5), 1L, "purchase", 200L),   // matches view@0
+      PEv(ts(20), 1L, "purchase", 201L),  // matches view@12 only (20-0 > 10)
+      PEv(ts(10), 1L, "purchase", 202L),  // exactly 10 min after view@0 -> NO (strict), view@12 is later -> no
+      PEv(ts(6), 2L, "purchase", 203L),   // view@7 is after the purchase -> no
+      PEv(ts(16), 2L, "purchase", 204L))  // matches view@7
+    val memV = MemoryStream[PEv]; val memP = MemoryStream[PEv]
+    memV.addData(views: _*); memP.addData(purchases: _*)
+    val q = EventStreams.viewToPurchase(memV.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("ssij").outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ssij").orderBy("p_id", "v_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3))).toSeq
+    val batch = EventStreams.viewToPurchase(views.toDF(), purchases.toDF())
+      .orderBy("p_id", "v_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3))).toSeq
+    assert(streamed === batch)
+    assert(batch.map(_._1) === Seq(200L, 201L, 204L)) // 202/203 excluded
   }
 }
