@@ -13,8 +13,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped DataFrame memo: every `spark.read.parquet` re-lists
+    * the path and re-reads the footer to infer the schema; a bench session
+    * touches the same ten tables hundreds of times. Keyed by (session,
+    * path) so schemas never leak across sessions or SF dirs; holding the
+    * analyzed plan is metadata-only (no rows are pinned — this is what a
+    * catalog does for a real lake table). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
