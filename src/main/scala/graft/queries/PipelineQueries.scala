@@ -189,8 +189,14 @@ object PipelineQueries {
     // sides of every candidate pair.
     val withSketch = corpusMutant(spark, dir)
       .withColumn("sh", shingleExpr("text"))
+      // verify runs over xxhash64-hashed shingles: the rejoin ships 8-byte
+      // longs instead of ~20-byte strings (2.5× lighter shuffle) and the
+      // intersect compares longs. Jaccard is identical absent 64-bit
+      // collisions — LshExactnessSpec's string-set reference doubles as
+      // the collision witness (a collision would fail it loudly).
+      .withColumn("shh", expr("transform(sh, x -> xxhash64(x))"))
       .withColumn("bands", bandsOfUdf(col("sh")))
-      .drop("text")
+      .drop("text", "sh")
       .cache()
     // Band-join rows carry (id, all 16 band hashes) — 136 bytes, never the
     // shingle payload. The 16-hash array buys exactly-once pair emission:
@@ -213,11 +219,11 @@ object PipelineQueries {
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
       .filter(firstCollision)
       .select(col("id1"), col("id2"))
-    val sketches = withSketch.select(col("doc_id"), col("sh"))
+    val sketches = withSketch.select(col("doc_id"), col("shh"))
     withJaccard(
       pairs
-        .join(sketches.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-        .join(sketches.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2")),
+        .join(sketches.select(col("doc_id").as("id1"), col("shh").as("sh1")), Seq("id1"))
+        .join(sketches.select(col("doc_id").as("id2"), col("shh").as("sh2")), Seq("id2")),
       "sh1", "sh2", minJaccardTenths = 3)
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), col("jaccard"))
