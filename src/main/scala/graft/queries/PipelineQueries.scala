@@ -140,7 +140,11 @@ object PipelineQueries {
     // HOFs twice per doc (once per join branch)
     val c0 = corpusMutant(spark, dir)
       .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
-      .withColumn("sh", shingleExpr("text"))
+      // hashed shingles through the block self-join (8-byte longs, not
+      // ~20-byte strings); Jaccard over hashes equals Jaccard over strings
+      // absent xxhash64 collisions, and the DuckDB oracle — which stays on
+      // strings — fails loudly if one ever appears
+      .withColumn("sh", transform(shingleExpr("text"), x => xxhash64(x)))
       .drop("text")
     // skew guard: a boilerplate corpus collapses many docs into one
     // prefix block; salt blocks over 256 rows (BlockingSpec pins the
