@@ -45,14 +45,18 @@ object CurationQueries {
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .select(col("doc_id"), col("toks"))
     val eval = d.filter(col("doc_id") % 19 === 0)
+    // grams travel and join as xxhash64 longs — the broadcast dictionary
+    // and the corpus-side stream shrink ~6× vs ~50-byte gram strings; the
+    // oracle joins the strings themselves, so a hash collision (which
+    // would inflate a count) fails the bit-exact comparison loudly
     val evalGrams = eval
-      .select(explode(gramsExpr("toks")).as("gram")).distinct()
+      .select(explode(transform(gramsExpr("toks"), g => xxhash64(g))).as("gram")).distinct()
     val train = d.filter(col("doc_id") % 19 =!= 0)
       .unionByName(eval.select(
         (col("doc_id") + 2000000L).as("doc_id"),
         expr("slice(toks, 1, greatest(CAST(floor(size(toks) * 0.9) AS INT), 1))").as("toks")))
     train
-      .select(col("doc_id"), explode(gramsExpr("toks")).as("gram"))
+      .select(col("doc_id"), explode(transform(gramsExpr("toks"), g => xxhash64(g))).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       // grams are distinct per doc AND distinct on the eval side, so a
       // plain count is the distinct-overlap count — no countDistinct shuffle
