@@ -217,15 +217,68 @@ object CurationQueries {
       |FROM ranked WHERE rnk <= quota
       |GROUP BY source, n_avail, quota ORDER BY source""".stripMargin
 
+  /** The 100 TB relaxation of q72: instead of an exact per-source rank
+    * (which needs a per-source sort), keep a doc iff its content
+    * fingerprint falls under the source's keep-rate threshold — a pure
+    * filter, shuffle-free until the final rollup, at the cost of hitting
+    * the quota only in expectation. Rates are integer basis points of the
+    * same quota arithmetic as q72, so both engines select identical docs. */
+  def domainMixHash(spark: SparkSession, dir: String): DataFrame = {
+    val wBp = expr("CASE WHEN CAST(substring(source, 4, 8) AS INT) <= 4 THEN 1500 ELSE 500 END")
+    val fp = "aggregate(filter(split(text, ''), x -> x != ''), 0L, " +
+      "(acc, x) -> (acc * 31 + ascii(x)) % 2147483647)"
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w_bp", wBp)
+      .withColumn("fp", expr(fp))
+    val counts = docs.groupBy(col("source"), col("w_bp"))
+      .agg(count(lit(1)).as("n_avail"))
+    val t = counts.agg(min(col("n_avail") * 10000L / col("w_bp")).cast("long").as("t"))
+    val rates = counts.crossJoin(broadcast(t))
+      .withColumn("quota", (col("w_bp") * col("t") / 10000L).cast("long"))
+      .withColumn("rate_bp", (col("quota") * 10000L / col("n_avail")).cast("long"))
+      .select(col("source"), col("n_avail"), col("quota"), col("rate_bp"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(pmod(col("fp"), lit(10000L)) < col("rate_bp"))
+      .groupBy(col("source"), col("n_avail"), col("quota"), col("rate_bp"))
+      .agg(count(lit(1)).as("n_kept"))
+      .withColumn("quota_err", col("n_kept") - col("quota"))
+      .orderBy(col("source"))
+  }
+
+  val domainMixHashOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN CAST(substring(source, 4, 8) AS INT) <= 4 THEN 1500 ELSE 500 END AS w_bp,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(list_filter(string_split(text, ''), x -> x != ''),
+      |                       c -> CAST(ord(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+      |  FROM documents),
+      |  counts AS (
+      |  SELECT source, w_bp, count(*) AS n_avail FROM d GROUP BY source, w_bp),
+      |  t AS (SELECT min(n_avail * 10000 // w_bp) AS t FROM counts),
+      |  rates AS (
+      |  SELECT source, n_avail, w_bp * t // 10000 AS quota,
+      |         (w_bp * t // 10000) * 10000 // n_avail AS rate_bp
+      |  FROM counts CROSS JOIN t)
+      |SELECT source, n_avail, quota, rate_bp,
+      |       count(*) AS n_kept, count(*) - quota AS quota_err
+      |FROM d JOIN rates USING (source)
+      |WHERE fp % 10000 < rate_bp
+      |GROUP BY source, n_avail, quota, rate_bp ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q71_pii_redact" -> ((s, d) => piiRedact(s, d)),
-    "q72_domain_mix" -> ((s, d) => domainMix(s, d))
+    "q72_domain_mix" -> ((s, d) => domainMix(s, d)),
+    "q72b_domain_mix_hash" -> ((s, d) => domainMixHash(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "q70_decontaminate" -> decontaminateOracle,
     "q71_pii_redact" -> piiRedactOracle,
-    "q72_domain_mix" -> domainMixOracle
+    "q72_domain_mix" -> domainMixOracle,
+    "q72b_domain_mix_hash" -> domainMixHashOracle
   )
 }
