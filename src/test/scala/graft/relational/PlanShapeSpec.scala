@@ -1,0 +1,60 @@
+package graft.relational
+
+import graft.SparkSuite
+
+/** Regression guards for the physical-plan shapes the scale design
+  * promises (SURVEY §8 / SCALING.md): if a refactor silently degrades a
+  * broadcast to a shuffle, drops a WindowGroupLimit, or loses filter
+  * pushdown, these fail before any benchmark does. Plans are asserted on
+  * the optimized/physical text, data is never executed. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def planOf(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q17 top-k cosine: broadcast NL join + map-side WindowGroupLimit") {
+    val p = planOf("q17_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast NL join in:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
+  test("q2 star join: dimension tables broadcast, no shuffle for dims") {
+    val p = planOf("q2_star_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast in:\n$p")
+  }
+
+  test("q6 top-k per group compiles to WindowGroupLimit") {
+    val p = planOf("q6_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"rank<=k not pushed in:\n$p")
+  }
+
+  test("q1 pricing summary: scan reads only the six aggregated columns") {
+    val p = planOf("q1_pricing_summary")
+    val scan = p.split("\n").find(_.contains("FileScan")).getOrElse(p)
+    assert(scan.contains("l_quantity") && !scan.contains("l_orderkey")
+      && !scan.contains("l_comment"),
+      s"column pruning lost on lineitem scan:\n$scan")
+  }
+
+  test("a filter on the lineitem scan is pushed into the parquet reader") {
+    val p = graft.core.Tables.lineitem(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <= "1995-01-01")
+      .select("l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("q70 decontaminate: eval dictionary broadcasts, corpus side streams") {
+    val p = planOf("q70_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast in:\n$p")
+  }
+
+  test("q33 simhash: no shuffle-distinct over the pair stream") {
+    val p = planOf("q33_neardup_simhash")
+    // exactly-once emission is a filter; a reintroduced distinct would
+    // show up as an extra HashAggregate over id1/id2 between join and sort
+    assert(!p.contains("Deduplicate"), s"pair distinct reappeared in:\n$p")
+  }
+}
