@@ -173,6 +173,35 @@ class StreamingSpec extends SparkSuite {
     assert(full === "Hello world")
   }
 
+  test("S3 session windows on the RocksDB state store match the default store") {
+    // HDFS-backed in-memory state caps at executor heap; RocksDB is the
+    // production backend for 100 TB-scale streaming state. Same transform,
+    // same rows, state provider swapped via conf — results must be
+    // identical.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[Ev]
+      mem.addData(rows: _*)
+      val q = EventStreams.sessionCounts(mem.toDF())
+        .writeStream.format("memory").queryName("sess_rocks")
+        .outputMode(OutputMode.Complete).start()
+      q.processAllAvailable(); q.stop()
+      val rocks = spark.table("sess_rocks")
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      val batch = EventStreams.sessionCounts(rows.toDF())
+        .orderBy("user_id", "session_start_us").collect().toSeq
+      assert(rocks === batch)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("S2 stream-stream interval join equals batch; 10-minute bound is strict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
