@@ -42,8 +42,14 @@ object VectorQueries {
     * per vector. Pure codegen HOFs, one scan, no shuffle; the error fold
     * runs left-to-right over the fixed array order so the float sum is
     * order-pinned cross-engine. */
-  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
-    Tables.embeddings(spark, dir)
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    quantize(Tables.embeddings(spark, dir))
+      .orderBy(col("vec_id"))
+
+  /** The quantization chain over any (vec_id, label, embedding) frame —
+    * separated so robustness specs can drive it with synthetic vectors. */
+  def quantize(emb: DataFrame): DataFrame = {
+    emb
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("scale",
         expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
@@ -62,7 +68,6 @@ object VectorQueries {
         round(col("scale"), 6).as("scale"),
         round(col("mse"), 8).as("mse"),
         round(col("max_abs_err"), 6).as("max_abs_err"))
-      .orderBy(col("vec_id"))
   }
 
   val embeddingQuantizeOracle: String =

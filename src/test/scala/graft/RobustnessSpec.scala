@@ -71,4 +71,18 @@ class RobustnessSpec extends SparkSuite {
     val v = df.select(VectorFns.cosine(col("a"), col("b"))).collect().head.getDouble(0)
     assert(v === 0.0)
   }
+
+  test("int8 quantization of the all-zero vector: codes 0, zero error, no NaN") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 7, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, 7, Seq(0.5f, -0.25f, 0.0f, 0.125f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = graft.queries.VectorQueries.quantize(emb)
+      .orderBy("vec_id").collect()
+    val zero = rows(0)
+    assert(zero.getDouble(2) === 0.0 && zero.getDouble(3) === 0.0 && zero.getDouble(4) === 0.0,
+      s"zero vector must quantize to zero error, got $zero")
+    assert(!rows.exists(r => r.getDouble(3).isNaN || r.getDouble(4).isNaN))
+  }
 }
