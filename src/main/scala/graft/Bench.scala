@@ -5,9 +5,22 @@ import org.apache.spark.sql.SparkSession
   * and prints ONE JSON line for the driver. Runs the primary config from
   * SPARK_GRAFT_CPUS (driver passes 32), then — because BASELINE.md's pass
   * bar is local[4]/shuffle.partitions=4 — also records a local[4] total so
-  * the 2×-of-baseline comparison is apples-to-apples. */
+  * the 2×-of-baseline comparison is apples-to-apples.
+  *
+  * Methodology: each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3,
+  * back-to-back) and reports the per-query MEDIAN, so single-run GC/IO
+  * noise stops masquerading as regressions. A query that throws on any rep
+  * is listed in `errors`, reported as null, and EXCLUDED from the total —
+  * a fast crash must never improve the headline number. */
 object Bench {
-  private def run(cpus: String, sfDir: String): (Double, Seq[(String, Double)], Seq[String]) = {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  private def run(cpus: String, sfDir: String, reps: Int)
+      : (Double, Seq[(String, Option[Double])], Seq[String]) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,29 +31,32 @@ object Bench {
     // startup once so the alphabetically-first query's number reflects the
     // query, not session spin-up (entry() runs the flagship on sf0.001)
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
-    // a crashed query must not masquerade as a fast one: record its name in
-    // `errors` so the driver can tell a speedup from a regression-to-failure
-    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => errors += name }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => errors += name; None }
+      }
+      name -> (if (errors.contains(name) || times.isEmpty) None
+               else Some(median(times)))
     }
     spark.stop()
-    (results.map(_._2).sum, results, errors.toSeq)
+    val total = results.flatMap(_._2).sum
+    (total, results, errors.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val (total, results, errors) = run(cpus, sfDir)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val (total, results, errors) = run(cpus, sfDir, reps)
     val extra =
-      if (cpus != "4") { val (t4, _, _) = run("4", sfDir); s""","local4_total":$t4""" }
+      if (cpus != "4") { val (t4, _, _) = run("4", sfDir, reps); s""","local4_total":$t4""" }
       else ""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":"$cpus"$extra}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":"$cpus","reps":$reps$extra}""")
   }
 }

@@ -20,8 +20,27 @@ import org.apache.spark.sql.functions._
 object Clusters {
 
   /** pairs(id1, id2) → (id, canonical_id), one row per node appearing in
-    * any pair. Deterministic: canonical = min id in the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * any pair. Deterministic: canonical = min id in the component.
+    *
+    * Convergence is witnessed by a changed-label COUNT per round (labels
+    * only ever decrease under min-propagation, so `label < old` counts
+    * exactly the moved nodes) — overflow-proof at any node count, unlike
+    * a sum-of-labels scalar which can wrap a signed long on multi-billion-
+    * node graphs and false-converge. Non-convergence within `maxIter` is
+    * LOUD: `strict = true` (the default) throws instead of silently
+    * returning partially-propagated labels.
+    *
+    * Plain min-propagation is O(diameter) rounds — the right trade for
+    * dup-cluster graphs (stars/cliques, diameter ≤ 2). A corpus whose
+    * near-dup graph chains (A~B~C~… with no short-cuts) has diameter
+    * O(chain length); at 100 TB that calls for the large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce"),
+    * which contracts in O(log² n) rounds. Not implemented here because
+    * every dedup caller produces bounded-diameter graphs and the
+    * strict guard converts the wrong-graph case into an explicit error
+    * rather than a wrong answer. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+                          strict: Boolean = true): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
@@ -29,16 +48,7 @@ object Clusters {
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(false) // materialized by the firstSum action below
-    // min-propagation only ever lowers labels, so the label sum is a
-    // strictly-decreasing convergence witness: one cheap scalar agg per
-    // round instead of a change-detection join
-    val firstSum = labels.agg(sum(col("label"))).collect()(0)
-    if (firstSum.isNullAt(0)) { // no pairs at all → no components
-      edges.unpersist()
-      return labels.select(col("id"), col("label").as("canonical_id"))
-    }
-    var prevSum = firstSum.getLong(0)
+      .localCheckpoint(false) // materialized by round 1's convergence action
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -51,18 +61,25 @@ object Clusters {
       // materializes this round's labels AND truncates lineage, so each
       // round is exactly one job and retries never recompute prior
       // rounds. Old rounds' checkpoint blocks are dropped by the
-      // ContextCleaner once the superseded DataFrame is unreachable.
-      val next = labels.join(neighborLabels, Seq("id"), "left")
-        .select(col("id"),
+      // ContextCleaner once the superseded DataFrame is unreachable. The
+      // prior label rides along as `old` purely for the changed count.
+      val step = labels.join(neighborLabels, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
         .localCheckpoint(false)
-      val nextSum = next.agg(sum(col("label"))).collect()(0).getLong(0)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      val changedRow = step.agg(
+        sum(when(col("label") < col("old"), 1L).otherwise(0L))).collect()(0)
+      val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
+      labels = step.select(col("id"), col("label"))
+      converged = changed == 0L
       iter += 1
     }
     edges.unpersist()
+    if (!converged && strict)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the " +
+          "pair graph's diameter exceeds maxIter (chained near-dups?); " +
+          "raise maxIter or use a star-contraction CC for deep graphs")
     labels.select(col("id"), col("label").as("canonical_id"))
   }
 }

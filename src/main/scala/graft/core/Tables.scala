@@ -18,13 +18,22 @@ object Tables {
     * touches the same ten tables hundreds of times. Keyed by (session,
     * path) so schemas never leak across sessions or SF dirs; holding the
     * analyzed plan is metadata-only (no rows are pinned — this is what a
-    * catalog does for a real lake table). */
+    * catalog does for a real lake table).
+    *
+    * Contract: a fixture path must be IMMUTABLE for the lifetime of the
+    * session reading it — the memoized relation pins the eagerly-resolved
+    * file listing, so rewriting part files under a live session would
+    * serve a stale listing (the same contract a real catalog's snapshot
+    * gives). Entries for stopped sessions are purged on the next load so
+    * neither the session object nor its listings are retained. */
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     memo.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")

@@ -156,6 +156,24 @@ object CurationQueries {
        |FROM cleaned ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared content fingerprint for q72/q72b selection: rolling polynomial
+    * hash over the characters, computed in codegen'd HOFs. This char-fold
+    * is the price of cross-engine exactness — DuckDB has no xxhash64, so
+    * the oracle needs a hash both engines can compute identically. A
+    * production 100 TB run replaces this whole expression with
+    * `xxhash64(text)` (one pass over the bytes, no array materialization);
+    * selection semantics are unchanged — any deterministic uniform-ish
+    * content hash works as the rank/threshold key. */
+  private val fpExpr = "aggregate(filter(split(text, ''), x -> x != ''), 0L, " +
+    "(acc, x) -> (acc * 31 + ascii(x)) % 2147483647)"
+
+  private val fpSql =
+    """list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(list_filter(string_split(text, ''), x -> x != ''),
+      |                       c -> CAST(ord(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 2147483647)""".stripMargin
+
   // --- q72: deterministic domain-mixture sampling ---------------------------
   /** Domain mixing: down-sample each source to hit a target mixture
     * (src0-src4 15%, src5-src9 5% — basis points, so quota arithmetic is
@@ -173,16 +191,17 @@ object CurationQueries {
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wBp = expr("CASE WHEN CAST(substring(source, 4, 8) AS INT) <= 4 THEN 1500 ELSE 500 END")
-    val fp = "aggregate(filter(split(text, ''), x -> x != ''), 0L, " +
-      "(acc, x) -> (acc * 31 + ascii(x)) % 2147483647)"
     val docs = Tables.documents(spark, dir)
       .withColumn("w_bp", wBp)
-      .withColumn("fp", expr(fp))
+      .withColumn("fp", expr(fpExpr))
     val counts = docs.groupBy(col("source"), col("w_bp"))
       .agg(count(lit(1)).as("n_avail"))
-    val t = counts.agg(min(col("n_avail") * 10000L / col("w_bp")).cast("long").as("t"))
+    // `div` (Spark's integral division) mirrors DuckDB's `//` exactly at
+    // any magnitude; `/` on longs is double division + truncation, which
+    // can disagree with integer division by half an ULP past ~2^40.
+    val t = counts.agg(min(expr("n_avail * 10000 div w_bp")).cast("long").as("t"))
     val quotas = counts.crossJoin(broadcast(t))
-      .withColumn("quota", (col("w_bp") * col("t") / 10000L).cast("long"))
+      .withColumn("quota", expr("w_bp * t div 10000").cast("long"))
       .select(col("source"), col("n_avail"), col("quota"))
     val w = Window.partitionBy(col("source")).orderBy(col("fp"), col("doc_id"))
     docs.join(broadcast(quotas), Seq("source"))
@@ -194,14 +213,10 @@ object CurationQueries {
   }
 
   val domainMixOracle: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, source, n_chars,
       |    CASE WHEN CAST(substring(source, 4, 8) AS INT) <= 4 THEN 1500 ELSE 500 END AS w_bp,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(list_filter(string_split(text, ''), x -> x != ''),
-      |                       c -> CAST(ord(c) AS BIGINT))),
-      |      (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+      |    $fpSql AS fp
       |  FROM documents),
       |  counts AS (
       |  SELECT source, w_bp, count(*) AS n_avail FROM d GROUP BY source, w_bp),
@@ -225,17 +240,15 @@ object CurationQueries {
     * same quota arithmetic as q72, so both engines select identical docs. */
   def domainMixHash(spark: SparkSession, dir: String): DataFrame = {
     val wBp = expr("CASE WHEN CAST(substring(source, 4, 8) AS INT) <= 4 THEN 1500 ELSE 500 END")
-    val fp = "aggregate(filter(split(text, ''), x -> x != ''), 0L, " +
-      "(acc, x) -> (acc * 31 + ascii(x)) % 2147483647)"
     val docs = Tables.documents(spark, dir)
       .withColumn("w_bp", wBp)
-      .withColumn("fp", expr(fp))
+      .withColumn("fp", expr(fpExpr))
     val counts = docs.groupBy(col("source"), col("w_bp"))
       .agg(count(lit(1)).as("n_avail"))
-    val t = counts.agg(min(col("n_avail") * 10000L / col("w_bp")).cast("long").as("t"))
+    val t = counts.agg(min(expr("n_avail * 10000 div w_bp")).cast("long").as("t"))
     val rates = counts.crossJoin(broadcast(t))
-      .withColumn("quota", (col("w_bp") * col("t") / 10000L).cast("long"))
-      .withColumn("rate_bp", (col("quota") * 10000L / col("n_avail")).cast("long"))
+      .withColumn("quota", expr("w_bp * t div 10000").cast("long"))
+      .withColumn("rate_bp", expr("quota * 10000 div n_avail").cast("long"))
       .select(col("source"), col("n_avail"), col("quota"), col("rate_bp"))
     docs.join(broadcast(rates), Seq("source"))
       .filter(pmod(col("fp"), lit(10000L)) < col("rate_bp"))
@@ -246,14 +259,10 @@ object CurationQueries {
   }
 
   val domainMixHashOracle: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, source, n_chars,
       |    CASE WHEN CAST(substring(source, 4, 8) AS INT) <= 4 THEN 1500 ELSE 500 END AS w_bp,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(list_filter(string_split(text, ''), x -> x != ''),
-      |                       c -> CAST(ord(c) AS BIGINT))),
-      |      (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+      |    $fpSql AS fp
       |  FROM documents),
       |  counts AS (
       |  SELECT source, w_bp, count(*) AS n_avail FROM d GROUP BY source, w_bp),

@@ -36,9 +36,19 @@ object RelationalQueries {
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+        // The scale-4 product sums are re-rounded to DECIMAL scale 2 (TPC-H's
+        // money presentation scale) BEFORE the double cast: converting a
+        // scale-4 decimal above ~1e10 to double lands between representable
+        // doubles and the two engines' conversions can differ by one ULP
+        // (observed at sf1, SCALING.md). At scale 2 the scaled integer stays
+        // < 2^53 far past 100 TB magnitudes, so both conversions are the
+        // single correctly-rounded division and agree bit-exactly. round(),
+        // not a decimal down-cast: both engines' round() is half-away-from-
+        // zero on decimals, while DuckDB's decimal CAST truncates ties
+        // (1.005 → 1.00) and Spark's rounds them (→ 1.01).
+        round(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))), 2)
           .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * dec4((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+        round(sum(dec(col("l_extendedprice")) * dec4((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))), 2)
           .cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
@@ -50,8 +60,8 @@ object RelationalQueries {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1.0 - l_discount)*(1.0 + l_tax) AS DECIMAL(9,4))) AS DOUBLE) AS sum_charge,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1.0 - l_discount)*(1.0 + l_tax) AS DECIMAL(9,4))), 2) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price

@@ -199,7 +199,12 @@ object TextQueries {
     // tf stage at sf0.1).
     val df = tf.filter(col("tf") > 0).groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
-    tf.join(broadcast(df), Seq("token"))
+    // df is one row per distinct corpus token — UNBOUNDED (Heaps' law says
+    // billions of rows at 100 TB), so it must never be broadcast. A shuffle
+    // join on token is the scale-safe shape; on a skew-free token hash the
+    // exchange is well balanced, and tf's exchange is still reused for the
+    // df branch (see the tf > 0 note above).
+    tf.join(df, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * log(col("n") / col("df")))
       .withColumn("rank", row_number().over(w).cast("int"))

@@ -29,6 +29,22 @@ class ClustersPackingSpec extends SparkSuite {
     assert((0L to 8L).forall(cc(_) === 0L))
   }
 
+  test("connected components: diameter > maxIter fails LOUDLY in strict mode") {
+    import spark.implicits._
+    // a 12-edge chain needs ~12 propagation rounds; maxIter=3 cannot
+    // finish — the guard must throw, never return partial labels silently
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      Clusters.connectedComponents(pairs, maxIter = 3).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // non-strict mode returns the partial propagation for diagnostics
+    val partial = Clusters.connectedComponents(pairs, maxIter = 3, strict = false)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.size === 13)
+    assert(partial(12L) > 0L) // tail of the chain provably NOT fully propagated
+  }
+
   test("dedup clusters on the exact-copy corpus: every cluster has size 2") {
     val out = graft.queries.PipelineQueries.dedupClusters(spark, sfDir).collect()
     assert(out.nonEmpty)

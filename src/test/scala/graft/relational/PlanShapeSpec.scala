@@ -53,8 +53,26 @@ class PlanShapeSpec extends SparkSuite {
 
   test("q33 simhash: no shuffle-distinct over the pair stream") {
     val p = planOf("q33_neardup_simhash")
-    // exactly-once emission is a filter; a reintroduced distinct would
-    // show up as an extra HashAggregate over id1/id2 between join and sort
-    assert(!p.contains("Deduplicate"), s"pair distinct reappeared in:\n$p")
+    // exactly-once emission is a codegen filter; distinct()/dropDuplicates
+    // compiles to HashAggregate(keys=[id1, id2]) (ReplaceDeduplicateWith-
+    // Aggregate), so assert no aggregate keyed on the pair ids exists —
+    // the plan legitimately has NO aggregates at all.
+    assert(!"HashAggregate\\(keys=\\[id1#".r.findFirstIn(p).isDefined
+      && !"ObjectHashAggregate\\(keys=\\[id1#".r.findFirstIn(p).isDefined
+      && !"SortAggregate\\(key=\\[id1#".r.findFirstIn(p).isDefined,
+      s"pair-stream distinct reappeared (aggregate on id1/id2) in:\n$p")
+  }
+
+  test("q44 tf-idf: the document-frequency side carries no broadcast hint") {
+    // df (one row per distinct corpus token) is unbounded at scale —
+    // Heaps' law makes it billions of rows at 100 TB. Only the 1-row
+    // nDocs scalar may be hinted broadcast; AQE is still free to
+    // broadcast df at runtime when actual stats are small, which is the
+    // correct adaptive behavior and not what this guards against.
+    val analyzed = graft.SparkEntry.queries("q44_tfidf")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(analyzed).length
+    assert(hints == 1,
+      s"expected exactly one broadcast hint (nDocs scalar), found $hints in:\n$analyzed")
   }
 }

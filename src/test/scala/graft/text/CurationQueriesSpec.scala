@@ -25,6 +25,25 @@ class CurationQueriesSpec extends SparkSuite {
       s"missed plants: ${(expected -- flagged).take(5)}")
   }
 
+  test("synthetic-id offsets stay clear of genuine doc_ids at every local SF") {
+    // q70 plants leaks at doc_id + 2,000,000 and corpusMutant copies at
+    // + 1,000,000; a corpus whose real ids reach either offset would
+    // silently merge a real doc's rows with a synthetic one's. Guard the
+    // invariant on every fixture dir present on this box (incl. scale
+    // rungs), with 10× headroom below the smaller offset.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sfdocs16")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+    // maxId < 1,000,000 keeps genuine ids off the mutant range AND keeps
+    // mutant ids (maxId + 1,000,000) below the 2,000,000 plant range
+    dirs.foreach { d =>
+      val maxId = graft.core.Tables.documents(spark, d)
+        .agg(max(col("doc_id"))).collect()(0).getLong(0)
+      assert(maxId < 1000000L,
+        s"$d: max(doc_id)=$maxId collides with the 1,000,000 mutant offset")
+    }
+  }
+
   test("decontaminate: clean training docs share no 8-gram with eval") {
     val out = CurationQueries.decontaminate(spark, sfDir)
     // output only lists docs with >= 1 shared shingle
