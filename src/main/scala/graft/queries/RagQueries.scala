@@ -297,10 +297,23 @@ object RagQueries {
       |      FROM documents WHERE length(text) > 0)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
-  // --- D2 faithful: recursive separator-aware chunker (rows-only) ---------
+  // --- D2 faithful: recursive separator-aware chunker ---------------------
   /** The reference's actual splitter semantics via Dataset.flatMap
-    * (size/overlap scaled to the corpus: 200/40). Not SQL-expressible —
-    * covered by ChunkerSpec unit tests; the driver records a rows>0 check. */
+    * (size/overlap scaled to the corpus: 200/40).
+    *
+    * Oracle: on this corpus class (single-space ASCII, no newlines, every
+    * word shorter than chunkSize − overlap) the recursive splitter
+    * REDUCES to a closed form — greedy word-packing where chunk k spans
+    * words [s_k, e_k] with e_k = max e such that span(s_k, e) ≤ 200 and
+    * s_{k+1} = min s such that span(s, e_k) ≤ 40 (span = characters
+    * including inner separators; both argmaxes are monotone, so they are
+    * prefix-counts over the word-offset array). That IS expressible in
+    * DuckDB as a recursive CTE over (doc, chunk_k, start_word) — one
+    * iteration per chunk, not per word. The general splitter semantics
+    * (nested separators, oversized splits, char-split fallback) stay
+    * covered by ChunkerSpec's unit tests; the oracle's preconditions are
+    * verified for every fixture rung in CurationQueriesSpec/corpus
+    * probes (max word 8 chars, no double/edge spaces, no newlines). */
   def chunkRecursive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -311,6 +324,52 @@ object RagQueries {
     }.toDF("doc_id", "chunk_id", "chunk_len", "chunk")
       .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  /** Closed-form greedy word-packing as a DuckDB recursive CTE (see the
+    * Scaladoc above for the derivation and preconditions). `aa` = word
+    * lengths, `cc` = 0-based char offset of each word; span(s,e) =
+    * cc[e]+aa[e]−cc[s]. The recursion emits one row per CHUNK, so depth =
+    * max chunks per doc (~4 here), independent of document length. */
+  val chunkRecursiveOracle: String =
+    """WITH RECURSIVE
+      |base AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS w
+      |  FROM documents WHERE length(text) > 0),
+      |words AS (
+      |  SELECT doc_id, i, len(w[i]) AS a
+      |  FROM base, unnest(generate_series(1, len(w))) AS t(i)),
+      |offs AS (
+      |  SELECT doc_id, i, a,
+      |         sum(a + 1) OVER (PARTITION BY doc_id ORDER BY i
+      |                          ROWS UNBOUNDED PRECEDING) - (a + 1) AS c
+      |  FROM words),
+      |arr AS (
+      |  SELECT doc_id, list(a ORDER BY i) AS aa, list(c ORDER BY i) AS cc,
+      |         count(*) AS nw
+      |  FROM offs GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, 0 AS k, CAST(1 AS BIGINT) AS s FROM arr
+      |  UNION ALL
+      |  SELECT r.doc_id, r.k + 1, n.next_s
+      |  FROM (
+      |    SELECT c.doc_id, c.k, a.nw,
+      |           c.s - 1 + len(list_filter(generate_series(c.s, a.nw),
+      |             e2 -> a.cc[e2] + a.aa[e2] - a.cc[c.s] <= 200)) AS e,
+      |           a.cc AS cc, a.aa AS aa, c.s AS s
+      |    FROM chunks c JOIN arr a USING (doc_id)) r
+      |  CROSS JOIN LATERAL (SELECT r.e + 1 - len(list_filter(generate_series(r.s, r.e),
+      |             s2 -> r.cc[r.e] + r.aa[r.e] - r.cc[s2] <= 40)) AS next_s) n
+      |  WHERE r.e < r.nw)
+      |SELECT b.doc_id, CAST(ch.k AS INTEGER) AS chunk_id,
+      |       CAST(a.cc[e.e] + a.aa[e.e] - a.cc[ch.s] AS INTEGER) AS chunk_len,
+      |       substring(b.text, CAST(a.cc[ch.s] AS INTEGER) + 1,
+      |                 CAST(a.cc[e.e] + a.aa[e.e] - a.cc[ch.s] AS INTEGER)) AS chunk
+      |FROM chunks ch
+      |JOIN arr a USING (doc_id)
+      |JOIN base b USING (doc_id)
+      |CROSS JOIN LATERAL (SELECT ch.s - 1 + len(list_filter(generate_series(ch.s, a.nw),
+      |       e2 -> a.cc[e2] + a.aa[e2] - a.cc[ch.s] <= 200)) AS e) e
+      |ORDER BY doc_id, chunk_id""".stripMargin
 
   // --- O7: embed + index build (rows-only) --------------------------------
   /** Ingestion tail (app.py:204-212): chunks → deterministic hash embedding
@@ -355,6 +414,7 @@ object RagQueries {
     "q10b_ext_dispatch" -> extensionDispatchOracle,
     "q11b_nonempty_defaults" -> nonEmptyDefaultsOracle,
     "q25_reingest_guard" -> reingestGuardOracle,
-    "q02_chunk_stride" -> chunkStrideOracle
+    "q02_chunk_stride" -> chunkStrideOracle,
+    "q02b_chunk_recursive" -> chunkRecursiveOracle
   )
 }

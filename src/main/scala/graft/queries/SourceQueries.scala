@@ -217,16 +217,18 @@ object SourceQueries {
 
   // --- q60: multimodal binary decode ---------------------------------------
   /** Binary-column pipeline: documents.text cast to BINARY stands in for
-    * the blob payload; Multimodal.extractFeatures (mapPartitions, stubbed
-    * codec) pools 8 segment means and samples every-16th "frames". The
-    * oracle replays the same arithmetic over ord() codes in DuckDB — the
-    * payload is ASCII so bytes ≡ char codes. */
+    * an opaque blob payload (no magic bytes → the codec's bytes-as-samples
+    * path); Multimodal.extractFeatures (mapPartitions) pools 8 segment
+    * means and samples every-16th "frames". The oracle replays the same
+    * arithmetic over ord() codes in DuckDB — the payload is ASCII so
+    * bytes ≡ char codes. The REAL-codec path (RIFF/WAVE) is exercised
+    * end-to-end by q60b. */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     val blobs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("content"))
     val feats = Multimodal.extractFeatures(blobs)
     feats.select(
-      col("doc_id"), col("n_bytes"),
+      col("doc_id"), col("n_samples"),
       round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
       round(col("b2"), 6).as("b2"), round(col("b3"), 6).as("b3"),
       round(col("b4"), 6).as("b4"), round(col("b5"), 6).as("b5"),
@@ -243,7 +245,7 @@ object SourceQueries {
        |         list_transform(list_filter(string_split(text, ''), c -> c != ''),
        |                        c -> CAST(ord(c) AS BIGINT)) AS codes
        |  FROM documents)
-       |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
        |  ${(0 to 7).map(bucket).mkString(",\n  ")},
        |  list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),
@@ -255,12 +257,17 @@ object SourceQueries {
   }
 
   // --- q60b: real binaryFile ingestion (D8, app.py:162-164) -----------------
-  /** The upload path closed for real: blobs are materialized as one .bin
-    * file per doc (distributed foreachPartition write — the file-sink side
-    * of a blob exchange), then read back with the `binaryFile` source and
-    * fed through the same feature extractor as q60. doc_id rides in the
-    * file name, recovered from the source's `path` column. On a cluster
-    * the blob dir would be DFS; local-mode it's a shared local dir. */
+  /** The upload path closed for real: each doc is materialized as a
+    * genuine WAV file (16-bit PCM mono, samples = the text's byte values;
+    * distributed foreachPartition write — the file-sink side of a blob
+    * exchange), read back with the `binaryFile` source, and decoded by
+    * the REAL RIFF/WAVE codec in Multimodal.decodeSamples — header walk,
+    * fmt validation, int16 frames. Because the decoded samples equal the
+    * text bytes, the DuckDB oracle stays the same ord()-code arithmetic:
+    * a codec bug (off-by-one in the chunk walk, endianness, padding)
+    * breaks the bit-exact match loudly. doc_id rides in the file name,
+    * recovered from the source's `path` column. On a cluster the blob dir
+    * would be DFS; local-mode it's a shared local dir. */
   def multimodalBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sfName = new java.io.File(dir).getName
@@ -275,19 +282,22 @@ object SourceQueries {
           .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fingerprint(c))
       else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
     val srcKey = java.lang.Long.toHexString(fingerprint(src))
-    val blobRoot = new java.io.File(s"/root/repo/target/blobs_${sfName}_$srcKey")
+    // `wav` in the dir name versions the blob FORMAT: a cache dir staged
+    // by the older raw-bytes layout must miss, not half-match
+    val blobRoot = new java.io.File(s"/root/repo/target/blobs_wav_${sfName}_$srcKey")
     if (!blobRoot.exists()) {
       val staging = new java.io.File(blobRoot.getParentFile,
-        s".blobs_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        s".blobs_wav_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       staging.mkdirs()
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])]
         .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
           it.foreach { case (id, bytes) =>
+            val samples = (if (bytes == null) Array.empty[Byte] else bytes).map(b => b & 0xff)
             java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.bin").toPath,
-              if (bytes == null) Array.empty[Byte] else bytes)
+              new java.io.File(staging, f"doc_$id%06d.wav").toPath,
+              Multimodal.encodeWavPcm16(samples))
           }
         }
       // publish atomically; if a concurrent run won the rename, use theirs
@@ -296,10 +306,10 @@ object SourceQueries {
     }
     val blobs = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
       .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        regexp_extract(col("path"), "doc_(\\d+)\\.wav", 1).cast("long").as("doc_id"),
         col("content"))
     Multimodal.extractFeatures(blobs)
-      .select(col("doc_id"), col("n_bytes"), col("frame_checksum"), col("n_frames"))
+      .select(col("doc_id"), col("n_samples"), col("frame_checksum"), col("n_frames"))
       .orderBy(col("doc_id"))
   }
 
@@ -311,7 +321,7 @@ object SourceQueries {
       |         list_transform(list_filter(string_split(text, ''), c -> c != ''),
       |                        c -> CAST(ord(c) AS BIGINT)) AS codes
       |  FROM documents)
-      |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
       |  list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
       |      list_transform(list_filter(generate_series(1, n), i -> (i-1) % 16 = 0),

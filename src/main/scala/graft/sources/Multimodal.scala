@@ -8,20 +8,26 @@ import org.apache.spark.sql.types._
   * mandate: image/audio/video as opaque BINARY + decode/feature/resize/
   * frame-sample stages).
   *
-  * The Spark-side plumbing here is REAL: a BINARY column, a typed output
-  * schema, executor-side batch iteration via mapPartitions (the Scala
-  * analog of `mapInPandas` batches), deterministic partitioning. The
-  * DECODE ITSELF IS A STUB — this container has no image/audio codecs —
-  * marked ** STUB ** below: it treats the byte stream as the "decoded"
-  * sample array, which keeps every downstream stage (pooling, frame
-  * sampling, checksums) exact, deterministic, and oracle-checkable.
-  * Swapping in a real codec changes only `decodeSamples`.
+  * The decode stage dispatches on the payload's magic bytes:
+  *   - RIFF/WAVE payloads go through a REAL pure-JVM codec: chunk walk,
+  *     fmt validation (PCM, 16-bit), little-endian int16 sample decode —
+  *     the same shape as the reference's real parsers (PyMuPDF page text
+  *     at app.py:123-132, docx at app.py:134-143), implemented against
+  *     the public RIFF/WAVE layout with no native deps.
+  *   - Anything else is treated as an opaque sample stream (unsigned byte
+  *     values) — the fallback for payload types whose codecs genuinely
+  *     aren't in this container (JPEG/MP3/H.264), keeping downstream
+  *     stages (pooling, frame sampling, checksums) exact, deterministic,
+  *     and oracle-checkable for any payload.
+  * A new format = one more `case` in `decodeSamples`; the Spark plumbing
+  * (BINARY column, typed schema, executor-side mapPartitions batches)
+  * is format-agnostic.
   */
 object Multimodal {
 
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
     StructField("b0", DoubleType, nullable = false),
     StructField("b1", DoubleType, nullable = false),
     StructField("b2", DoubleType, nullable = false),
@@ -33,11 +39,86 @@ object Multimodal {
     StructField("frame_checksum", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false)))
 
-  /** ** STUB ** — stands in for image/audio decode (PyMuPDF / PIL / ffmpeg
-    * are unavailable offline). Real plumbing, fake codec: samples are the
-    * unsigned byte values of the payload. */
-  private def decodeSamples(bytes: Array[Byte]): Array[Int] =
-    bytes.map(b => b & 0xff)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** True iff the payload carries a RIFF/WAVE header. */
+  private[graft] def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE"
+
+  /** Encode mono 16-bit PCM samples as a standards-shaped WAV file:
+    * RIFF header, `fmt ` chunk (PCM, 1 channel, 16 bps), `data` chunk of
+    * little-endian int16 frames. Samples must fit int16. */
+  private[graft] def encodeWavPcm16(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // audio format: PCM
+      .putShort(1.toShort)            // channels: mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)         // byte rate = rate * block align
+      .putShort(2.toShort)            // block align (1 ch × 16 bit)
+      .putShort(16.toShort)           // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      require(s >= Short.MinValue && s <= Short.MaxValue, s"sample $s exceeds int16")
+      buf.putShort(s.toShort)
+    }
+    buf.array()
+  }
+
+  /** Real WAV decode: walk the RIFF chunk list (ids are 4 ASCII bytes,
+    * sizes little-endian, chunks even-padded — so a LIST/INFO chunk ahead
+    * of `data` is skipped, not tripped over), validate `fmt ` as 16-bit
+    * PCM mono, and decode the `data` chunk's little-endian int16 frames.
+    * Unsupported encodings fail LOUDLY — silently mis-decoded audio is a
+    * corpus poison no downstream filter can catch. */
+  private[graft] def decodeWavPcm16(bytes: Array[Byte]): Array[Int] = {
+    require(isWav(bytes), "not a RIFF/WAVE payload")
+    var off = 12
+    var fmtOk = false
+    var samples: Array[Int] = null
+    while (off + 8 <= bytes.length && (samples == null || !fmtOk)) {
+      val id = tag(bytes, off)
+      val size = le32(bytes, off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"corrupt WAV: chunk $id size $size overruns payload")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"corrupt WAV: fmt chunk size $size")
+          val audioFormat = le16(bytes, off + 8)
+          val channels = le16(bytes, off + 10)
+          val bps = le16(bytes, off + 22)
+          require(audioFormat == 1 && channels == 1 && bps == 16,
+            s"unsupported WAV encoding (format=$audioFormat ch=$channels bps=$bps); " +
+              "only 16-bit PCM mono is implemented")
+          fmtOk = true
+        case "data" =>
+          samples = Array.tabulate(size / 2)(i => le16(bytes, off + 8 + 2 * i).toShort.toInt)
+        case _ => () // LIST, fact, cue … — skip
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(fmtOk, "corrupt WAV: no fmt chunk")
+    require(samples != null, "corrupt WAV: no data chunk")
+    samples
+  }
+
+  /** Decode dispatch: real WAV codec for RIFF/WAVE payloads, opaque
+    * bytes-as-samples for formats without an offline codec. */
+  private[graft] def decodeSamples(bytes: Array[Byte]): Array[Int] =
+    if (isWav(bytes)) decodeWavPcm16(bytes)
+    else bytes.map(b => b & 0xff)
 
   /** "Resize": average-pool the sample stream into 8 equal segments
     * (segment of sample i = i*8/n), like pooling an image to fixed dims. */
@@ -65,7 +146,7 @@ object Multimodal {
 
   /** Typed row for the feature stage — field names ARE the output schema. */
   case class Features(
-      doc_id: Long, n_bytes: Long,
+      doc_id: Long, n_samples: Long,
       b0: Double, b1: Double, b2: Double, b3: Double,
       b4: Double, b5: Double, b6: Double, b7: Double,
       frame_checksum: Long, n_frames: Long)

@@ -10,7 +10,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   private val rowsOnly = Set(
-    "q02b_chunk_recursive", // separator-recursive chunker: not SQL-expressible
     "q07_index_build",      // embedder output digests; embedder is unit-tested
     "q18_mmr",              // greedy MMR: inherently sequential per group
     "q18b_mmr_agg",         // UDAF form, bit-parity with q18 spec'd

@@ -61,6 +61,40 @@ class FormatsSpec extends SparkSuite {
       docs.orderBy("doc_id").collect().toSeq)
   }
 
+  test("WAV codec: encode → decode round-trips arbitrary int16 samples") {
+    val samples = Array(0, 1, -1, 255, -255, 32767, -32768, 1000, -12345)
+    val wav = Multimodal.encodeWavPcm16(samples, sampleRate = 44100)
+    assert(Multimodal.isWav(wav))
+    assert(Multimodal.decodeWavPcm16(wav).toSeq === samples.toSeq)
+    // empty sample stream is a legal (44-byte) WAV
+    assert(Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(Array.empty)).isEmpty)
+  }
+
+  test("WAV codec: hand-built file with a LIST chunk before data parses; bad files are loud") {
+    // hand-assemble RIFF [LIST(6)] [fmt ] [data] — the chunk walk must skip
+    // the unknown odd-sized (word-padded) LIST chunk, not trip over it
+    val samples = Array(7, -2, 300)
+    val clean = Multimodal.encodeWavPcm16(samples)
+    val fmtAndData = java.util.Arrays.copyOfRange(clean, 12, clean.length)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 'I', 'N', 'F', 'O', 'x', 0)
+    val buf = java.nio.ByteBuffer.allocate(12 + list.length + fmtAndData.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + list.length + fmtAndData.length)
+      .put("WAVE".getBytes("US-ASCII")).put(list).put(fmtAndData)
+    assert(Multimodal.decodeWavPcm16(buf.array()).toSeq === samples.toSeq)
+    // stereo fmt must be rejected loudly, never silently mis-decoded
+    val stereo = clean.clone()
+    stereo(22) = 2 // channels field inside fmt
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWavPcm16(stereo))
+    assert(e.getMessage.contains("unsupported WAV encoding"))
+    // truncated data chunk must be rejected
+    val truncated = java.util.Arrays.copyOfRange(clean, 0, clean.length - 2)
+    intercept[IllegalArgumentException](Multimodal.decodeWavPcm16(truncated))
+    // non-WAV payloads take the opaque bytes-as-samples path
+    assert(Multimodal.decodeSamples("plain text".getBytes("US-ASCII")).toSeq ===
+      "plain text".getBytes("US-ASCII").map(_ & 0xff).toSeq)
+  }
+
   test("binaryFile source feeds the multimodal pipeline") {
     val dir = tmp()
     Files.write(Paths.get(dir, "blob_7.bin"), "some fake image payload".getBytes)

@@ -40,7 +40,7 @@ class SourcesSpec extends SparkSuite {
     import org.apache.spark.sql.functions.col
     val viaFiles = graft.queries.SourceQueries.multimodalBinaryFiles(spark, sfDir)
     val viaCast = graft.queries.SourceQueries.multimodalDecode(spark, sfDir)
-      .select(col("doc_id"), col("n_bytes"), col("frame_checksum"), col("n_frames"))
+      .select(col("doc_id"), col("n_samples"), col("frame_checksum"), col("n_frames"))
     assert(viaFiles.count() > 0)
     assert(viaFiles.exceptAll(viaCast).count() === 0)
     assert(viaCast.exceptAll(viaFiles).count() === 0)
