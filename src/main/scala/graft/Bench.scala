@@ -34,6 +34,10 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
+        // each rep pays its own internal .cache() builds — without this,
+        // reps 2+ reuse rep 1's CacheManager entries (same logical plan)
+        // and cache-heavy queries report a cost no fresh job would see
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => errors += name; None }
