@@ -467,6 +467,25 @@ object PipelineQueries {
        |SELECT min(doc_id) AS canonical_id, count(*) AS cluster_size
        |FROM corpus GROUP BY text ORDER BY canonical_id""".stripMargin
 
+  /** q48's pipeline with the DEEP-GRAPH component algorithm: alternating
+    * large-star/small-star contraction (O(log² n) rounds at any diameter)
+    * instead of min-propagation (O(diameter) rounds). Identical output by
+    * construction, so it shares q48's closed-form oracle — the driver
+    * gate proves algorithm equivalence bit-exactly, and ClustersSpec
+    * proves the deep-chain case where only this variant converges. */
+  def dedupClustersCc(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusExact(spark, dir)
+    val pairs = corpus.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(expr("array_min(ids)").as("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    val cc = graft.analytics.Clusters.connectedComponentsStarContraction(pairs)
+    cc.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("canonical_id"))
+  }
+
   // ---- sequence packing -----------------------------------------------------
   /** Training-batch assembly: pack docs into 512-token bins, first-fit in
     * doc_id order within deterministic doc_id buckets. Rows-only;
@@ -499,6 +518,7 @@ object PipelineQueries {
   // ---- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "q48b_dedup_clusters_cc" -> ((s, d) => dedupClustersCc(s, d)),
     "q49_sequence_packing" -> ((s, d) => sequencePacking(s, d)),
     "q66_approx_distinct" -> ((s, d) => approxDistinct(s, d)),
     "q30_dedup_exact" -> ((s, d) => dedupExact(s, d)),
@@ -513,6 +533,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "q48_dedup_clusters" -> dedupClustersOracle,
+    "q48b_dedup_clusters_cc" -> dedupClustersOracle,
     "q30_dedup_exact" -> dedupExactOracle,
     "q31_neardup_jaccard" -> neardupJaccardOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,

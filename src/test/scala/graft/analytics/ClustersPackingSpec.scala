@@ -45,6 +45,38 @@ class ClustersPackingSpec extends SparkSuite {
     assert(partial(12L) > 0L) // tail of the chain provably NOT fully propagated
   }
 
+  test("star contraction: agrees with min-propagation on stars, chains, cliques") {
+    import spark.implicits._
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (20L, 21L))
+      ++ Seq((30L, 31L), (30L, 32L), (31L, 32L))) // triangle
+      .toDF("id1", "id2")
+    val viaProp = Clusters.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val viaStar = Clusters.connectedComponentsStarContraction(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar === viaProp)
+  }
+
+  test("star contraction: deep chain converges in O(log² n) rounds where min-propagation cannot") {
+    import spark.implicits._
+    // a 60-edge chain has diameter 60: min-propagation with maxIter=10
+    // provably fails (strict throws), star contraction finishes well
+    // inside its default 25-round budget
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Clusters.connectedComponents(chain, maxIter = 10).count()
+    }
+    val cc = Clusters.connectedComponentsStarContraction(chain, maxIter = 25)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size === 61)
+    assert((0L to 60L).forall(cc(_) === 0L))
+  }
+
+  test("star contraction: empty pair list returns empty, no NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Clusters.connectedComponentsStarContraction(empty).count() === 0)
+  }
+
   test("dedup clusters on the exact-copy corpus: every cluster has size 2") {
     val out = graft.queries.PipelineQueries.dedupClusters(spark, sfDir).collect()
     assert(out.nonEmpty)
