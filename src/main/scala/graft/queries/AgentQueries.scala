@@ -15,8 +15,17 @@ import graft.vector.{Mmr, MmrAggregator}
 object AgentQueries {
 
   /** O18: MMR re-rank, k=5 / fetch_k=20 / λ=0.5 exactly as app.py:261-267.
-    * Greedy selection is not SQL-expressible — covered by MmrSpec golden +
-    * property tests; the driver records rows>0. */
+    *
+    * Oracle: greedy MMR is sequential, but only k-deep — so it IS
+    * expressible as a DuckDB recursive CTE that carries the selected
+    * (ids, vectors) as list-typed state and picks the argmax of
+    * `λ·rel − (1−λ)·max_cos(cand, selected)` via an ORDER BY … LIMIT 1
+    * lateral per iteration (5 iterations total, one per rank). Both
+    * engines compute cosines over DOUBLE[] with the same fold order
+    * (q17's bit-exact rank ordering is the standing proof), so the
+    * selection sequence matches bit-for-bit — verified at sf0.01 and the
+    * sf1 rung. MmrSpec's golden/property tests still cover the general
+    * semantics (λ sweeps, anti-correlated bonus, tie-breaks). */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 3)
@@ -32,8 +41,8 @@ object AgentQueries {
     * [[mmrRerank]] but through the typed `MmrAggregator` UDAF, whose
     * buffer trims to fetch_k BEFORE the shuffle — at scale each map task
     * ships ≤20 candidates per query instead of its whole score set.
-    * Parity with the flatMapGroups path is pinned by MmrAggregatorSpec;
-    * the driver records rows>0. */
+    * Parity with the flatMapGroups path is pinned by MmrAggregatorSpec
+    * AND by sharing q18's recursive-CTE oracle in the driver gate. */
   def mmrAggRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -153,7 +162,47 @@ object AgentQueries {
     "q24_router" -> ((s, d) => routerDecision(s, d))
   )
 
+  /** Recursive-CTE greedy MMR (see [[mmrRerank]] Scaladoc). Shared by
+    * q18 and q18b — the UDAF path is bit-parity with the flatMapGroups
+    * path (MmrAggregatorSpec), so one oracle proves both. */
+  val mmrOracle: String =
+    """WITH RECURSIVE
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |      FROM embeddings WHERE vec_id < 3),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      |fetched AS (
+      |  SELECT q.query_id, c.vec_id, list_cosine_similarity(qe, ce) AS rel, ce,
+      |         row_number() OVER (PARTITION BY q.query_id
+      |                            ORDER BY list_cosine_similarity(qe, ce) DESC, c.vec_id) AS rnk
+      |  FROM q CROSS JOIN c),
+      |cand AS (SELECT query_id, vec_id, rel, ce FROM fetched WHERE rnk <= 20),
+      |sel AS (
+      |  SELECT query_id, 0 AS it, CAST([] AS BIGINT[]) AS sel_ids,
+      |         CAST([] AS DOUBLE[][]) AS sel_vecs,
+      |         CAST(NULL AS BIGINT) AS pick, CAST(NULL AS DOUBLE) AS score
+      |  FROM q
+      |  UNION ALL
+      |  SELECT s.query_id, s.it + 1,
+      |         list_append(s.sel_ids, p.vec_id), list_append(s.sel_vecs, p.ce),
+      |         p.vec_id, p.score
+      |  FROM sel s, LATERAL (
+      |    SELECT c2.vec_id, c2.ce,
+      |           CASE WHEN len(s.sel_ids) = 0 THEN 0.5 * c2.rel
+      |                ELSE 0.5 * c2.rel - 0.5 * list_max(
+      |                  list_transform(s.sel_vecs, sv -> list_cosine_similarity(c2.ce, sv)))
+      |           END AS score
+      |    FROM cand c2
+      |    WHERE c2.query_id = s.query_id AND NOT list_contains(s.sel_ids, c2.vec_id)
+      |    ORDER BY score DESC, c2.vec_id
+      |    LIMIT 1) p
+      |  WHERE s.it < 5)
+      |SELECT query_id, pick AS vec_id, round(score, 6) AS mmr_score,
+      |       CAST(it AS INTEGER) AS mmr_rank
+      |FROM sel WHERE it >= 1 ORDER BY query_id, mmr_rank""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q18_mmr" -> mmrOracle,
+    "q18b_mmr_agg" -> mmrOracle,
     "q24_router" -> routerDecisionOracle
   )
 }

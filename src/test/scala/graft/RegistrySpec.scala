@@ -11,8 +11,6 @@ class RegistrySpec extends AnyFunSuite {
 
   private val rowsOnly = Set(
     "q07_index_build",      // embedder output digests; embedder is unit-tested
-    "q18_mmr",              // greedy MMR: inherently sequential per group
-    "q18b_mmr_agg",         // UDAF form, bit-parity with q18 spec'd
     "q32_neardup_minhash",  // Murmur not in DuckDB; brute-force parity spec
     "q33_neardup_simhash",  // same
     "q36_ann_lsh",          // same (SRP signatures)
