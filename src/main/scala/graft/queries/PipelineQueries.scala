@@ -488,8 +488,14 @@ object PipelineQueries {
 
   // ---- sequence packing -----------------------------------------------------
   /** Training-batch assembly: pack docs into 512-token bins, first-fit in
-    * doc_id order within deterministic doc_id buckets. Rows-only;
-    * PackingSpec asserts capacity/coverage/determinism. */
+    * doc_id order within deterministic doc_id buckets. PackingSpec
+    * asserts capacity/coverage/determinism; the ORACLE replays first-fit
+    * exactly as a DuckDB recursive CTE — bin loads/counts ride as
+    * list-typed state, one iteration per doc within a bucket (buckets
+    * advance in lockstep), first fitting bin = list_min of the fitting
+    * indexes. fill_rate uses banker's rounding on BOTH engines
+    * (math.rint ↔ round_even) because used/512·1e6 lands on exact .5
+    * ties. Bit-exact at sf0.01 and the sf1 rung. */
   def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("n_tokens", expr("size(filter(split(text, ' '), x -> x != ''))"))
@@ -497,6 +503,44 @@ object PipelineQueries {
     graft.analytics.Packing.packFirstFit(spark, docs, capacity = 512, bucketSize = 100)
       .orderBy(col("bucket"), col("bin_id"))
   }
+
+  val sequencePackingOracle: String =
+    """WITH RECURSIVE
+      |d AS (
+      |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS tok,
+      |         doc_id // 100 AS bucket
+      |  FROM documents),
+      |b AS (
+      |  SELECT bucket, list(tok ORDER BY doc_id) AS toks, count(*) AS n
+      |  FROM d GROUP BY bucket),
+      |packed AS (
+      |  SELECT bucket, 0 AS it, CAST([] AS BIGINT[]) AS loads, CAST([] AS BIGINT[]) AS cnts
+      |  FROM b
+      |  UNION ALL
+      |  SELECT p.bucket, p.it + 1,
+      |         CASE WHEN f.idx IS NULL THEN list_append(p.loads, b2.toks[p.it + 1])
+      |              ELSE list_transform(generate_series(1, len(p.loads)),
+      |                     j -> CASE WHEN j = f.idx THEN p.loads[j] + b2.toks[p.it + 1]
+      |                          ELSE p.loads[j] END)
+      |         END,
+      |         CASE WHEN f.idx IS NULL THEN list_append(p.cnts, CAST(1 AS BIGINT))
+      |              ELSE list_transform(generate_series(1, len(p.cnts)),
+      |                     j -> CASE WHEN j = f.idx THEN p.cnts[j] + 1 ELSE p.cnts[j] END)
+      |         END
+      |  FROM packed p
+      |  JOIN b b2 USING (bucket)
+      |  CROSS JOIN LATERAL (
+      |    SELECT list_min(list_filter(generate_series(1, len(p.loads)),
+      |             j -> p.loads[j] + b2.toks[p.it + 1] <= 512)) AS idx) f
+      |  WHERE p.it < b2.n),
+      |final AS (
+      |  SELECT p.bucket, p.loads, p.cnts
+      |  FROM packed p JOIN b USING (bucket) WHERE p.it = b.n)
+      |SELECT bucket, CAST(j - 1 AS INTEGER) AS bin_id, cnts[j] AS n_docs,
+      |       loads[j] AS used_tokens,
+      |       round_even(CAST(loads[j] AS DOUBLE) / 512 * 1000000.0, 0) / 1000000.0 AS fill_rate
+      |FROM final, unnest(generate_series(1, len(loads))) AS t(j)
+      |ORDER BY bucket, bin_id""".stripMargin
 
   // ---- approximate distinct (HLL) ------------------------------------------
   /** approx_count_distinct (HyperLogLog++) next to the exact count with
@@ -534,6 +578,7 @@ object PipelineQueries {
   def oracles: Map[String, String] = Map(
     "q48_dedup_clusters" -> dedupClustersOracle,
     "q48b_dedup_clusters_cc" -> dedupClustersOracle,
+    "q49_sequence_packing" -> sequencePackingOracle,
     "q30_dedup_exact" -> dedupExactOracle,
     "q31_neardup_jaccard" -> neardupJaccardOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,

@@ -15,7 +15,6 @@ class RegistrySpec extends AnyFunSuite {
     "q33_neardup_simhash",  // same
     "q36_ann_lsh",          // same (SRP signatures)
     "q37_ann_mllib",        // MLlib LSH cross-check, recall column spec'd
-    "q49_sequence_packing", // first-fit loop: procedural, property-tested
     "q66_approx_distinct",  // HLL internals differ across engines
     "q68_approx_quantiles") // sketch internals differ across engines
 
