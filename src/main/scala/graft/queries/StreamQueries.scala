@@ -160,7 +160,41 @@ object StreamQueries {
       |       count(DISTINCT user_id) AS n_users
       |FROM j GROUP BY 1 ORDER BY hour_us""".stripMargin
 
+  /** S5 batch form: exactly-once recovery from an at-least-once delivery
+    * stream. Deliveries = events plus a re-delivery of every 7th event_id
+    * 90 seconds later (the retry simulation, constructed identically in
+    * the oracle); recovery keeps the FIRST delivery per id. The batch
+    * aggregate is deterministic (min ts per id) where a bare
+    * dropDuplicates survivor would not be; the STREAMING form —
+    * `EventStreams.exactlyOnce`, dropDuplicatesWithinWatermark with
+    * watermark-evicted per-id state — is proven equivalent on the same
+    * rows in StreamingSpec. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val redelivered = e.filter(col("event_id") % 7 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 90 SECONDS"))
+    e.unionByName(redelivered)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_deliveries"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        min(col("event_type")).as("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val streamDedupOracle: String =
+    """WITH delivered AS (
+      |  SELECT event_id, ts, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, ts + INTERVAL 90 SECOND AS ts, event_type, value
+      |  FROM events WHERE event_id % 7 = 0)
+      |SELECT event_id, count(*) AS n_deliveries,
+      |       epoch_us(min(ts)) AS first_us,
+      |       min(event_type) AS event_type
+      |FROM delivered GROUP BY event_id ORDER BY event_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q55_interval_join" -> ((s, d) => intervalJoin(s, d)),
     "q50_tumbling_window" -> ((s, d) => tumbling(s, d)),
     "q51_sliding_window" -> ((s, d) => sliding(s, d)),
@@ -170,6 +204,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q56_stream_dedup" -> streamDedupOracle,
     "q55_interval_join" -> intervalJoinOracle,
     "q50_tumbling_window" -> tumblingOracle,
     "q51_sliding_window" -> slidingOracle,

@@ -57,6 +57,20 @@ object EventStreams {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** S5 — exactly-once recovery over an at-least-once delivery stream:
+    * re-deliveries of the same event_id arriving within the watermark
+    * are dropped, keeping the FIRST arrival. Streaming state is one
+    * entry per event_id, evicted once the watermark passes its event
+    * time — bounded regardless of stream length (the reason this is
+    * `dropDuplicatesWithinWatermark`, not an unbounded `dropDuplicates`,
+    * at 100 TB/day rates). The batch-deterministic equivalent (first
+    * delivery = min ts per id) is the oracle-checked q56 aggregate;
+    * stream≡batch is asserted in StreamingSpec. */
+  def exactlyOnce(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user session windows with a 5-minute inactivity gap (S3). */
   def sessionCounts(events: DataFrame): DataFrame =
     events
