@@ -193,7 +193,22 @@ object StreamQueries {
       |       min(event_type) AS event_type
       |FROM delivered GROUP BY event_id ORDER BY event_id""".stripMargin
 
+  /** S6 batch form: events enriched against the customer dim (broadcast),
+    * hourly totals per market segment. Identical EventStreams function
+    * runs stream-static in StreamingSpec. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.enrichedTumbling(Tables.events(spark, dir), Tables.customer(spark, dir))
+      .orderBy(col("window_start_us"), col("c_mktsegment"))
+
+  val streamEnrichOracle: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+      |  c_mktsegment, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY window_start_us, c_mktsegment""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_stream_enrich" -> ((s, d) => streamEnrich(s, d)),
     "q56_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q55_interval_join" -> ((s, d) => intervalJoin(s, d)),
     "q50_tumbling_window" -> ((s, d) => tumbling(s, d)),
@@ -204,6 +219,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q57_stream_enrich" -> streamEnrichOracle,
     "q56_stream_dedup" -> streamDedupOracle,
     "q55_interval_join" -> intervalJoinOracle,
     "q50_tumbling_window" -> tumblingOracle,

@@ -71,6 +71,24 @@ object EventStreams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** S6 — stream-static enrichment: the event stream joined to a static
+    * dimension (broadcast — no stream state at all; Spark re-plans the
+    * static side per micro-batch, so a dim refresh is picked up without
+    * restarting the query), then windowed per segment. The canonical
+    * "enrich the firehose with reference data" shape: at 100 TB/day the
+    * dim stays KB-sized and broadcast while only the stream shuffles
+    * into its windowed aggregation. */
+  def enrichedTumbling(events: DataFrame, dims: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .join(broadcast(dims.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(decimal2(col("value"))).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("c_mktsegment"), col("n_events"), col("total_value"))
+
   /** Per-user session windows with a 5-minute inactivity gap (S3). */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -224,6 +224,24 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === originals.toSet)
   }
 
+  test("S6 stream-static enrichment: broadcast dim join equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (3L, "HOUSEHOLD"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = EventStreams.enrichedTumbling(mem.toDF(), dims)
+      .writeStream.format("memory").queryName("enrich").outputMode(OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enrich")
+      .orderBy("window_start_us", "c_mktsegment").collect().toSeq
+    val batch = EventStreams.enrichedTumbling(rows.toDF(), dims)
+      .orderBy("window_start_us", "c_mktsegment").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("S2 stream-stream interval join equals batch; 10-minute bound is strict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
