@@ -181,6 +181,49 @@ object TextQueries {
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- q58: LM-fluency quality score ---------------------------------------
+  /** CCNet-style LM quality filtering, engine-shaped: a corpus char-bigram
+    * model scores every doc by its average next-char probability (fluent,
+    * corpus-typical text scores high; noise scores low). All arithmetic is
+    * INTEGER — conditional probabilities as micro-probs via integral
+    * `div` — so the score is bit-exact cross-engine with no
+    * transcendentals, and the model relation is bounded by charset²
+    * (~9 k rows for ASCII) so its broadcast stays KB-sized at ANY corpus
+    * scale — the crucial contrast with token-vocabulary relations like
+    * q44's df, which must never be broadcast. The bigram explode runs once
+    * per branch (model build, scoring) — pure codegen over the scan, no
+    * extra shuffle. */
+  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 2)
+    val bigrams = docs.select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+    val bgCnt = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n_bg"))
+    val pfxCnt = bigrams.groupBy(expr("substring(bg, 1, 1)").as("pfx"))
+      .agg(count(lit(1)).as("n_pfx"))
+    val model = bgCnt.withColumn("pfx", expr("substring(bg, 1, 1)"))
+      .join(pfxCnt, Seq("pfx"))
+      .select(col("bg"), expr("n_bg * 1000000 div n_pfx").as("p_micro"))
+    bigrams.join(broadcast(model), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_micro) div count(1)").cast("long").as("avg_micro_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmFluencyOracle: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+      |bg AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 2) AS bg
+      |       FROM d, unnest(generate_series(1, length(text) - 1)) AS t(i)),
+      |bgc AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY bg),
+      |pfx AS (SELECT substring(bg, 1, 1) AS pfx, count(*) AS n_pfx FROM bg GROUP BY 1),
+      |model AS (SELECT bg, n_bg * 1000000 // n_pfx AS p_micro
+      |          FROM bgc JOIN pfx ON substring(bgc.bg, 1, 1) = pfx.pfx)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(p_micro) // count(*) AS BIGINT) AS avg_micro_p
+      |FROM bg JOIN model USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- q44: tf-idf top terms per doc ---------------------------------------
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -398,7 +441,8 @@ object TextQueries {
     "q41_token_stats" -> ((s, d) => tokenStats(s, d)),
     "q42_lang_id" -> ((s, d) => langId(s, d)),
     "q43_fingerprint" -> ((s, d) => fingerprint(s, d)),
-    "q44_tfidf" -> ((s, d) => tfidf(s, d))
+    "q44_tfidf" -> ((s, d) => tfidf(s, d)),
+    "q58_lm_fluency" -> ((s, d) => lmFluency(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -409,6 +453,7 @@ object TextQueries {
     "q41_token_stats" -> tokenStatsOracle,
     "q42_lang_id" -> langIdOracle,
     "q43_fingerprint" -> fingerprintOracle,
-    "q44_tfidf" -> tfidfOracle
+    "q44_tfidf" -> tfidfOracle,
+    "q58_lm_fluency" -> lmFluencyOracle
   )
 }
