@@ -199,8 +199,11 @@ object TextQueries {
     val bigrams = docs.select(col("doc_id"),
       explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
     val bgCnt = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n_bg"))
-    val pfxCnt = bigrams.groupBy(expr("substring(bg, 1, 1)").as("pfx"))
-      .agg(count(lit(1)).as("n_pfx"))
+    // prefix totals ROLL UP from the bigram counts (sum over the ~9 k
+    // model rows) instead of re-exploding the corpus a second time —
+    // one fewer full scan + shuffle
+    val pfxCnt = bgCnt.groupBy(expr("substring(bg, 1, 1)").as("pfx"))
+      .agg(sum(col("n_bg")).as("n_pfx"))
     val model = bgCnt.withColumn("pfx", expr("substring(bg, 1, 1)"))
       .join(pfxCnt, Seq("pfx"))
       .select(col("bg"), expr("n_bg * 1000000 div n_pfx").as("p_micro"))
@@ -216,7 +219,7 @@ object TextQueries {
       |bg AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 2) AS bg
       |       FROM d, unnest(generate_series(1, length(text) - 1)) AS t(i)),
       |bgc AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY bg),
-      |pfx AS (SELECT substring(bg, 1, 1) AS pfx, count(*) AS n_pfx FROM bg GROUP BY 1),
+      |pfx AS (SELECT substring(bg, 1, 1) AS pfx, sum(n_bg) AS n_pfx FROM bgc GROUP BY 1),
       |model AS (SELECT bg, n_bg * 1000000 // n_pfx AS p_micro
       |          FROM bgc JOIN pfx ON substring(bgc.bg, 1, 1) = pfx.pfx)
       |SELECT doc_id, count(*) AS n_bigrams,
