@@ -44,6 +44,36 @@ class CurationQueriesSpec extends SparkSuite {
     }
   }
 
+  test("q02b oracle preconditions hold on every local fixture rung") {
+    // The recursive chunker's closed-form oracle (RagQueries.
+    // chunkRecursiveOracle) is valid ONLY on single-space corpora whose
+    // words are shorter than chunkSize − overlap (200 − 40): no newlines
+    // (the "\n\n"/"\n" separators would fire first), no double/edge
+    // spaces (split would emit empty words), and no word ≥ 160 chars
+    // (the popped window plus a long word could re-overflow, which the
+    // closed form does not model). A regenerated corpus violating any of
+    // these must fail HERE with a named cause, not as a mysterious q02b
+    // hash mismatch in the driver gate.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sfdocs16")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+    dirs.foreach { d =>
+      val bad = graft.core.Tables.documents(spark, d)
+        .agg(
+          sum(when(col("text").contains("\n"), 1).otherwise(0)).as("newlines"),
+          sum(when(col("text").contains("  "), 1).otherwise(0)).as("dbl"),
+          sum(when(col("text").startsWith(" ") || col("text").endsWith(" "), 1)
+            .otherwise(0)).as("edge"),
+          max(expr("array_max(transform(filter(split(text, ' '), x -> x != ''), x -> length(x)))"))
+            .as("max_word"))
+        .collect()(0)
+      assert(bad.getLong(0) == 0L, s"$d: ${bad.getLong(0)} docs contain newlines")
+      assert(bad.getLong(1) == 0L, s"$d: ${bad.getLong(1)} docs contain double spaces")
+      assert(bad.getLong(2) == 0L, s"$d: ${bad.getLong(2)} docs have edge spaces")
+      assert(bad.getInt(3) < 160, s"$d: max word length ${bad.getInt(3)} >= 160")
+    }
+  }
+
   test("decontaminate: clean training docs share no 8-gram with eval") {
     val out = CurationQueries.decontaminate(spark, sfDir)
     // output only lists docs with >= 1 shared shingle
