@@ -71,6 +71,24 @@ class ClustersPackingSpec extends SparkSuite {
     assert((0L to 60L).forall(cc(_) === 0L))
   }
 
+  test("star contraction ≡ min-propagation on a seeded random graph") {
+    import spark.implicits._
+    // fixed-seed Erdős–Rényi-ish graph: 300 nodes, 220 random edges →
+    // a mix of singleton-free components, chains, and merged blobs
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(220)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id1", "id2")
+    val viaProp = Clusters.connectedComponents(pairs, maxIter = 60)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Clusters.connectedComponentsStarContraction(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar === viaProp)
+    // sanity: labels are component minima (idempotent under re-labeling)
+    assert(viaStar.values.toSet.subsetOf(viaStar.keySet))
+    assert(viaStar.values.forall(m => viaStar(m) == m))
+  }
+
   test("star contraction: empty pair list returns empty, no NPE") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
