@@ -63,6 +63,16 @@ class PlanShapeSpec extends SparkSuite {
       s"pair-stream distinct reappeared (aggregate on id1/id2) in:\n$p")
   }
 
+  test("q57 stream enrich: the customer dim joins broadcast, never shuffled") {
+    val p = planOf("q57_stream_enrich")
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast in:\n$p")
+  }
+
+  test("q58 LM fluency: the charset-bounded model joins broadcast") {
+    val p = planOf("q58_lm_fluency")
+    assert(p.contains("BroadcastHashJoin"), s"model not broadcast in:\n$p")
+  }
+
   test("q44 tf-idf: the document-frequency side carries no broadcast hint") {
     // df (one row per distinct corpus token) is unbounded at scale —
     // Heaps' law makes it billions of rows at 100 TB. Only the 1-row
