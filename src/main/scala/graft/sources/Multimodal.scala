@@ -151,6 +151,16 @@ object Multimodal {
       b4: Double, b5: Double, b6: Double, b7: Double,
       frame_checksum: Long, n_frames: Long)
 
+  /** Lenient variant's row: decode_ok=false quarantines a corrupt blob
+    * (zeroed features, the error's class+message preserved) instead of
+    * failing the stage. */
+  case class FeaturesL(
+      doc_id: Long, n_samples: Long,
+      b0: Double, b1: Double, b2: Double, b3: Double,
+      b4: Double, b5: Double, b6: Double, b7: Double,
+      frame_checksum: Long, n_frames: Long,
+      decode_ok: Boolean, decode_error: String)
+
   /** blobs(doc_id LONG, content BINARY) → per-blob features. Batch shape:
     * one partition iterator pass via typed `Dataset.mapPartitions` — the
     * mapInPandas-equivalent contract — staying on the Dataset/encoder
@@ -168,6 +178,37 @@ object Multimodal {
           val (ck, nf) = frames(samples)
           Features(id, samples.length.toLong,
             p(0), p(1), p(2), p(3), p(4), p(5), p(6), p(7), ck, nf)
+        }
+      }
+      .toDF()
+  }
+
+  /** [[extractFeatures]] with corrupt-blob quarantine: at lake scale some
+    * blobs WILL be truncated or mislabeled, and one bad file must not
+    * fail a 10-hour stage. Decode errors become `decode_ok = false` rows
+    * carrying the error text (routable to a quarantine sink with one
+    * filter); good blobs are bit-identical to the strict path. The strict
+    * path stays the default — a VALIDATED corpus wants corruption loud. */
+  def extractFeaturesLenient(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val samples = decodeSamples(if (bytes == null) Array.empty else bytes)
+            val p = pool8(samples)
+            val (ck, nf) = frames(samples)
+            FeaturesL(id, samples.length.toLong,
+              p(0), p(1), p(2), p(3), p(4), p(5), p(6), p(7), ck, nf,
+              decode_ok = true, decode_error = "")
+          } catch {
+            case e: Exception =>
+              FeaturesL(id, 0L, 0, 0, 0, 0, 0, 0, 0, 0, 0L, 0L,
+                decode_ok = false,
+                decode_error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
         }
       }
       .toDF()

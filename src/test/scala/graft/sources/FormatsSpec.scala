@@ -95,6 +95,28 @@ class FormatsSpec extends SparkSuite {
       "plain text".getBytes("US-ASCII").map(_ & 0xff).toSeq)
   }
 
+  test("lenient decode quarantines a corrupt WAV; good blobs match the strict path") {
+    val dir = tmp()
+    val good = Multimodal.encodeWavPcm16(Array(5, -9, 1000))
+    Files.write(Paths.get(dir, "blob_1.wav"), good)
+    Files.write(Paths.get(dir, "blob_2.wav"),
+      java.util.Arrays.copyOfRange(good, 0, good.length - 2)) // truncated
+    val blobs = spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "blob_(\\d+)\\.wav$", 1).cast("long").as("doc_id"),
+        col("content"))
+    val out = Multimodal.extractFeaturesLenient(blobs).orderBy("doc_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Boolean]("decode_ok"))
+    assert(out(0).getLong(1) === 3L) // n_samples
+    assert(!out(1).getAs[Boolean]("decode_ok"))
+    assert(out(1).getAs[String]("decode_error").contains("overruns payload"))
+    // strict path on the same corrupt dir fails loudly instead
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(blobs).collect()
+    }
+  }
+
   test("binaryFile source feeds the multimodal pipeline") {
     val dir = tmp()
     Files.write(Paths.get(dir, "blob_7.bin"), "some fake image payload".getBytes)
