@@ -227,6 +227,28 @@ object TextQueries {
       |FROM bg JOIN model USING (bg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- q59: corpus-wide heavy hitters --------------------------------------
+  /** Global top-k tokens — the classic whole-corpus reduce. The plan is
+    * the other canonical top-k shape next to q6's per-group
+    * WindowGroupLimit: partial counts map-side, one shuffle on token,
+    * then `TakeOrderedAndProject` keeps a 20-row heap PER PARTITION and
+    * merges heaps on the driver — the full sorted count relation is
+    * never materialized, so the reduce is O(k) memory at any corpus
+    * size. Tie-break on token for determinism. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(20)
+  }
+
+  val heavyHittersOracle: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   // --- q44: tf-idf top terms per doc ---------------------------------------
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -445,7 +467,8 @@ object TextQueries {
     "q42_lang_id" -> ((s, d) => langId(s, d)),
     "q43_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "q44_tfidf" -> ((s, d) => tfidf(s, d)),
-    "q58_lm_fluency" -> ((s, d) => lmFluency(s, d))
+    "q58_lm_fluency" -> ((s, d) => lmFluency(s, d)),
+    "q59_heavy_hitters" -> ((s, d) => heavyHitters(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -457,6 +480,7 @@ object TextQueries {
     "q42_lang_id" -> langIdOracle,
     "q43_fingerprint" -> fingerprintOracle,
     "q44_tfidf" -> tfidfOracle,
-    "q58_lm_fluency" -> lmFluencyOracle
+    "q58_lm_fluency" -> lmFluencyOracle,
+    "q59_heavy_hitters" -> heavyHittersOracle
   )
 }

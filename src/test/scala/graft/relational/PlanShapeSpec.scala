@@ -73,6 +73,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"model not broadcast in:\n$p")
   }
 
+  test("q59 heavy hitters: global top-k compiles to TakeOrderedAndProject") {
+    val p = planOf("q59_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global limit not heap-based (full sort would materialize the count relation) in:\n$p")
+  }
+
   test("q44 tf-idf: the document-frequency side carries no broadcast hint") {
     // df (one row per distinct corpus token) is unbounded at scale —
     // Heaps' law makes it billions of rows at 100 TB. Only the 1-row
