@@ -56,8 +56,14 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val (total, results, errors) = run(cpus, sfDir, reps)
     val extra =
-      if (cpus != "4") { val (t4, _, _) = run("4", sfDir, reps); s""","local4_total":$t4""" }
-      else ""
+      if (cpus != "4") {
+        // the local[4] leg is the BASELINE.md pass bar: its errors must
+        // surface too, or a crash-only-under-4-threads would silently
+        // shrink local4_total into a phantom speedup
+        val (t4, _, e4) = run("4", sfDir, reps)
+        val errs4 = e4.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","local4_total":$t4,"local4_errors":$errs4"""
+      } else ""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -446,17 +446,20 @@ object PipelineQueries {
     * whose components are exactly the groups — so the oracle checks the
     * expected output (min id + group size per text). Chain/diameter
     * topologies, which no closed form covers, are pinned by ClustersSpec. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = corpusExact(spark, dir)
-    // group on the 256-bit digest, not the text: identical groups (modulo
-    // sha2 collisions, ~2^-128 at any corpus size), but the shuffle carries
-    // 64-hex keys instead of whole documents
-    val pairs = corpus.groupBy(sha2(col("text"), 256).as("h"))
+  /** Exact-dup star pairs shared by q48/q48b — factored so the two CC
+    * algorithms provably consume the SAME pair graph. Groups on the
+    * 256-bit digest, not the text: identical groups (modulo sha2
+    * collisions, ~2^-128 at any corpus size), but the shuffle carries
+    * 64-hex keys instead of whole documents. */
+  private def exactDupPairs(spark: SparkSession, dir: String): DataFrame =
+    corpusExact(spark, dir).groupBy(sha2(col("text"), 256).as("h"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(expr("array_min(ids)").as("id1"), explode(col("ids")).as("id2"))
       .filter(col("id1") =!= col("id2"))
-    val cc = graft.analytics.Clusters.connectedComponents(pairs)
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val cc = graft.analytics.Clusters.connectedComponents(exactDupPairs(spark, dir))
     cc.groupBy(col("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy(col("canonical_id"))
@@ -474,13 +477,8 @@ object PipelineQueries {
     * gate proves algorithm equivalence bit-exactly, and ClustersSpec
     * proves the deep-chain case where only this variant converges. */
   def dedupClustersCc(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = corpusExact(spark, dir)
-    val pairs = corpus.groupBy(sha2(col("text"), 256).as("h"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(expr("array_min(ids)").as("id1"), explode(col("ids")).as("id2"))
-      .filter(col("id1") =!= col("id2"))
-    val cc = graft.analytics.Clusters.connectedComponentsStarContraction(pairs)
+    val cc = graft.analytics.Clusters.connectedComponentsStarContraction(
+      exactDupPairs(spark, dir))
     cc.groupBy(col("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy(col("canonical_id"))

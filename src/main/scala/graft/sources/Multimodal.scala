@@ -91,7 +91,9 @@ object Multimodal {
     while (off + 8 <= bytes.length && (samples == null || !fmtOk)) {
       val id = tag(bytes, off)
       val size = le32(bytes, off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
+      // compare in Long: a corrupt size near Int.MaxValue would wrap
+      // `off + 8 + size` negative and slip past an Int-typed guard
+      require(size >= 0 && off + 8 + size.toLong <= bytes.length,
         s"corrupt WAV: chunk $id size $size overruns payload")
       id match {
         case "fmt " =>

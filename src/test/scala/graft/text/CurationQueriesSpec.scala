@@ -72,6 +72,14 @@ class CurationQueriesSpec extends SparkSuite {
       assert(bad.getLong(2) == 0L, s"$d: ${bad.getLong(2)} docs have edge spaces")
       assert(bad.getInt(3) < 160, s"$d: max word length ${bad.getInt(3)} >= 160")
     }
+    // q60's bytes-as-samples oracle additionally requires that no doc's
+    // text starts with a RIFF magic — such a doc would be dispatched into
+    // the real WAV codec and break the oracle as a mystery hash mismatch
+    dirs.foreach { d =>
+      val riff = graft.core.Tables.documents(spark, d)
+        .filter(col("text").startsWith("RIFF")).count()
+      assert(riff == 0L, s"$d: $riff docs begin with RIFF magic (q60 oracle precondition)")
+    }
   }
 
   test("decontaminate: clean training docs share no 8-gram with eval") {
