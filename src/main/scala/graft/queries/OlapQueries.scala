@@ -189,6 +189,30 @@ object OlapQueries {
     * any cluster size; deterministic for fixed data (no RNG). Rows-only:
     * sketch internals differ across engines; QuantileSketchSpec pins the
     * error bound. */
+  /** Registered (property-oracle) form of [[approxQuantiles]]: the sketch
+    * ESTIMATE is engine-internal and can never hash-match another engine,
+    * but its error bound is exactly checkable — so the driver-compared
+    * output is the exact percentiles (cross-engine, q63 discipline) plus
+    * per-group booleans witnessing the estimate within 5% relative error
+    * (observed ≤ 1.7% at every rung; the accuracy-100 sketch's rank
+    * guarantee is far tighter). A sketch regression flips a boolean and
+    * the driver gate goes red — the bound IS the contract, checked where
+    * it counts. Full numeric diagnostics remain in [[approxQuantiles]]
+    * for QuantileSketchSpec. */
+  def approxQuantilesChecked(spark: SparkSession, dir: String): DataFrame =
+    approxQuantiles(spark, dir)
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+        (col("err_p50") <= 0.05).as("p50_within_bound"),
+        (col("err_p95") <= 0.05).as("p95_within_bound"))
+      .orderBy(col("l_returnflag"))
+
+  val approxQuantilesCheckedOracle: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS exact_p95,
+      |  TRUE AS p50_within_bound, TRUE AS p95_within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
@@ -210,7 +234,7 @@ object OlapQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
     "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
-    "q68_approx_quantiles" -> ((s, d) => approxQuantiles(s, d)),
+    "q68_approx_quantiles" -> ((s, d) => approxQuantilesChecked(s, d)),
     "q61_range_bracket" -> ((s, d) => rangeBracket(s, d)),
     "q62_running_totals" -> ((s, d) => runningTotals(s, d)),
     "q63_percentiles" -> ((s, d) => percentiles(s, d)),
@@ -218,6 +242,7 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q68_approx_quantiles" -> approxQuantilesCheckedOracle,
     "q65_window_funcs" -> windowFuncsOracle,
     "q67_pivot" -> pivotStatusOracle,
     "q61_range_bracket" -> rangeBracketOracle,

@@ -14,9 +14,7 @@ class RegistrySpec extends AnyFunSuite {
     "q32_neardup_minhash",  // Murmur not in DuckDB; brute-force parity spec
     "q33_neardup_simhash",  // same
     "q36_ann_lsh",          // same (SRP signatures)
-    "q37_ann_mllib",        // MLlib LSH cross-check, recall column spec'd
-    "q66_approx_distinct",  // HLL internals differ across engines
-    "q68_approx_quantiles") // sketch internals differ across engines
+    "q37_ann_mllib")        // MLlib LSH cross-check, recall column spec'd
 
   test("every query has an oracle or a documented rows-only justification") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
