@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       DotProductExpr.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bigram_codes"),
+      new ExpressionInfo(classOf[BigramCodesExpr].getName, "graft_bigram_codes"),
+      BigramCodesExpr.sqlBuilder))
   }
 }

@@ -196,15 +196,21 @@ object TextQueries {
   def lmFluency(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 2)
+    // bigrams as INTEGER codes (byte·256 + byte) via the native
+    // BigramCodesExpr — one getBytes + a primitive loop per doc. See the
+    // expression's Scaladoc for the measured SQL-only alternatives
+    // (per-position substring is O(n²)/doc: 60.8 s at the 16×-docs rung;
+    // char-split + zip_with allocates ~1 000 strings/doc: 19.5 s; this
+    // form: 2.2 s). Byte ≡ char codes on the ASCII corpus (spec-guarded).
     val bigrams = docs.select(col("doc_id"),
-      explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+      explode(graft.functions.BigramCodesExpr.bigramCodes(col("text"))).as("bg"))
     val bgCnt = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n_bg"))
     // prefix totals ROLL UP from the bigram counts (sum over the ~9 k
     // model rows) instead of re-exploding the corpus a second time —
     // one fewer full scan + shuffle
-    val pfxCnt = bgCnt.groupBy(expr("substring(bg, 1, 1)").as("pfx"))
+    val pfxCnt = bgCnt.groupBy(expr("bg div 256").as("pfx"))
       .agg(sum(col("n_bg")).as("n_pfx"))
-    val model = bgCnt.withColumn("pfx", expr("substring(bg, 1, 1)"))
+    val model = bgCnt.withColumn("pfx", expr("bg div 256"))
       .join(pfxCnt, Seq("pfx"))
       .select(col("bg"), expr("n_bg * 1000000 div n_pfx").as("p_micro"))
     bigrams.join(broadcast(model), Seq("bg"))
@@ -215,13 +221,17 @@ object TextQueries {
   }
 
   val lmFluencyOracle: String =
-    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
-      |bg AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 2) AS bg
-      |       FROM d, unnest(generate_series(1, length(text) - 1)) AS t(i)),
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_transform(list_filter(string_split(text, ''), c -> c != ''),
+      |                        c -> ord(c)) AS codes
+      |  FROM documents WHERE length(text) >= 2),
+      |bg AS (SELECT doc_id, codes[i] * 256 + codes[i + 1] AS bg
+      |       FROM d, unnest(generate_series(1, len(codes) - 1)) AS t(i)),
       |bgc AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY bg),
-      |pfx AS (SELECT substring(bg, 1, 1) AS pfx, sum(n_bg) AS n_pfx FROM bgc GROUP BY 1),
+      |pfx AS (SELECT bg // 256 AS pfx, sum(n_bg) AS n_pfx FROM bgc GROUP BY 1),
       |model AS (SELECT bg, n_bg * 1000000 // n_pfx AS p_micro
-      |          FROM bgc JOIN pfx ON substring(bgc.bg, 1, 1) = pfx.pfx)
+      |          FROM bgc JOIN pfx ON bgc.bg // 256 = pfx.pfx)
       |SELECT doc_id, count(*) AS n_bigrams,
       |       CAST(sum(p_micro) // count(*) AS BIGINT) AS avg_micro_p
       |FROM bg JOIN model USING (bg)
