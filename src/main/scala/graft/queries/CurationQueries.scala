@@ -273,17 +273,48 @@ object CurationQueries {
       |WHERE fp % 10000 < rate_bp
       |GROUP BY source, n_avail, quota, rate_bp ORDER BY source""".stripMargin
 
+  // --- q76: deterministic train/val/test split ------------------------------
+  /** Hash-bucket holdout split (80/10/10): a doc's split is a pure
+    * function of its CONTENT fingerprint, so the assignment is (a)
+    * reproducible run-to-run with no RNG state, (b) stable as the corpus
+    * grows — appending docs never reassigns an existing one, unlike
+    * position- or rand()-based splits where any reshuffle leaks val docs
+    * into train — and (c) exact-dup-consistent: byte-identical docs land
+    * in the same split, so a train/val leak needs a near-dup, not a copy.
+    * Shuffle-free (a projection; the final ORDER BY is presentation),
+    * embarrassingly parallel at 100 TB. Same md5-prefix fingerprint as
+    * q72 — cross-engine exact. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(expr(fpExpr), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val trainSplitOracle: String =
+    s"""SELECT doc_id, $fpSql % 100 AS bucket,
+       |  CASE WHEN $fpSql % 100 < 80 THEN 'train'
+       |       WHEN $fpSql % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q71_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q72_domain_mix" -> ((s, d) => domainMix(s, d)),
-    "q72b_domain_mix_hash" -> ((s, d) => domainMixHash(s, d))
+    "q72b_domain_mix_hash" -> ((s, d) => domainMixHash(s, d)),
+    "q76_train_split" -> ((s, d) => trainSplit(s, d))
   )
 
   val oracles: Map[String, String] = Map(
     "q70_decontaminate" -> decontaminateOracle,
     "q71_pii_redact" -> piiRedactOracle,
     "q72_domain_mix" -> domainMixOracle,
-    "q72b_domain_mix_hash" -> domainMixHashOracle
+    "q72b_domain_mix_hash" -> domainMixHashOracle,
+    "q76_train_split" -> trainSplitOracle
   )
 }

@@ -540,6 +540,90 @@ object PipelineQueries {
       |FROM final, unnest(generate_series(1, len(loads))) AS t(j)
       |ORDER BY bucket, bin_id""".stripMargin
 
+  // ---- exact substring-span dedup ------------------------------------------
+  /** Substring-level exact dedup (the operator behind "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022): find
+    * every 13-word span that occurs more than once ANYWHERE in the corpus
+    * (across docs or repeated within one) and report, per doc, how much of
+    * it is duplicated text. Doc-level dedup (q30/q31) misses this — a doc
+    * that embeds a copied paragraph inside fresh text is unique as a whole
+    * but still leaks memorizable spans into training.
+    *
+    * Plan shape at 100 TB: spans travel and group as xxhash64 longs (8
+    * bytes, never the ~100-byte span strings); the global span-frequency
+    * agg and the mark-back join shuffle the SAME (hash)-keyed stream, and
+    * the output is a per-doc rollup — no pair materialization anywhere,
+    * unlike pairwise near-dup. The oracle groups the span STRINGS, so a
+    * 64-bit collision (which would overcount a doc's duplicated spans)
+    * fails the bit-exact gate loudly. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    // span hashes materialize once per doc (cached long array, ~8 B/span);
+    // `toks` is a materialized column so the lambda's slice() reads an
+    // attribute instead of re-splitting the text once per span index
+    val c = corpusMutant(spark, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("sphs", expr(
+        """CASE WHEN size(toks) >= 13 THEN
+          |  transform(sequence(1, size(toks) - 12),
+          |    i -> xxhash64(concat_ws(' ', slice(toks, i, 13))))
+          |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), col("sphs"))
+      .cache()
+    val spans = c.select(col("doc_id"), explode(col("sphs")).as("h"))
+    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    spans.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") > 1L, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans") / col("n_spans").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringDedupOracle: String =
+    s"""WITH corpus AS ($corpusMutantSql),
+       |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+       |      FROM corpus),
+       |spans AS (
+       |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS span
+       |  FROM w, unnest(generate_series(1, len(t) - 12)) AS g(i)
+       |  WHERE len(t) >= 13),
+       |freq AS (SELECT span, count(*) AS cnt FROM spans GROUP BY span)
+       |SELECT doc_id, count(*) AS n_spans,
+       |       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |       round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS dup_frac
+       |FROM spans JOIN freq USING (span)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- dedup decision table ------------------------------------------------
+  /** The action stage of dedup: the per-doc keep/drop table a pipeline
+    * actually materializes before writing the deduplicated corpus.
+    * Clusters from [[exactDupPairs]] + connected components; every doc
+    * gets its component's canonical id (min doc_id) and a keep flag —
+    * docs outside any dup cluster keep themselves (left join + coalesce).
+    * Downstream is a pure `WHERE keep` filter, so the decision table is
+    * the only thing that ever needs recomputing when the dedup policy
+    * changes. Oracle: canonical = min(doc_id) over the text-equality
+    * window (component ≡ text group for exact-dup stars). */
+  def dedupDecision(spark: SparkSession, dir: String): DataFrame = {
+    val cc = graft.analytics.Clusters.connectedComponents(exactDupPairs(spark, dir))
+      .withColumnRenamed("id", "doc_id")
+    corpusExact(spark, dir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupDecisionOracle: String =
+    s"""WITH corpus AS ($corpusExactSql)
+       |SELECT doc_id,
+       |       min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+       |       doc_id = min(doc_id) OVER (PARTITION BY text) AS keep
+       |FROM corpus ORDER BY doc_id""".stripMargin
+
   // ---- approximate distinct (HLL) ------------------------------------------
   /** approx_count_distinct (HyperLogLog++) next to the exact count with
     * the observed relative error — the sketch an interactive layer uses
@@ -582,6 +666,8 @@ object PipelineQueries {
     "q49_sequence_packing" -> ((s, d) => sequencePacking(s, d)),
     "q66_approx_distinct" -> ((s, d) => approxDistinctChecked(s, d)),
     "q30_dedup_exact" -> ((s, d) => dedupExact(s, d)),
+    "q74_substring_dedup" -> ((s, d) => substringDedup(s, d)),
+    "q75_dedup_decision" -> ((s, d) => dedupDecision(s, d)),
     "q31_neardup_jaccard" -> ((s, d) => neardupJaccard(s, d)),
     "q32_neardup_minhash" -> ((s, d) => neardupMinhash(s, d)),
     "q33_neardup_simhash" -> ((s, d) => neardupSimhash(s, d)),
@@ -597,6 +683,8 @@ object PipelineQueries {
     "q49_sequence_packing" -> sequencePackingOracle,
     "q66_approx_distinct" -> approxDistinctCheckedOracle,
     "q30_dedup_exact" -> dedupExactOracle,
+    "q74_substring_dedup" -> substringDedupOracle,
+    "q75_dedup_decision" -> dedupDecisionOracle,
     "q31_neardup_jaccard" -> neardupJaccardOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
     "q35_ann_ivf" -> annIvfOracle
