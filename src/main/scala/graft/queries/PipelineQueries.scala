@@ -234,6 +234,113 @@ object PipelineQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  // ---- near-dup: MinHash LSH, engine-portable hash family ------------------
+  /** q32's algorithm with a hash family BOTH engines can compute, making
+    * the full LSH pipeline — signatures → banded candidates → Jaccard
+    * verify — oracle-checked end-to-end (q32 stays the production path on
+    * xxhash64). Family: one md5 per shingle reduced into the Mersenne
+    * prime p = 2³¹−1, then 16 universal-hash mixes hᵢ = (aᵢ·h + bᵢ) mod p
+    * (Carter–Wegman) in pure BIGINT arithmetic — aᵢ, h < 2³¹ keeps every
+    * product under 2⁶³, so Spark longs and DuckDB BIGINTs agree exactly.
+    * 4 bands × 4 rows; candidates verified with exact Jaccard ≥ 0.3.
+    *
+    * Plan shape matches q32: signatures cache per doc, band buckets
+    * equi-join on (band, 4 mins), exactly-once pair emission via the
+    * first-colliding-band filter (no distinct over the inflated pair
+    * stream), and shingles join back hashed (8-byte longs) only for the
+    * surviving candidates. The oracle brute-forces the same family over
+    * string shingles — a collision in EITHER hash layer diverges the
+    * bit-exact compare loudly. */
+  def neardupMinhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val A = Seq(1000000007L, 998244353L, 750000007L, 666666793L,
+      499999879L, 367654321L, 293498317L, 201326611L,
+      152916949L, 122949829L, 104395303L, 87178291L,
+      67867979L, 49979687L, 32452843L, 15485863L)
+    val B = Seq(12345L, 67891L, 24680L, 13579L, 97531L, 86420L, 55555L,
+      31415L, 27182L, 16180L, 14142L, 17320L, 22360L, 26457L, 30000L, 98765L)
+    val withSig0 = corpusMutant(spark, dir)
+      .withColumn("sh", shingleExpr("text"))
+      .withColumn("shh", expr("transform(sh, x -> xxhash64(x))"))
+      .withColumn("gh", expr(
+        s"transform(sh, x -> cast(conv(substring(md5(cast(x as binary)), 1, 15), 16, 10) as bigint) % $P)"))
+      .drop("text", "sh")
+    val withSig = (0 until 16).foldLeft(withSig0) { (df, i) =>
+      df.withColumn(s"mh$i",
+        expr(s"array_min(transform(gh, h -> (${A(i)} * h + ${B(i)}) % $P))"))
+    }.drop("gh")
+      .withColumn("mhs", expr((0 until 16).map(i => s"mh$i").mkString("array(", ",", ")")))
+      .cache()
+    val bandStructs = (0 until 4).map(b =>
+      s"struct($b as band, mh${4 * b} as h1, mh${4 * b + 1} as h2, mh${4 * b + 2} as h3, mh${4 * b + 3} as h4)")
+      .mkString("array(", ",", ")")
+    val exploded = withSig
+      .select(col("doc_id"), col("mhs"), explode(expr(bandStructs)).as("bs"))
+      .select(col("doc_id"), col("mhs"), col("bs.band"), col("bs.h1"),
+        col("bs.h2"), col("bs.h3"), col("bs.h4"))
+    val a = exploded.select(col("band"), col("h1"), col("h2"), col("h3"), col("h4"),
+      col("doc_id").as("id1"), col("mhs").as("mhs1"))
+    val b = exploded.select(col("band"), col("h1"), col("h2"), col("h3"), col("h4"),
+      col("doc_id").as("id2"), col("mhs").as("mhs2"))
+    def bandEq(j: Int) = (0 until 4).map { r =>
+      element_at(col("mhs1"), 4 * j + r + 1) === element_at(col("mhs2"), 4 * j + r + 1)
+    }.reduce(_ && _)
+    val firstCollision = (0 until 3).map { j =>
+      (col("band") <= j) || !bandEq(j)
+    }.reduce(_ && _)
+    val pairs = a.join(b, Seq("band", "h1", "h2", "h3", "h4"))
+      .filter(col("id1") < col("id2"))
+      .filter(firstCollision)
+      .select(col("id1"), col("id2"))
+    val sketches = withSig.select(col("doc_id"), col("shh"))
+    withJaccard(
+      pairs
+        .join(sketches.select(col("doc_id").as("id1"), col("shh").as("sh1")), Seq("id1"))
+        .join(sketches.select(col("doc_id").as("id2"), col("shh").as("sh2")), Seq("id2")),
+      "sh1", "sh2", minJaccardTenths = 3)
+      .filter(col("jaccard") >= 0.3)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val neardupMinhashPortableOracle: String = {
+    val P = 2147483647L
+    val A = Seq(1000000007L, 998244353L, 750000007L, 666666793L,
+      499999879L, 367654321L, 293498317L, 201326611L,
+      152916949L, 122949829L, 104395303L, 87178291L,
+      67867979L, 49979687L, 32452843L, 15485863L)
+    val B = Seq(12345L, 67891L, 24680L, 13579L, 97531L, 86420L, 55555L,
+      31415L, 27182L, 16180L, 14142L, 17320L, 22360L, 26457L, 30000L, 98765L)
+    val mins = (0 until 16).map(i =>
+      s"min((${A(i)} * h + ${B(i)}) % $P) AS mh$i").mkString(",\n       |  ")
+    val bandOr = (0 until 4).map { bnd =>
+      (0 until 4).map(r => s"a.mh${4 * bnd + r} = b.mh${4 * bnd + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val sh = shingleSql("text")
+    s"""WITH corpus AS ($corpusMutantSql),
+       |c AS (SELECT doc_id, $sh AS sh FROM corpus),
+       |g AS (SELECT doc_id, unnest(sh) AS gram FROM c),
+       |gh AS (SELECT doc_id,
+       |         CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) % $P AS h
+       |       FROM g),
+       |mh AS (SELECT doc_id,
+       |  $mins
+       |  FROM gh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ($bandOr)),
+       |j AS (
+       |  SELECT id1, id2,
+       |         len(list_intersect(ca.sh, cb.sh)) AS inter,
+       |         len(ca.sh) + len(cb.sh) - len(list_intersect(ca.sh, cb.sh)) AS uni
+       |  FROM cand
+       |  JOIN c ca ON ca.doc_id = cand.id1
+       |  JOIN c cb ON cb.doc_id = cand.id2)
+       |SELECT id1, id2, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+       |FROM j WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= 0.3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   // ---- near-dup: SimHash bands -------------------------------------------
   /** SimHash 64-bit fingerprints, 4 × 16-bit bands for candidates, kept if
     * hamming ≤ 16. Rows-only; fingerprint properties unit-tested. */
@@ -277,6 +384,78 @@ object PipelineQueries {
       .filter(col("hamming") <= 16)
       .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("id1"), col("id2"))
+  }
+
+  // ---- near-dup: SimHash, engine-portable hash family ----------------------
+  /** q33's algorithm with md5-derived gram hashes so the WHOLE SimHash
+    * pipeline — per-bit majority vote → banded candidates → hamming
+    * verify — is oracle-checked (q33 stays the production path on
+    * Murmur). 60-bit fingerprints (the md5-prefix int stays positive, no
+    * sign traps in either engine), 4 × 15-bit bands, hamming ≤ 15.
+    *
+    * The majority vote is ONE fold over the gram-hash array: the
+    * accumulator is a 60-slot bit-count array updated by a zip_with —
+    * O(|grams|·60) codegen arithmetic per doc, no per-bit re-traversal.
+    * Candidates equi-join on (band, key); exactly-once emission via the
+    * first-colliding-band filter; hamming via the codegen bit_count
+    * built-in (DuckDB mirrors with xor + bit_count). */
+  def neardupSimhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpusMutant(spark, dir)
+      .withColumn("sh", shingleExpr("text"))
+      .withColumn("gh", expr(
+        "transform(sh, x -> cast(conv(substring(md5(cast(x as binary)), 1, 15), 16, 10) as bigint))"))
+      .withColumn("fp", expr(
+        """aggregate(
+          |  aggregate(gh, transform(sequence(0, 59), j -> 0L),
+          |    (acc, h) -> zip_with(acc, sequence(0, 59), (c, j) -> c + (shiftright(h, j) & 1))),
+          |  named_struct('j', 0, 'f', 0L),
+          |  (st, cnt) -> named_struct(
+          |    'j', st.j + 1,
+          |    'f', st.f + IF(2 * cnt >= size(gh), shiftleft(1L, st.j), 0L)),
+          |  st -> st.f)""".stripMargin))
+      .select(col("doc_id"), col("fp"))
+      .cache()
+    def bandKey(fpCol: Column, b: Int) =
+      shiftright(fpCol, 15 * b).bitwiseAND(lit(32767L))
+    val exploded = c.select(col("doc_id"), col("fp"),
+      explode(expr(
+        (0 until 4).map(b => s"struct($b as band, (shiftright(fp, ${15 * b}) & 32767) as bkey)")
+          .mkString("array(", ",", ")"))).as("bs"))
+      .select(col("doc_id"), col("fp"), col("bs.band"), col("bs.bkey"))
+    val a = exploded.select(col("band"), col("bkey"), col("doc_id").as("id1"), col("fp").as("fp1"))
+    val b = exploded.select(col("band"), col("bkey"), col("doc_id").as("id2"), col("fp").as("fp2"))
+    def bandDiffers(j: Int) = bandKey(col("fp1"), j) =!= bandKey(col("fp2"), j)
+    val firstCollision = (0 until 3).map { j =>
+      (col("band") <= j) || bandDiffers(j)
+    }.reduce(_ && _)
+    a.join(b, Seq("band", "bkey")).filter(col("id1") < col("id2"))
+      .filter(firstCollision)
+      .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int"))
+      .filter(col("hamming") <= 15)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val neardupSimhashPortableOracle: String = {
+    val sh = shingleSql("text")
+    val bandOr = (0 until 4).map(b =>
+      s"((a.fp >> ${15 * b}) & 32767) = ((b.fp >> ${15 * b}) & 32767)").mkString(" OR ")
+    s"""WITH corpus AS ($corpusMutantSql),
+       |c AS (SELECT doc_id, $sh AS sh FROM corpus),
+       |gh AS (SELECT doc_id,
+       |         list_transform(sh, x -> CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)) AS hs
+       |       FROM c),
+       |fps AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(generate_series(0, 59), j ->
+       |    CASE WHEN 2 * len(list_filter(hs, h -> ((h >> j) & 1) = 1)) >= len(hs)
+       |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS fp
+       |  FROM gh),
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |         CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id AND ($bandOr))
+       |SELECT id1, id2, hamming FROM cand
+       |WHERE hamming <= 15 ORDER BY id1, id2""".stripMargin
   }
 
   // ---- near-dup: embedding cosine within label blocks ---------------------
@@ -397,6 +576,68 @@ object PipelineQueries {
       .withColumn("rank", row_number().over(wq).cast("int"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- ANN: product quantization (ADC + re-rank) ---------------------------
+  /** PQ ANN: 8 subspaces × 16 centroids over unit-normalized vectors →
+    * 8-byte codes (32× compression vs float32); queries score the WHOLE
+    * corpus with an asymmetric-distance table (128 doubles per query,
+    * broadcast) — one lookup-sum per vector, zero shuffle until the
+    * per-query top-100 — then exact-cosine re-rank the shortlist to top-5.
+    * On unit vectors ‖q−x‖² = 2·(1−cos), so ascending ADC approximates
+    * descending cosine and the re-rank repairs quantization error.
+    *
+    * The 100 TB shape: codes live beside the corpus at 8 B/vector (the
+    * only per-vector state the scoring scan reads), the codebook and
+    * distance tables broadcast, the shortlist shuffles bare
+    * (query, vec_id, adc) triples through a WindowGroupLimit, and only
+    * 100 true vectors per query join back for the re-rank. Rows-only like
+    * q36/q37 (float k-means has no cross-engine mirror); PqSpec pins
+    * determinism, ADC-vs-reconstruction consistency, and the recall
+    * floor vs exact top-5. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val dsub = 8
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
+      .cache()
+    val sub = e.select(col("vec_id").as("id"),
+      posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $dsub + 1, $dsub))"))
+        .as(Seq("m", "sv")))
+    // deterministic seeding: subspace centroids = first K vectors by id
+    val init = sub.filter(col("id") < K)
+      .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+    val cb = graft.vector.Pq.train(sub, init, iters = 3)
+    val codes = graft.vector.Pq.encode(sub, cb)
+    // per-query ADC table, flattened to a 128-slot array in (m, code)
+    // order so scoring is a pure lookup-sum over the broadcast row
+    val qsub = sub.filter(col("id") < 3).withColumnRenamed("id", "query_id")
+    val dt = qsub.join(broadcast(cb), Seq("m"))
+      .withColumn("pd",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code, pd))), s -> s.pd)").as("dts"))
+    val wq = Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))
+    val shortlist = codes.withColumnRenamed("id", "vec_id")
+      .crossJoin(broadcast(dt))
+      .withColumn("adc",
+        expr(s"aggregate(sequence(0, ${M - 1}), 0D, (acc, m) -> acc + dts[m * $K + codes[m]])"))
+      .withColumn("srank", row_number().over(wq))
+      .filter(col("srank") <= 100)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+    val qvecs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    shortlist
+      .join(broadcast(qvecs), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cosine", VectorFns.dot(col("qv"), col("v"))) // unit vectors
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"),
+        round(col("adc"), 6).as("adc_dist"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -670,10 +911,13 @@ object PipelineQueries {
     "q75_dedup_decision" -> ((s, d) => dedupDecision(s, d)),
     "q31_neardup_jaccard" -> ((s, d) => neardupJaccard(s, d)),
     "q32_neardup_minhash" -> ((s, d) => neardupMinhash(s, d)),
+    "q32b_neardup_minhash_md5" -> ((s, d) => neardupMinhashPortable(s, d)),
     "q33_neardup_simhash" -> ((s, d) => neardupSimhash(s, d)),
+    "q33b_neardup_simhash_md5" -> ((s, d) => neardupSimhashPortable(s, d)),
     "q34_neardup_embedding" -> ((s, d) => neardupEmbedding(s, d)),
     "q35_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q36_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "q38_ann_pq" -> ((s, d) => annPq(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d))
   )
 
@@ -686,6 +930,8 @@ object PipelineQueries {
     "q74_substring_dedup" -> substringDedupOracle,
     "q75_dedup_decision" -> dedupDecisionOracle,
     "q31_neardup_jaccard" -> neardupJaccardOracle,
+    "q32b_neardup_minhash_md5" -> neardupMinhashPortableOracle,
+    "q33b_neardup_simhash_md5" -> neardupSimhashPortableOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
     "q35_ann_ivf" -> annIvfOracle
   )

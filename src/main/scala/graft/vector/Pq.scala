@@ -1,0 +1,79 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011 — public algorithm): split a D-dim vector
+  * into M subvectors, k-means each subspace to K centroids, and store each
+  * vector as M single-byte codes. 64-d float embeddings (256 B) become
+  * 8 B — the 32× compression that makes billion-vector (100 TB) corpora
+  * searchable from executor memory, with asymmetric-distance (ADC) scoring
+  * against a broadcast lookup table instead of the raw vectors.
+  *
+  * Everything here is DataFrame-native: the codebook is a dictionary-sized
+  * DataFrame (M×K rows) that BROADCASTS through every join; training
+  * shuffles only (id, m, code) triples, never payload vectors; per-round
+  * `localCheckpoint` keeps the Lloyd-iteration lineage one join deep
+  * (same discipline as Clusters). No driver-side vector math — at 100 TB
+  * the training sample and the encode pass are the same distributed scan.
+  *
+  * Determinism: k-means is seeded from the first K vectors per subspace
+  * (caller-chosen), ties in assignment break toward the lower code, and
+  * elementwise centroid means are double sums over ≤ |cell| values —
+  * reproducible run-to-run on fixed data (spec'd), though not
+  * cross-engine portable (float k-means has no DuckDB mirror → the q38
+  * registration is rows-only with a recall spec, like q36/q37).
+  */
+object Pq {
+
+  /** Squared L2 between two ARRAY<DOUBLE> columns (codegen HOFs). */
+  private def sqDist(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+
+  /** Nearest-code assignment: `sub`(id, m, sv) × broadcast codebook
+    * (m, code, cv) → (id, m, code). The argmin is a `min_by` hash agg —
+    * partial aggregation collapses the K-way blowup map-side, so the
+    * shuffle carries one row per (id, m). */
+  def assign(sub: DataFrame, codebook: DataFrame): DataFrame =
+    sub.join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", sqDist("sv", "cv"))
+      .groupBy(col("id"), col("m"))
+      .agg(expr("min_by(code, struct(d2, code))").as("code"))
+
+  /** `iters` Lloyd rounds from `init` (m, code, cv). Empty cells keep
+    * their previous centroid (left-join + coalesce) so the codebook never
+    * shrinks. Returns (m, code, cv) with exactly the init's (m, code)
+    * key set. */
+  def train(sub: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var cb = init.localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val assigned = assign(sub, cb)
+        .join(sub, Seq("id", "m"))
+      // elementwise mean per cell: explode the dsub positions, average,
+      // reassemble in position order — shuffles (m, code, pos, x) scalars
+      // the mean's SUM runs over DECIMAL so it is exact and therefore
+      // order-insensitive — a double sum's value depends on shuffle-merge
+      // arrival order, which would make the trained codebook (and every
+      // downstream code) jitter run-to-run. |x| ≤ 1 after normalization,
+      // so decimal(32,24) holds cells up to 1e8 members exactly.
+      val means = assigned
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg((sum(col("x").cast("decimal(32,24)")) / count(lit(1)))
+          .cast("double").as("mx"))
+        .groupBy(col("m"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("ncv"))
+      cb = cb.join(means, Seq("m", "code"), "left")
+        .select(col("m"), col("code"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .localCheckpoint(false)
+    }
+    cb
+  }
+
+  /** Per-id code arrays in subspace order: (id, codes ARRAY<INT>). */
+  def encode(sub: DataFrame, codebook: DataFrame): DataFrame =
+    assign(sub, codebook)
+      .groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)").as("codes"))
+}

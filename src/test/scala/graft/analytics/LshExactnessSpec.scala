@@ -62,4 +62,19 @@ class LshExactnessSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expected)
   }
+
+  test("q32b portable minhash: subset of exact pairs, recall ≥ 0.9") {
+    // q32b verifies every candidate with the SAME exact-Jaccard threshold
+    // as q31, so precision is 1 by construction (⊆); the 4×4 banding's
+    // only freedom is missed candidates — pin the recall floor
+    val exact = graft.queries.PipelineQueries.all("q31_neardup_jaccard")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.queries.PipelineQueries.all("q32b_neardup_minhash_md5")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((got -- exact).isEmpty,
+      s"q32b emitted pairs exact Jaccard rejects: ${(got -- exact).take(5)}")
+    assert(exact.nonEmpty)
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.9, f"q32b recall $recall%.3f below floor (${got.size}/${exact.size})")
+  }
 }
