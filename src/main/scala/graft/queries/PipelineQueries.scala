@@ -602,9 +602,13 @@ object PipelineQueries {
       .select(col("vec_id"),
         VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
       .cache()
+    // cache: the subvector explosion feeds init, every Lloyd round, the
+    // encode pass, and the query tables — without it each training job
+    // re-scans and re-normalizes the parquet source
     val sub = e.select(col("vec_id").as("id"),
       posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $dsub + 1, $dsub))"))
         .as(Seq("m", "sv")))
+      .cache()
     // deterministic seeding: subspace centroids = first K vectors by id
     val init = sub.filter(col("id") < K)
       .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))

@@ -56,7 +56,7 @@ class PqSpec extends SparkSuite {
     assert(cb(1) === Seq(500.0, 500.0)) // untouched
   }
 
-  test("q38 output is deterministic run-to-run (decimal-pinned training sums)") {
+  test("q38 output is deterministic run-to-run (scaled-long training sums)") {
     val a = PipelineQueries.annPq(spark, sfDir).collect()
     val b = PipelineQueries.annPq(spark, sfDir).collect()
     assert(a.toSeq === b.toSeq)
