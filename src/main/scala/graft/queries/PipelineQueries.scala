@@ -841,6 +841,112 @@ object PipelineQueries {
        |FROM spans JOIN freq USING (span)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- substring-span removal (the cleaning stage) -------------------------
+  /** The deletion stage downstream of [[substringDedup]]: merge each
+    * doc's duplicated 13-word spans into disjoint word intervals
+    * (gaps-and-islands over a running max-end window — no 13× position
+    * explosion), cut every covered word, and emit the cleaned text's
+    * length and digest. Policy note: this removes ALL occurrences of a
+    * duplicated span; the production variant that keeps one canonical
+    * occurrence exempts that doc's intervals — identical mechanics.
+    *
+    * Plan shape at 100 TB: the dup-span stream shuffles once on doc_id
+    * (bare (doc_id, pos) pairs) for the island window; islands collapse
+    * to a per-doc array (small — dup regions, not words); the rebuild is
+    * a single codegen pass over the cached token array with an
+    * O(words × islands) coverage lambda. The oracle replays islands with
+    * the same window SQL and rebuilds the text in DuckDB — the sha256
+    * digests must agree byte-for-byte. */
+  def substringRemove(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpusMutant(spark, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("sphs", expr(
+        """CASE WHEN size(toks) >= 13 THEN
+          |  transform(sequence(1, size(toks) - 12),
+          |    i -> xxhash64(concat_ws(' ', slice(toks, i, 13))))
+          |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), col("toks"), col("sphs"))
+      .cache()
+    val spans = c.select(col("doc_id"), posexplode(col("sphs")).as(Seq("pos", "h")))
+    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val dup = spans.join(freq.filter(col("cnt") > 1L), Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    // islands: a dup span at pos covers words [pos, pos+12]; a span
+    // starting past the running max end opens a new island
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = dup
+      .withColumn("prev_end",
+        max(col("pos") + 12).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pos") > coalesce(col("prev_end"), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("gid", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 12).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("isl"))
+    c.join(islands, Seq("doc_id"), "left")
+      .withColumn("isl", coalesce(col("isl"),
+        expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")))
+      .withColumn("keep_toks", expr(
+        """transform(
+          |  filter(sequence(0, size(toks) - 1),
+          |    j -> NOT exists(isl, r -> j >= r.s AND j <= r.e)),
+          |  j -> element_at(toks, CAST(j + 1 AS INT)))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_words"),
+        expr("aggregate(isl, 0L, (acc, r) -> acc + r.e - r.s + 1)").as("dup_words"),
+        size(col("keep_toks")).cast("bigint").as("keep_words"),
+        sha2(concat_ws(" ", col("keep_toks")), 256).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringRemoveOracle: String =
+    s"""WITH corpus AS ($corpusMutantSql),
+       |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+       |      FROM corpus),
+       |spans AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+12], ' ') AS span
+       |  FROM w, unnest(generate_series(1, len(t) - 12)) AS g(i)
+       |  WHERE len(t) >= 13),
+       |freq AS (SELECT span, count(*) AS cnt FROM spans GROUP BY span),
+       |dup AS (SELECT doc_id, pos FROM spans JOIN freq USING (span) WHERE cnt > 1),
+       |isl0 AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos > coalesce(max(pos + 12) OVER (
+       |                PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM dup),
+       |isl1 AS (
+       |  SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+       |  FROM isl0),
+       |islands AS (
+       |  SELECT doc_id, gid, min(pos) AS s, max(pos) + 12 AS e
+       |  FROM isl1 GROUP BY doc_id, gid),
+       |agg AS (
+       |  SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS es,
+       |         CAST(sum(e - s + 1) AS BIGINT) AS dup_words
+       |  FROM islands GROUP BY doc_id),
+       |built AS (
+       |  SELECT w.doc_id,
+       |         CAST(len(w.t) AS BIGINT) AS n_words,
+       |         coalesce(agg.dup_words, 0) AS dup_words,
+       |         list_transform(
+       |           list_filter(generate_series(0, len(w.t) - 1),
+       |             j -> agg.doc_id IS NULL OR len(list_filter(
+       |                    generate_series(1, len(agg.ss)),
+       |                    k -> j >= agg.ss[k] AND j <= agg.es[k])) = 0),
+       |           j -> w.t[CAST(j + 1 AS INTEGER)]) AS keep
+       |  FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id)
+       |SELECT doc_id, n_words, dup_words,
+       |       CAST(len(keep) AS BIGINT) AS keep_words,
+       |       -- DuckDB's array_to_string of an EMPTY list is NULL where
+       |       -- Spark's concat_ws is '' — coalesce so a fully-duplicated
+       |       -- doc hashes the empty string on both engines
+       |       sha256(coalesce(array_to_string(keep, ' '), '')) AS clean_fp
+       |FROM built ORDER BY doc_id""".stripMargin
+
   // ---- dedup decision table ------------------------------------------------
   /** The action stage of dedup: the per-doc keep/drop table a pipeline
     * actually materializes before writing the deduplicated corpus.
@@ -912,6 +1018,7 @@ object PipelineQueries {
     "q66_approx_distinct" -> ((s, d) => approxDistinctChecked(s, d)),
     "q30_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "q74_substring_dedup" -> ((s, d) => substringDedup(s, d)),
+    "q74b_substring_remove" -> ((s, d) => substringRemove(s, d)),
     "q75_dedup_decision" -> ((s, d) => dedupDecision(s, d)),
     "q31_neardup_jaccard" -> ((s, d) => neardupJaccard(s, d)),
     "q32_neardup_minhash" -> ((s, d) => neardupMinhash(s, d)),
@@ -932,6 +1039,7 @@ object PipelineQueries {
     "q66_approx_distinct" -> approxDistinctCheckedOracle,
     "q30_dedup_exact" -> dedupExactOracle,
     "q74_substring_dedup" -> substringDedupOracle,
+    "q74b_substring_remove" -> substringRemoveOracle,
     "q75_dedup_decision" -> dedupDecisionOracle,
     "q31_neardup_jaccard" -> neardupJaccardOracle,
     "q32b_neardup_minhash_md5" -> neardupMinhashPortableOracle,

@@ -48,6 +48,29 @@ class DedupOpsSpec extends SparkSuite {
       s"$missing originals with a ≥13-word mutant report zero duplicated spans")
   }
 
+  test("q74b: island accounting closes and mutants are cut to the bone") {
+    val out = PipelineQueries.substringRemove(spark, sfDir).cache()
+    // the rebuilt text must account for every word: covered + kept = total
+    assert(out.filter(col("dup_words") + col("keep_words") =!= col("n_words"))
+      .count() === 0L, "interval union and rebuild disagree on coverage")
+    // a mutant is a shared prefix: all spans except the last are
+    // duplicated, so removal leaves at most the final word (docs with
+    // < 14 words have ≤ 1 span and may keep everything)
+    val survivors = out.filter(col("doc_id") >= 1000000L && col("n_words") >= 14L)
+      .filter(col("keep_words") > 1L).count()
+    assert(survivors === 0L, s"$survivors mutants kept more than the last word")
+    // no-dup docs keep their exact text (digest matches a direct hash)
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val cleanIds = out.filter(col("dup_words") === 0L).select(col("doc_id"), col("clean_fp"))
+    val mismatched = cleanIds.join(corpus, Seq("doc_id"))
+      .filter(col("clean_fp") !==
+        sha2(concat_ws(" ", expr("filter(split(text, ' '), x -> x != '')")), 256))
+      .count()
+    assert(mismatched === 0L, "an untouched doc's rebuilt text differs from the original")
+    out.unpersist()
+  }
+
   test("q75: kept docs = distinct texts; every drop points at an identical kept doc") {
     val decision = PipelineQueries.dedupDecision(spark, sfDir).cache()
     val corpus = graft.core.Tables.documents(spark, sfDir)
