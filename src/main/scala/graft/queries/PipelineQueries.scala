@@ -579,6 +579,95 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- ANN: SRP-LSH, engine-portable projections ----------------------------
+  /** q36's algorithm with sign-random-projections BOTH engines compute
+    * identically, closing the LSH-family verification set (q32b minhash,
+    * q33b simhash, q36b SRP): 8 deterministic integer hyperplanes
+    * (md5-seeded at plan-build time, inlined as literals into the Spark
+    * plan AND the oracle SQL), embeddings quantized to 2²⁰-scaled
+    * integers — round(x·2²⁰) is exact on both engines since the scale is
+    * a power of two — so every projection sign is INTEGER arithmetic
+    * with no float-rounding divergence to disagree on. 2 × 4-bit bands,
+    * candidates distinct over bare id pairs, exact-cosine top-5 re-rank
+    * (the q17-proven double-parity path). */
+  def annSrpPortable(spark: SparkSession, dir: String): DataFrame = {
+    // deterministic integer hyperplanes in [-100, 100]: first 8 hex chars
+    // of md5("h|d"), mod 201, minus 100 — no RNG, no seed state
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(h: Int, d: Int): Int = {
+      val hex = md.digest(s"$h|$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 201).toInt - 100
+    }
+    val W = (0 until 8).map(h => (0 until 64).map(d => w(h, d)))
+    val wLit = W.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorFns.normL2(col("v")))
+      .withColumn("vq", expr("transform(v, x -> cast(round(x * 1048576) as bigint))"))
+      .withColumn("sig", expr(
+        s"""aggregate(sequence(0, 7), 0L, (acc, h) ->
+           |  acc + IF(aggregate(zip_with(vq, element_at($wLit, CAST(h + 1 AS INT)),
+           |                     (x, wt) -> x * wt), 0L, (a, y) -> a + y) >= 0,
+           |           shiftleft(1L, h), 0L))""".stripMargin))
+      .drop("vq")
+      .cache()
+    val exploded = e.select(col("vec_id"),
+      explode(expr(
+        "array(struct(0 as band, sig & 15 as bkey), struct(1 as band, shiftright(sig, 4) & 15 as bkey))"))
+        .as("bs"))
+      .select(col("vec_id"), col("bs.band"), col("bs.bkey"))
+    val queries = exploded.filter(col("vec_id") < 3)
+      .select(col("band"), col("bkey"), col("vec_id").as("query_id"))
+    val candIds = queries.join(exploded, Seq("band", "bkey"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qvecs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    candIds
+      .join(broadcast(qvecs), Seq("query_id"))
+      .join(e.select(col("vec_id"), col("v"), col("n")), Seq("vec_id"))
+      .withColumn("cosine", VectorFns.safeCosine(VectorFns.dot(col("qv"), col("v")), col("qn"), col("n")))
+      .withColumn("rank", row_number().over(wq).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annSrpPortableOracle: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(h: Int, d: Int): Int = {
+      val hex = md.digest(s"$h|$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 201).toInt - 100
+    }
+    val wLit = (0 until 8).map(h =>
+      (0 until 64).map(d => w(h, d)).mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(generate_series(1, 8), h ->
+       |      CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+       |             i -> CAST(round(v[i] * 1048576) AS BIGINT) * ($wLit)[h][i])) >= 0
+       |           THEN (CAST(1 AS BIGINT) << (h - 1)) ELSE 0 END)) AS BIGINT) AS s
+       |  FROM e),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+       |  FROM sig q JOIN sig c
+       |    ON q.vec_id < 3 AND (
+       |       (q.s & 15) = (c.s & 15) OR ((q.s >> 4) & 15) = ((c.s >> 4) & 15))),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         list_cosine_similarity(q.v, c.v) AS cos,
+       |         row_number() OVER (PARTITION BY cand.query_id
+       |           ORDER BY list_cosine_similarity(q.v, c.v) DESC, cand.vec_id) AS rnk
+       |  FROM cand
+       |  JOIN e q ON q.vec_id = cand.query_id
+       |  JOIN e c ON c.vec_id = cand.vec_id)
+       |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank
+       |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- ANN: product quantization (ADC + re-rank) ---------------------------
   /** PQ ANN: 8 subspaces × 16 centroids over unit-normalized vectors →
     * 8-byte codes (32× compression vs float32); queries score the WHOLE
@@ -1028,6 +1117,7 @@ object PipelineQueries {
     "q34_neardup_embedding" -> ((s, d) => neardupEmbedding(s, d)),
     "q35_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q36_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "q36b_ann_srp_md5" -> ((s, d) => annSrpPortable(s, d)),
     "q38_ann_pq" -> ((s, d) => annPq(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d))
   )
@@ -1044,6 +1134,7 @@ object PipelineQueries {
     "q31_neardup_jaccard" -> neardupJaccardOracle,
     "q32b_neardup_minhash_md5" -> neardupMinhashPortableOracle,
     "q33b_neardup_simhash_md5" -> neardupSimhashPortableOracle,
+    "q36b_ann_srp_md5" -> annSrpPortableOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
     "q35_ann_ivf" -> annIvfOracle
   )
