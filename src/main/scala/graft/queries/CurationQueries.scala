@@ -156,6 +156,42 @@ object CurationQueries {
        |FROM cleaned ORDER BY doc_id""".stripMargin
   }
 
+  /** The 100 TB shape of q70 when the EVAL SUITE itself is huge: a
+    * two-phase bloom-prefiltered decontamination. Phase 1 aggregates the
+    * eval shingles into a Bloom filter (`bloom_filter_agg`, ~1 bit/gram
+    * vs ~10 B/gram for the exact broadcast dictionary) and prefilters the
+    * training gram stream with the codegen `might_contain`; phase 2 runs
+    * the EXACT broadcast join only on the survivors. Bloom filters have
+    * no false negatives, so the output is IDENTICAL to q70 — same DuckDB
+    * oracle, bit-exact — while false positives cost only wasted phase-2
+    * work (bounded by the configured bits/item), never wrong answers.
+    * DecontaminateBloomSpec pins q70b ≡ q70 and the might_contain plan. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), col("toks"))
+    val eval = d.filter(col("doc_id") % 19 === 0)
+    val evalGrams = eval
+      .select(explode(transform(gramsExpr("toks"), g => xxhash64(g))).as("gram")).distinct()
+    // 1 M expected items / 8 M bits ≈ 2% false-positive rate — sized for
+    // the sf1 rung with headroom; at 100 TB this is the knob that trades
+    // bloom size against wasted exact-phase work
+    val bloom = evalGrams.agg(expr("bloom_filter_agg(gram, 1000000L, 8000000L)").as("bf"))
+    val train = d.filter(col("doc_id") % 19 =!= 0)
+      .unionByName(eval.select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        expr("slice(toks, 1, greatest(CAST(floor(size(toks) * 0.9) AS INT), 1))").as("toks")))
+    train
+      .select(col("doc_id"), explode(transform(gramsExpr("toks"), g => xxhash64(g))).as("gram"))
+      .crossJoin(broadcast(bloom))
+      .filter(expr("might_contain(bf, gram)"))
+      .drop("bf")
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared content fingerprint for q72/q72b selection: the first 60 bits
     * of md5(text) as a non-negative BIGINT. Both engines emit identical
     * lowercase md5 hex, so the value is cross-engine exact, and md5 is a
@@ -304,6 +340,7 @@ object CurationQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "q70b_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "q71_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q72_domain_mix" -> ((s, d) => domainMix(s, d)),
     "q72b_domain_mix_hash" -> ((s, d) => domainMixHash(s, d)),
@@ -312,6 +349,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q70_decontaminate" -> decontaminateOracle,
+    "q70b_decontaminate_bloom" -> decontaminateOracle,
     "q71_pii_redact" -> piiRedactOracle,
     "q72_domain_mix" -> domainMixOracle,
     "q72b_domain_mix_hash" -> domainMixHashOracle,

@@ -25,6 +25,22 @@ class CurationQueriesSpec extends SparkSuite {
       s"missed plants: ${(expected -- flagged).take(5)}")
   }
 
+  test("q70b bloom-prefiltered decontamination ≡ exact q70, with might_contain in the plan") {
+    val exact = CurationQueries.decontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloomed = CurationQueries.decontaminateBloom(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact.nonEmpty)
+    // no false negatives (bloom guarantee) AND no false positives (the
+    // exact phase-2 join) ⇒ identical result sets, counts included
+    assert(bloomed === exact)
+    // the prefilter must actually be in the executed plan — otherwise
+    // this is just q70 with extra steps
+    val plan = CurationQueries.decontaminateBloom(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom prefilter missing from plan")
+  }
+
   test("synthetic-id offsets stay clear of genuine doc_ids at every local SF") {
     // q70 plants leaks at doc_id + 2,000,000 and corpusMutant copies at
     // + 1,000,000; a corpus whose real ids reach either offset would
