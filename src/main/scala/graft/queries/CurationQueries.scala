@@ -175,17 +175,27 @@ object CurationQueries {
       .select(explode(transform(gramsExpr("toks"), g => xxhash64(g))).as("gram")).distinct()
     // 1 M expected items / 8 M bits ≈ 2% false-positive rate — sized for
     // the sf1 rung with headroom; at 100 TB this is the knob that trades
-    // bloom size against wasted exact-phase work
-    val bloom = evalGrams.agg(expr("bloom_filter_agg(gram, 1000000L, 8000000L)").as("bf"))
+    // bloom size against wasted exact-phase work. Spark 4.1 keeps
+    // bloom_filter_agg/might_contain in the INTERNAL function registry
+    // (not resolvable from SQL text), so both are constructed directly —
+    // and BloomFilterMightContain requires its filter side to be foldable
+    // or a scalar subquery (the shape Spark's own InjectRuntimeFilter
+    // emits), hence Dataset.scalar() rather than a broadcast crossJoin.
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bloomScalar = evalGrams.agg(
+      Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(col("gram")), CLit(1000000L), CLit(8000000L)
+      ).toAggregateExpression()).as("bf")).scalar()
     val train = d.filter(col("doc_id") % 19 =!= 0)
       .unionByName(eval.select(
         (col("doc_id") + 2000000L).as("doc_id"),
         expr("slice(toks, 1, greatest(CAST(floor(size(toks) * 0.9) AS INT), 1))").as("toks")))
     train
       .select(col("doc_id"), explode(transform(gramsExpr("toks"), g => xxhash64(g))).as("gram"))
-      .crossJoin(broadcast(bloom))
-      .filter(expr("might_contain(bf, gram)"))
-      .drop("bf")
+      .filter(Bridge.column(new BloomFilterMightContain(
+        Bridge.expression(bloomScalar), Bridge.expression(col("gram")))))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_ngrams"))

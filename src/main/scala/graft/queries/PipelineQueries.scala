@@ -977,10 +977,15 @@ object PipelineQueries {
       .withColumn("isl", coalesce(col("isl"),
         expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")))
       .withColumn("keep_toks", expr(
-        """transform(
+        // guard the empty-doc case: sequence(0, -1) counts DOWN to
+        // [0, -1] in Spark (DuckDB's generate_series(0,-1) is empty) and
+        // element_at(toks, 0) then throws at runtime — same footgun
+        // gramsExpr already guards
+        """CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<STRING>) ELSE
+          |transform(
           |  filter(sequence(0, size(toks) - 1),
           |    j -> NOT exists(isl, r -> j >= r.s AND j <= r.e)),
-          |  j -> element_at(toks, CAST(j + 1 AS INT)))""".stripMargin))
+          |  j -> element_at(toks, CAST(j + 1 AS INT))) END""".stripMargin))
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_words"),
         expr("aggregate(isl, 0L, (acc, r) -> acc + r.e - r.s + 1)").as("dup_words"),

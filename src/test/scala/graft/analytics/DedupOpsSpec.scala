@@ -71,6 +71,23 @@ class DedupOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("q74b: empty/whitespace docs survive the rebuild (mutant of a 1-char doc)") {
+    // a 1-char doc's mutant truncates to n_chars*9 DIV 10 = 0 chars → an
+    // empty token array; the rebuild's sequence(0, size-1) would count
+    // DOWN to [0,-1] unguarded and element_at(toks, 0) throws at runtime
+    val dir = java.nio.file.Files.createTempDirectory("graft-shortdoc").toString
+    import spark.implicits._
+    Seq((1L, "x", "en", "src0", 1L),
+        (2L, "alpha beta gamma delta", "en", "src0", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.substringRemove(spark, dir).collect()
+    assert(out.length === 4)
+    val emptyMutant = out.find(_.getLong(0) === 1000001L).get
+    assert(emptyMutant.getLong(1) === 0L, "empty mutant should have 0 words")
+    assert(emptyMutant.getLong(3) === 0L, "empty mutant should keep 0 words")
+  }
+
   test("q75: kept docs = distinct texts; every drop points at an identical kept doc") {
     val decision = PipelineQueries.dedupDecision(spark, sfDir).cache()
     val corpus = graft.core.Tables.documents(spark, sfDir)
