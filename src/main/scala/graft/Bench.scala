@@ -8,16 +8,27 @@ import org.apache.spark.sql.SparkSession
   * the 2×-of-baseline comparison is apples-to-apples.
   *
   * Methodology: each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3,
-  * back-to-back) and reports the per-query MEDIAN, so single-run GC/IO
-  * noise stops masquerading as regressions. A query that throws on any rep
-  * is listed in `errors`, reported as null, and EXCLUDED from the total —
-  * a fast crash must never improve the headline number. */
+  * back-to-back) and reports the per-query MEDIAN; queries whose median
+  * lands under 0.5 s get extra reps (7 total) because at that magnitude
+  * scheduling/JIT noise is the same order as the query itself — the
+  * r5→r6 "3× regressions" on q66/q67/q68 were exactly this. A query that
+  * throws on any rep is listed in `errors`, reported as null, and
+  * EXCLUDED from the total — a fast crash must never improve the headline.
+  *
+  * Round-over-round comparability: the full result line is also written
+  * to BENCH_LOCAL.json (committed per round), and the previous round's
+  * copy — if present — yields `common_with_prev`: subtotals over exactly
+  * the query set measured in BOTH rounds, so new operators never muddy
+  * the like-for-like ladder. */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
+
+  private val smallQueryCutoffSec = 0.5
+  private val smallQueryReps = 7
 
   private def run(cpus: String, sfDir: String, reps: Int)
       : (Double, Seq[(String, Option[Double])], Seq[String]) = {
@@ -33,7 +44,7 @@ object Bench {
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      def rep(): Option[Double] = {
         // each rep pays its own internal .cache() builds — without this,
         // reps 2+ reuse rep 1's CacheManager entries (same logical plan)
         // and cache-heavy queries report a cost no fresh job would see
@@ -41,6 +52,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => errors += name; None }
+      }
+      var times = (1 to reps).flatMap(_ => rep())
+      if (!errors.contains(name) && times.nonEmpty &&
+          median(times) < smallQueryCutoffSec && reps < smallQueryReps) {
+        times = times ++ (reps until smallQueryReps).flatMap(_ => rep())
       }
       name -> (if (errors.contains(name) || times.isEmpty) None
                else Some(median(times)))
@@ -50,10 +66,35 @@ object Bench {
     (total, results, errors.toSeq)
   }
 
+  /** Extract the "queries" object of a prior BENCH_LOCAL.json line without
+    * a JSON library dependency in this tiny main: the file is
+    * self-authored (same printer below), so the shape is fixed. */
+  private def parsePrevQueries(path: java.nio.file.Path, sfDir: String,
+                               cpus: String): Map[String, Double] = {
+    if (!java.nio.file.Files.exists(path)) return Map.empty
+    val s = java.nio.file.Files.readString(path)
+    // only compare like-for-like: same SF dir and same thread count
+    if (!s.contains(s""""sf":"$sfDir"""") || !s.contains(s""""cpus":"$cpus"""))
+      return Map.empty
+    val start = s.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    val body = s.substring(start + 11, s.indexOf('}', start))
+    body.split(",").toSeq.flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, v) if v != "null" =>
+          try Some(k.replace("\"", "") -> v.toDouble)
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val localPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    val prev = parsePrevQueries(localPath, sfDir, cpus)
     val (total, results, errors) = run(cpus, sfDir, reps)
     val extra =
       if (cpus != "4") {
@@ -64,9 +105,22 @@ object Bench {
         val errs4 = e4.map("\"" + _ + "\"").mkString("[", ",", "]")
         s""","local4_total":$t4,"local4_errors":$errs4"""
       } else ""
+    // like-for-like ladder: subtotal over queries measured in BOTH this
+    // run and the previous committed BENCH_LOCAL.json
+    val common = results.collect {
+      case (name, Some(t)) if prev.contains(name) => (name, t, prev(name))
+    }
+    val commonExtra = if (common.nonEmpty) {
+      val now = common.map(_._2).sum
+      val before = common.map(_._3).sum
+      s""","common_with_prev":{"n":${common.length},"total":$now,"prev_total":$before}"""
+    } else ""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":"$cpus","reps":$reps$extra}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":"$cpus","reps":$reps$commonExtra$extra}"""
+    try java.nio.file.Files.writeString(localPath, line + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not kill the bench
+    println(line)
   }
 }

@@ -884,12 +884,17 @@ object PipelineQueries {
     * but still leaks memorizable spans into training.
     *
     * Plan shape at 100 TB: spans travel and group as xxhash64 longs (8
-    * bytes, never the ~100-byte span strings); the global span-frequency
-    * agg and the mark-back join shuffle the SAME (hash)-keyed stream, and
-    * the output is a per-doc rollup — no pair materialization anywhere,
-    * unlike pairwise near-dup. The oracle groups the span STRINGS, so a
-    * 64-bit collision (which would overcount a doc's duplicated spans)
-    * fails the bit-exact gate loudly. */
+    * bytes, never the ~100-byte span strings); per-doc totals come
+    * straight off `size(sphs)` (no join needed), and the span stream is
+    * pre-aggregated to (doc_id, h, n) BEFORE the dup-hash semi join — a
+    * boilerplate span repeated within a doc collapses map-side, and the
+    * cross-doc hot-key residue is a semi-join probe AQE's skew-join can
+    * split (the old mark-back join carried every occurrence row through
+    * one partition per hot h). The frequency agg reuses the same
+    * (doc_id, h) shuffle. No pair materialization anywhere, unlike
+    * pairwise near-dup. The oracle groups the span STRINGS, so a 64-bit
+    * collision (which would overcount a doc's duplicated spans) fails
+    * the bit-exact gate loudly. */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     // span hashes materialize once per doc (cached long array, ~8 B/span);
     // `toks` is a materialized column so the lambda's slice() reads an
@@ -903,12 +908,20 @@ object PipelineQueries {
           |ELSE array() END""".stripMargin))
       .select(col("doc_id"), col("sphs"))
       .cache()
-    val spans = c.select(col("doc_id"), explode(col("sphs")).as("h"))
-    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-    spans.join(freq, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("cnt") > 1L, 1L).otherwise(0L)).as("n_dup_spans"))
+    // (doc_id, h) pre-aggregate: within-doc repeats of a hot span collapse
+    // here (partial agg map-side), so the semi join below probes one row
+    // per (doc, span) instead of one per occurrence
+    val perDocSpan = c.select(col("doc_id"), explode(col("sphs")).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n"))
+    // global frequency reuses the same h-keyed stream (sum of per-doc n)
+    val freq = perDocSpan.groupBy(col("h")).agg(sum(col("n")).as("cnt"))
+    val dupPerDoc = perDocSpan
+      .join(freq.filter(col("cnt") > 1L).select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("n")).as("n_dup_spans"))
+    c.select(col("doc_id"), size(col("sphs")).cast("long").as("n_spans"))
+      .filter(col("n_spans") > 0L)
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
       .withColumn("dup_frac",
         round(col("n_dup_spans") / col("n_spans").cast("double"), 6))
       .orderBy(col("doc_id"))
