@@ -330,6 +330,62 @@ object SourceQueries {
       |  CAST(len(list_filter(generate_series(1, n), i -> (i-1) % 16 = 0)) AS BIGINT) AS n_frames
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // --- q60c: real DOCX ingestion (O2 from genuine bytes, app.py:134-143) ----
+  /** O2 closed from REAL bytes: each doc is materialized as a genuine
+    * .docx (ZIP package + WordprocessingML, Docx.encode) whose paragraphs
+    * are the same 10-token windows q02c models, read back with the
+    * `binaryFile` source, and extracted by the real unzip + StAX XML walk
+    * in Docx.decodeParagraphs. The reassembly (`text += para + "\n"`,
+    * app.py:138-139) reproduces q02c's output exactly, so q02c's oracle
+    * applies VERBATIM — any container bug (zip framing, XML escaping,
+    * namespace handling, paragraph order) breaks the bit-exact match
+    * loudly. Staging follows q60b's content-addressed blob-dir pattern. */
+  def docxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = new java.io.File(dir).getName
+    val src = new java.io.File(s"$dir/documents.parquet")
+    def fingerprint(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fingerprint(c))
+      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
+    val srcKey = java.lang.Long.toHexString(fingerprint(src))
+    val blobRoot = new java.io.File(s"/root/repo/target/blobs_docx_${sfName}_$srcKey")
+    if (!blobRoot.exists()) {
+      val staging = new java.io.File(blobRoot.getParentFile,
+        s".blobs_docx_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      staging.mkdirs()
+      Tables.documents(spark, dir)
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, (size(toks) - 1) div 10), i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))")
+          .as("paras"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, paras) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.docx").toPath,
+              graft.sources.Docx.encode(paras))
+          }
+        }
+      if (!staging.renameTo(blobRoot) && !blobRoot.exists())
+        sys.error(s"could not publish blob dir $blobRoot")
+    }
+    spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.docx", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val paras = graft.sources.Docx.decodeParagraphs(bytes)
+        val text = paras.map(_ + "\n").mkString
+        (id, paras.length.toLong, text.length.toLong, text)
+      }
+      .toDF("doc_id", "n_paras", "n_chars", "doc_text")
+      .orderBy(col("doc_id"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
     "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
@@ -337,7 +393,8 @@ object SourceQueries {
     "q08_collection_lifecycle" -> ((s, d) => collectionLifecycle(s, d)),
     "q23_hybrid_combine" -> ((s, d) => hybridCombine(s, d)),
     "q60_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
-    "q60b_multimodal_binaryfile" -> ((s, d) => multimodalBinaryFiles(s, d))
+    "q60b_multimodal_binaryfile" -> ((s, d) => multimodalBinaryFiles(s, d)),
+    "q60c_docx_roundtrip" -> ((s, d) => docxRoundtrip(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -347,6 +404,9 @@ object SourceQueries {
     "q08_collection_lifecycle" -> collectionLifecycleOracle,
     "q23_hybrid_combine" -> hybridCombineOracle,
     "q60_multimodal_decode" -> multimodalDecodeOracle,
-    "q60b_multimodal_binaryfile" -> multimodalBinaryFilesOracle
+    "q60b_multimodal_binaryfile" -> multimodalBinaryFilesOracle,
+    // the round trip reproduces q02c's extraction contract exactly, so its
+    // oracle applies verbatim — the container codec is the delta under test
+    "q60c_docx_roundtrip" -> paragraphJoinOracle
   )
 }
