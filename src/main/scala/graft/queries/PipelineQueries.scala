@@ -734,6 +734,90 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- ANN: IVF cells of PQ codes (the 100 TB index layout) ----------------
+  /** q35's coarse quantizer composed with q38's fine quantizer — the
+    * IVFADC layout of Jégou et al. 2011 §V, which is how billion-vector
+    * indexes actually ship: vectors live in inverted lists keyed by their
+    * nearest coarse centroid, each stored as an 8-byte PQ code; a query
+    * probes its `nprobe` closest cells and ADC-scans ONLY those cells'
+    * codes, then exact-re-ranks a shortlist. Search cost drops from
+    * |corpus| lookup-sums (q38) to ~nprobe/|cells| of that, with recall
+    * degrading only by cell-miss (repaired by raising nprobe).
+    *
+    * The 100 TB shape: the codes table is written PARTITIONED BY cell
+    * (here: a cell equi-join that AQE turns into a pruned probe — the
+    * local stand-in for partition pruning), the (query, cell) probe set
+    * and ADC tables broadcast, the shortlist shuffles bare
+    * (query, vec_id, adc) triples, and 100 true vectors per query join
+    * back. Rows-only like q38 (float k-means); IvfPqSpec pins rank-1
+    * self-hit, determinism, and the recall floor vs exact. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val dsub = 8; val nprobe = 4
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
+      .cache()
+    // coarse codebook: every 100th vector, same as q35 — unit vectors so
+    // cosine is a bare dot against the broadcast centroid table
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("cdot", VectorFns.dot(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cent_id, struct(cdot, -cent_id))").as("cell"))
+    // fine codebook: q38's subspace split / train / encode, verbatim
+    val sub = e.select(col("vec_id").as("id"),
+      posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $dsub + 1, $dsub))"))
+        .as(Seq("m", "sv")))
+      .cache()
+    val init = sub.filter(col("id") < K)
+      .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+    val cb = graft.vector.Pq.train(sub, init, iters = 3)
+    // the inverted lists: (cell, vec_id, codes) — at scale, parquet
+    // partitioned by cell so a probe reads nprobe directories
+    val invLists = graft.vector.Pq.encode(sub, cb)
+      .withColumnRenamed("id", "vec_id")
+      .join(assigned, Seq("vec_id"))
+    // probe set: each query's nprobe nearest coarse cells (tiny — 3×4
+    // rows — so it broadcasts and the cell join prunes the code scan)
+    val wp = Window.partitionBy("query_id").orderBy(desc("cdot"), asc("cent_id"))
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdot", VectorFns.dot(col("qv"), col("cv")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val qsub = sub.filter(col("id") < 3).withColumnRenamed("id", "query_id")
+    val dt = qsub.join(broadcast(cb), Seq("m"))
+      .withColumn("pd",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code, pd))), s -> s.pd)").as("dts"))
+    val wq = Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))
+    val shortlist = invLists
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(dt), Seq("query_id"))
+      .withColumn("adc",
+        expr(s"aggregate(sequence(0, ${M - 1}), 0D, (acc, m) -> acc + dts[m * $K + codes[m]])"))
+      .withColumn("srank", row_number().over(wq))
+      .filter(col("srank") <= 100)
+      .select(col("query_id"), col("vec_id"), col("cell"), col("adc"))
+    val qvecs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    shortlist
+      .join(broadcast(qvecs), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cosine", VectorFns.dot(col("qv"), col("v"))) // unit vectors
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(col("adc"), 6).as("adc_dist"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- ANN: MLlib LSH cross-check -------------------------------------------
   /** MLlib's `BucketedRandomProjectionLSH.approxSimilarityJoin` against the
     * exact label-blocked pairs of q34, per-label recall as a column
@@ -1137,6 +1221,7 @@ object PipelineQueries {
     "q36_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q36b_ann_srp_md5" -> ((s, d) => annSrpPortable(s, d)),
     "q38_ann_pq" -> ((s, d) => annPq(s, d)),
+    "q39_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d))
   )
 

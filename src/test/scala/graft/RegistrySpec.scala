@@ -15,7 +15,8 @@ class RegistrySpec extends AnyFunSuite {
     "q33_neardup_simhash",  // same
     "q36_ann_lsh",          // same (SRP signatures)
     "q37_ann_mllib",        // MLlib LSH cross-check, recall column spec'd
-    "q38_ann_pq")           // float k-means codebook; PqSpec pins recall + determinism
+    "q38_ann_pq",           // float k-means codebook; PqSpec pins recall + determinism
+    "q39_ann_ivfpq")        // same k-means + IVF; IvfPqSpec pins recall, determinism, cell closure
 
   test("every query has an oracle or a documented rows-only justification") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly

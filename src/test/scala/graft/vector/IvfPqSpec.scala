@@ -1,0 +1,70 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.queries.{PipelineQueries, VectorQueries}
+
+/** q39 IVF+PQ: the composed coarse+fine quantizer must keep q38's
+  * guarantees (self-hit, determinism, recall floor) while actually
+  * restricting the scan to probed cells. */
+class IvfPqSpec extends SparkSuite {
+
+  test("q39: rank-1 is the query itself with cosine 1") {
+    val out = PipelineQueries.annIvfPq(spark, sfDir)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id"), col("cosine")).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "rank-1 is not the query itself")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    }
+  }
+
+  test("q39 output is deterministic run-to-run") {
+    val a = PipelineQueries.annIvfPq(spark, sfDir).collect()
+    val b = PipelineQueries.annIvfPq(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("q39: recall@5 vs exact within cell-miss of q38's floor") {
+    // nprobe=4 probes most of the tiny local cell count, so the composed
+    // index must hold q38's 0.6 floor; at scale recall is tuned by nprobe
+    val ivfpq = PipelineQueries.annIvfPq(spark, sfDir)
+      .select(col("query_id"), col("vec_id"))
+    val exact = VectorQueries.topkCosine(spark, sfDir)
+      .select(col("query_id"), col("vec_id"))
+    val hits = ivfpq.join(exact, Seq("query_id", "vec_id")).count()
+    val total = exact.count()
+    assert(total === 15L)
+    val recall = hits.toDouble / total
+    assert(recall >= 0.6, f"recall@5 $recall%.2f below floor (hits=$hits/$total)")
+  }
+
+  test("q39: every result comes from a probed cell (the scan is pruned)") {
+    // recompute the probe set with the same arithmetic and check closure:
+    // a result outside its query's nprobe cells would mean the cell join
+    // is not actually restricting the ADC scan
+    val out = PipelineQueries.annIvfPq(spark, sfDir)
+      .select(col("query_id"), col("cell")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        graft.functions.VectorFns.l2Normalize(
+          graft.functions.VectorFns.asDouble(col("embedding"))).as("v"))
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy("query_id").orderBy(desc("cdot"), asc("cent_id"))
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdot", graft.functions.VectorFns.dot(col("qv"), col("cv")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= 4)
+      .select(col("query_id"), col("cent_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.subsetOf(probes),
+      s"results from unprobed cells: ${(out -- probes).take(5)}")
+  }
+}
