@@ -386,6 +386,65 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60d: real PDF ingestion (O1 from genuine bytes, app.py:123-132) ----
+  /** O1 closed from REAL bytes: each doc becomes a genuine multi-page PDF
+    * (catalog → page tree → per-page uncompressed BT/Tj/ET content
+    * streams, byte-exact xref — Pdf.encode) with q01's 200-char pages,
+    * read back via `binaryFile`, and extracted by the real object-graph
+    * walk in Pdf.decodePages (trailer /Root → /Pages → /Kids order →
+    * /Contents → text-operator tokenizer). Ordered page concat then
+    * reproduces q01's output exactly, so q01's oracle applies VERBATIM —
+    * any codec bug (xref, string escapes, page order, operator
+    * tokenizing) breaks the bit-exact match loudly. */
+  def pdfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = new java.io.File(dir).getName
+    val src = new java.io.File(s"$dir/documents.parquet")
+    def fingerprint(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fingerprint(c))
+      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
+    val srcKey = java.lang.Long.toHexString(fingerprint(src))
+    val blobRoot = new java.io.File(s"/root/repo/target/blobs_pdf_${sfName}_$srcKey")
+    if (!blobRoot.exists()) {
+      val staging = new java.io.File(blobRoot.getParentFile,
+        s".blobs_pdf_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      staging.mkdirs()
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
+              graft.sources.Pdf.encode(pages))
+          }
+        }
+      if (!staging.renameTo(blobRoot) && !blobRoot.exists())
+        sys.error(s"could not publish blob dir $blobRoot")
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
     "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
@@ -394,7 +453,8 @@ object SourceQueries {
     "q23_hybrid_combine" -> ((s, d) => hybridCombine(s, d)),
     "q60_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
     "q60b_multimodal_binaryfile" -> ((s, d) => multimodalBinaryFiles(s, d)),
-    "q60c_docx_roundtrip" -> ((s, d) => docxRoundtrip(s, d))
+    "q60c_docx_roundtrip" -> ((s, d) => docxRoundtrip(s, d)),
+    "q60d_pdf_roundtrip" -> ((s, d) => pdfRoundtrip(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -407,6 +467,8 @@ object SourceQueries {
     "q60b_multimodal_binaryfile" -> multimodalBinaryFilesOracle,
     // the round trip reproduces q02c's extraction contract exactly, so its
     // oracle applies verbatim — the container codec is the delta under test
-    "q60c_docx_roundtrip" -> paragraphJoinOracle
+    "q60c_docx_roundtrip" -> paragraphJoinOracle,
+    // q60d reproduces q01's extraction contract from real PDF bytes
+    "q60d_pdf_roundtrip" -> pagesConcatOracle
   )
 }
