@@ -348,13 +348,44 @@ object CurationQueries {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- q78: deterministic global shuffle ------------------------------------
+  /** Reproducible training-data shuffle: every epoch-0 data-loader needs
+    * the corpus in a uniform pseudorandom order that is IDENTICAL across
+    * re-runs, resumable mid-epoch, and shard-addressable (worker w reads
+    * shard w). A content-hash sort delivers all three with no RNG state:
+    * shard = fp mod N routes each doc by hash range (shuffle-free routing,
+    * same fingerprint family as q72/q76), pos = rank of fp within the
+    * shard. Re-shuffling per epoch = salt the hash with the epoch number.
+    *
+    * At 100 TB each shard sorts independently (repartition by shard, sort
+    * within partitions — no global sort, no driver bottleneck); the
+    * output (doc_id, shard, pos) is the manifest a data loader consumes. */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("fp"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("fp", expr(fpExpr))
+      .withColumn("shard", pmod(col("fp"), lit(8L)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val globalShuffleOracle: String =
+    s"""WITH f AS (SELECT doc_id, $fpSql AS fp FROM documents)
+       |SELECT doc_id, CAST(fp % 8 AS INTEGER) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY fp % 8
+       |              ORDER BY fp, doc_id) - 1 AS BIGINT) AS pos
+       |FROM f ORDER BY shard, pos""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q70b_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "q71_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q72_domain_mix" -> ((s, d) => domainMix(s, d)),
     "q72b_domain_mix_hash" -> ((s, d) => domainMixHash(s, d)),
-    "q76_train_split" -> ((s, d) => trainSplit(s, d))
+    "q76_train_split" -> ((s, d) => trainSplit(s, d)),
+    "q78_global_shuffle" -> ((s, d) => globalShuffle(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -363,6 +394,7 @@ object CurationQueries {
     "q71_pii_redact" -> piiRedactOracle,
     "q72_domain_mix" -> domainMixOracle,
     "q72b_domain_mix_hash" -> domainMixHashOracle,
-    "q76_train_split" -> trainSplitOracle
+    "q76_train_split" -> trainSplitOracle,
+    "q78_global_shuffle" -> globalShuffleOracle
   )
 }

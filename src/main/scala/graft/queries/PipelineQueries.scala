@@ -545,6 +545,77 @@ object PipelineQueries {
       |SELECT query_id, vec_id, cell, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank
       |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---- semantic dedup over embedding clusters (SemDeDup) -------------------
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public paper): embedding
+    * near-dup pruning made tractable by CLUSTERING first — pairwise
+    * similarity only within a vector's coarse cluster, never corpus-wide.
+    * Cells reuse q35's deterministic coarse quantizer (every 100th vector,
+    * max-cosine assignment, ties to lower id — the oracle-portable
+    * clustering), pairs within a cell at cosine ≥ 0.35 mark the HIGHER
+    * vec_id a duplicate (keep-lowest, the q30/q75 convention; the paper
+    * keeps low-centroid-similarity representatives — same mechanics,
+    * different tie-break).
+    *
+    * The 100 TB shape: the cell equi-join bounds pair blowup to
+    * Σ|cell|² — the whole point of the paper — with [[Blocking]]'s salt
+    * cap as the hot-cell guard (same discipline as q34); only the
+    * (cell)-keyed pair stream shuffles, and the decision table (id, cell,
+    * keep) is the materialized artifact, like q75 for exact dedup. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorFns.normL2(col("v")))
+      .cache()
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("ccos", VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
+      .join(e, Seq("vec_id"))
+    val blocked = graft.analytics.Blocking.saltOversized(
+      assigned, "cell", "vec_id", maxBlock = 1024)
+    val a = blocked.select(col("salted_block"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("n").as("n1"))
+    val b = blocked.select(col("salted_block"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("n").as("n2"))
+    val dups = a.join(b, Seq("salted_block")).filter(col("id1") < col("id2"))
+      .withColumn("cosine",
+        round(VectorFns.safeCosine(VectorFns.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6))
+      .filter(col("cosine") >= 0.35)
+      .groupBy(col("id2"))
+      .agg(count(lit(1)).as("n_dup_lower"))
+      .select(col("id2").as("vec_id"), col("n_dup_lower"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"),
+        col("n_dup_lower").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semDedupOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+      |  assigned AS (
+      |    SELECT vec_id, v, cent_id AS cell FROM (
+      |      SELECT e.vec_id, e.v, cent.cent_id,
+      |             row_number() OVER (PARTITION BY e.vec_id
+      |               ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cent_id) AS crn
+      |      FROM e CROSS JOIN cent) WHERE crn = 1),
+      |  dups AS (
+      |    SELECT b.vec_id, count(*) AS n_dup_lower
+      |    FROM assigned a JOIN assigned b
+      |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+      |    GROUP BY b.vec_id)
+      |SELECT s.vec_id, s.cell,
+      |       CAST(coalesce(d.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+      |       d.vec_id IS NULL AS keep
+      |FROM assigned s LEFT JOIN dups d USING (vec_id)
+      |ORDER BY s.vec_id""".stripMargin
+
   // ---- ANN: SRP-LSH buckets ------------------------------------------------
   /** LSH-bucketed ANN: 8-bit sign-random-projection signatures, 2 × 4-bit
     * bands; candidates = bucket collisions (self-match guaranteed — the
@@ -1222,6 +1293,7 @@ object PipelineQueries {
     "q36b_ann_srp_md5" -> ((s, d) => annSrpPortable(s, d)),
     "q38_ann_pq" -> ((s, d) => annPq(s, d)),
     "q39_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
+    "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d))
   )
 
@@ -1239,6 +1311,7 @@ object PipelineQueries {
     "q33b_neardup_simhash_md5" -> neardupSimhashPortableOracle,
     "q36b_ann_srp_md5" -> annSrpPortableOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
-    "q35_ann_ivf" -> annIvfOracle
+    "q35_ann_ivf" -> annIvfOracle,
+    "q77_semdedup" -> semDedupOracle
   )
 }

@@ -88,6 +88,20 @@ class DedupOpsSpec extends SparkSuite {
     assert(emptyMutant.getLong(3) === 0L, "empty mutant should keep 0 words")
   }
 
+  test("q77: semantic dedup decisions are cell-closed and keep-lowest") {
+    val out = PipelineQueries.semDedup(spark, sfDir).cache()
+    // keep ⟺ no lower-id near-dup partner in the cell
+    assert(out.filter(col("keep") =!= (col("n_dup_lower") === 0L)).count() === 0L)
+    // the lowest vec_id of every cell has no lower partner → always kept
+    val cellMins = out.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+    val droppedMins = cellMins.join(out.filter(!col("keep")), Seq("vec_id")).count()
+    assert(droppedMins === 0L, "a cell's lowest vec_id was dropped")
+    // every vector gets exactly one decision row
+    val n = graft.core.Tables.embeddings(spark, sfDir).count()
+    assert(out.count() === n)
+    out.unpersist()
+  }
+
   test("q75: kept docs = distinct texts; every drop points at an identical kept doc") {
     val decision = PipelineQueries.dedupDecision(spark, sfDir).cache()
     val corpus = graft.core.Tables.documents(spark, sfDir)

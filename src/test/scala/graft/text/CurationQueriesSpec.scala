@@ -125,6 +125,24 @@ class CurationQueriesSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("q78: shuffle is a permutation — dense per-shard positions, all docs, reproducible") {
+    val out = CurationQueries.globalShuffle(spark, sfDir).cache()
+    val n = graft.core.Tables.documents(spark, sfDir).count()
+    assert(out.count() === n, "shuffle dropped or duplicated docs")
+    assert(out.select(col("doc_id")).distinct().count() === n)
+    // positions are dense 0..|shard|-1 within every shard
+    val bad = out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("cnt"), max(col("pos")).as("mx"),
+        countDistinct(col("pos")).as("dp"))
+      .filter(col("mx") =!= col("cnt") - 1 || col("dp") =!= col("cnt"))
+      .count()
+    assert(bad === 0L, "per-shard positions are not dense ranks")
+    // content-hash ordering: a second run is bit-identical
+    assert(out.collect().toSeq ===
+      CurationQueries.globalShuffle(spark, sfDir).collect().toSeq)
+    out.unpersist()
+  }
+
   test("domain mix: selection is reproducible across runs") {
     val a = CurationQueries.domainMix(spark, sfDir).collect().toSeq
     val b = CurationQueries.domainMix(spark, sfDir).collect().toSeq
