@@ -14,6 +14,9 @@ import org.apache.spark.sql.types._
   *     the same shape as the reference's real parsers (PyMuPDF page text
   *     at app.py:123-132, docx at app.py:134-143), implemented against
   *     the public RIFF/WAVE layout with no native deps.
+  *   - PNG payloads go through the REAL pure-JVM image codec in [[Png]]:
+  *     chunk walk with CRC verification, zlib inflate, five-filter
+  *     scanline reconstruction — pixels come back as the sample stream.
   *   - Anything else is treated as an opaque sample stream (unsigned byte
   *     values) — the fallback for payload types whose codecs genuinely
   *     aren't in this container (JPEG/MP3/H.264), keeping downstream
@@ -116,10 +119,12 @@ object Multimodal {
     samples
   }
 
-  /** Decode dispatch: real WAV codec for RIFF/WAVE payloads, opaque
-    * bytes-as-samples for formats without an offline codec. */
+  /** Decode dispatch: real WAV codec for RIFF/WAVE payloads, real PNG
+    * codec for PNG payloads, opaque bytes-as-samples for formats without
+    * an offline codec. */
   private[graft] def decodeSamples(bytes: Array[Byte]): Array[Int] =
     if (isWav(bytes)) decodeWavPcm16(bytes)
+    else if (Png.isPng(bytes)) Png.decodeToSamples(bytes)
     else bytes.map(b => b & 0xff)
 
   /** "Resize": average-pool the sample stream into 8 equal segments

@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Real PNG image codec, pure JVM (java.util.zip — no native deps).
+  *
+  * Implements the public PNG specification (RFC 2083 / ISO 15948): the
+  * 8-byte signature, big-endian length-framed chunks with CRC-32 over
+  * type+data, IHDR geometry, zlib-wrapped IDAT scanlines with the five
+  * per-row filter types (None/Sub/Up/Average/Paeth), and tEXt ancillary
+  * metadata. Supported pixel layouts: 8-bit grayscale (color type 0) and
+  * 8-bit RGB (color type 2) — anything else fails LOUDLY, like the WAV
+  * ([[Multimodal]]), DOCX ([[Docx]]) and PDF ([[Pdf]]) codecs: a silently
+  * mis-decoded image is a corpus poison no downstream filter can catch.
+  *
+  * This closes the "image" leg of the multimodal mandate the way q60b/
+  * q60c/q60d closed audio and the document containers: the blob is a
+  * genuine standards-shaped file, and every container detail (chunk
+  * framing, CRC, inflate, unfiltering incl. the Paeth predictor, padding
+  * trim via tEXt) sits under the bit-exact oracle gate.
+  */
+object Png {
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Key of the tEXt chunk carrying the unpadded sample count: PNG rows
+    * are rectangular, so a stream that isn't a multiple of the row width
+    * pads the last row with zeros; the decoder trims back to this. */
+  private[graft] val LenKey = "graft-len"
+
+  private[graft] def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == Signature(i))
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def chunk(out: ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    out.write(be32(data.length))
+    val t = typ.getBytes("US-ASCII")
+    out.write(t)
+    out.write(data)
+    val crc = new CRC32
+    crc.update(t)
+    crc.update(data)
+    out.write(be32(crc.getValue.toInt))
+  }
+
+  private def zlibDeflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED)
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def zlibInflate(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater
+    inf.setInput(comp)
+    val out = new Array[Byte](expected)
+    var n = 0
+    while (n < expected && !inf.finished()) {
+      val got = inf.inflate(out, n, expected - n)
+      require(got > 0 || inf.finished() || !inf.needsInput(),
+        "corrupt PNG: IDAT stream truncated")
+      n += got
+    }
+    inf.end()
+    require(n == expected, s"corrupt PNG: inflated $n bytes, expected $expected")
+    out
+  }
+
+  /** Paeth predictor (PNG spec §6.6) — exact integer form. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode samples as an 8-bit PNG. `channels` 1 = grayscale, 3 = RGB
+    * (samples interleaved). Each sample must fit a byte. The last row is
+    * zero-padded to `width`; the true count rides in a tEXt chunk. Rows
+    * cycle through all five filter types so a decoder round-trip
+    * exercises every unfilter path, not just the one the encoder likes. */
+  def encode(samples: Array[Int], width: Int = 64, channels: Int = 1): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels $channels: 1 or 3")
+    require(width > 0, "width must be positive")
+    val bpp = channels
+    val rowBytes = width * bpp
+    val height = math.max(1, (samples.length + rowBytes - 1) / rowBytes)
+    val px = new Array[Byte](height * rowBytes)
+    var i = 0
+    while (i < samples.length) {
+      require(samples(i) >= 0 && samples(i) <= 255, s"sample ${samples(i)} exceeds a byte")
+      px(i) = samples(i).toByte
+      i += 1
+    }
+    // filter each scanline: raw(x) relative to a=left, b=up, c=up-left
+    val raw = new ByteArrayOutputStream(height * (rowBytes + 1))
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      raw.write(ft)
+      var x = 0
+      while (x < rowBytes) {
+        val v = px(y * rowBytes + x) & 0xff
+        val a = if (x >= bpp) px(y * rowBytes + x - bpp) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * rowBytes + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) px((y - 1) * rowBytes + x - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - (a + b) / 2
+          case 4 => v - paeth(a, b, c)
+        }
+        raw.write(f & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream(raw.size() / 2 + 128)
+    out.write(Signature)
+    val ihdr = new ByteArrayOutputStream(13)
+    ihdr.write(be32(width)); ihdr.write(be32(height))
+    ihdr.write(8)                                  // bit depth
+    ihdr.write(if (channels == 1) 0 else 2)        // color type
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)    // compression/filter/interlace
+    chunk(out, "IHDR", ihdr.toByteArray)
+    chunk(out, "tEXt",
+      (LenKey + "\u0000" + samples.length.toString).getBytes("ISO-8859-1"))
+    chunk(out, "IDAT", zlibDeflate(raw.toByteArray))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decoded image: geometry plus the unfiltered (and, when a graft-len
+    * tEXt chunk is present, unpadded) interleaved samples. */
+  final case class Image(width: Int, height: Int, channels: Int, samples: Array[Int])
+
+  /** Real PNG decode: signature check, chunk walk with CRC-32 verified on
+    * EVERY chunk, IHDR validation (8-bit, color type 0 or 2, no
+    * interlace), multi-IDAT zlib inflate, per-row unfilter of all five
+    * filter types, tEXt padding trim. Corrupt framing, a bad CRC, a
+    * truncated IDAT, or an unsupported layout all throw. */
+  def decode(bytes: Array[Byte]): Image = {
+    require(isPng(bytes), "not a PNG payload")
+    var off = 8
+    var width = -1; var height = -1; var channels = -1
+    var trueLen = -1
+    val idat = new ByteArrayOutputStream(bytes.length)
+    var sawEnd = false
+    while (!sawEnd) {
+      require(off + 8 <= bytes.length, "corrupt PNG: chunk header overruns payload")
+      val len = readBe32(bytes, off)
+      require(len >= 0 && off + 12 + len.toLong <= bytes.length,
+        s"corrupt PNG: chunk length $len overruns payload")
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val crc = new CRC32
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == readBe32(bytes, off + 8 + len),
+        s"corrupt PNG: CRC mismatch on $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"corrupt PNG: IHDR length $len")
+          width = readBe32(bytes, off + 8)
+          height = readBe32(bytes, off + 12)
+          val depth = bytes(off + 16) & 0xff
+          val color = bytes(off + 17) & 0xff
+          val interlace = bytes(off + 20) & 0xff
+          require(depth == 8 && (color == 0 || color == 2) && interlace == 0,
+            s"unsupported PNG layout (depth=$depth color=$color interlace=$interlace); " +
+              "only 8-bit grayscale/RGB non-interlaced is implemented")
+          channels = if (color == 0) 1 else 3
+          require(width > 0 && height > 0, s"corrupt PNG: geometry ${width}x$height")
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "tEXt" =>
+          val txt = new String(bytes, off + 8, len, "ISO-8859-1")
+          val nul = txt.indexOf('\u0000')
+          if (nul >= 0 && txt.substring(0, nul) == LenKey)
+            trueLen = txt.substring(nul + 1).toInt
+        case "IEND" => sawEnd = true
+        case _      => () // other ancillary chunks — skip
+      }
+      off += 12 + len
+    }
+    require(width > 0, "corrupt PNG: no IHDR chunk")
+    require(idat.size() > 0, "corrupt PNG: no IDAT chunk")
+    val bpp = channels
+    val rowBytes = width * bpp
+    val raw = zlibInflate(idat.toByteArray, height * (rowBytes + 1))
+    val px = new Array[Byte](height * rowBytes)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (rowBytes + 1)) & 0xff
+      require(ft <= 4, s"corrupt PNG: filter type $ft on row $y")
+      var x = 0
+      while (x < rowBytes) {
+        val f = raw(y * (rowBytes + 1) + 1 + x) & 0xff
+        val a = if (x >= bpp) px(y * rowBytes + x - bpp) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * rowBytes + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) px((y - 1) * rowBytes + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 => f + paeth(a, b, c)
+        }
+        px(y * rowBytes + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val n = if (trueLen >= 0) {
+      require(trueLen <= px.length, s"corrupt PNG: $LenKey $trueLen exceeds ${px.length} pixels")
+      trueLen
+    } else px.length
+    Image(width, height, channels, Array.tabulate(n)(i => px(i) & 0xff))
+  }
+
+  /** Decode-to-sample-stream entry for [[Multimodal.decodeSamples]]'s
+    * dispatch: interleaved channel bytes in row-major order, padding
+    * trimmed — so a PNG whose pixels are a text's bytes decodes back to
+    * exactly those byte values. */
+  private[graft] def decodeToSamples(bytes: Array[Byte]): Array[Int] =
+    decode(bytes).samples
+}
