@@ -1,0 +1,281 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for staged blob directories (`graftblob`) —
+  * the reference's upload directory (app.py:162-164) as a first-class
+  * Spark table instead of a pre-pass that copies bytes into parquet.
+  *
+  * Table shape: one row per `doc_<id>.<ext>` file with columns
+  * `(doc_id LONG, ext STRING, length LONG, content BINARY)`.
+  *
+  * Designed for the 100 TB listing, not just the local dir:
+  *
+  *   - '''Filter pushdown at PLANNING time''': `doc_id` comparisons and
+  *     `ext` equality are evaluated against the file listing — filtered
+  *     files never become input partitions, so a `doc_id < k` probe over
+  *     a million-blob directory schedules only the matching files
+  *     (`SupportsPushDownFilters`; the pushed set is echoed in the scan
+  *     description and re-checked by nothing downstream, so the listing
+  *     filter MUST be exact — it is, because both columns derive from
+  *     the file name alone).
+  *   - '''Column pruning to the byte level''': when `content` is pruned
+  *     (`SupportsPushDownRequiredColumns`), the reader never opens the
+  *     file — a metadata query (`count`, `doc_id` ranges, size rollups)
+  *     over a blob lake does zero data I/O.
+  *   - '''Size-packed splits''': files pack into input partitions by
+  *     cumulative size (`maxPartitionBytes` option, default 128 MiB) —
+  *     many small blobs share a task, a huge blob gets its own, the
+  *     per-task work is even without a shuffle.
+  *   - '''Two-phase-commit writes''' ([[BlobBatchWrite]]): task output
+  *     is invisible until the driver's job commit renames it into
+  *     place — failed or speculated tasks never leave observable blobs.
+  */
+class BlobDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graftblob"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BlobDataSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graftblob requires a path option")
+    new BlobTable(path)
+  }
+}
+
+object BlobDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("ext", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  private val FileName = "doc_(\\d+)\\.([A-Za-z0-9]+)".r
+
+  /** One listed blob; `path` (not a File handle) so partitions serialize. */
+  final case class BlobFile(path: String, docId: Long, ext: String, size: Long)
+
+  /** List `doc_*.<ext>` files under `dir`; other names are ignored the
+    * way a parquet scan ignores non-data files. */
+  def listBlobs(dir: String): Array[BlobFile] = {
+    val root = new java.io.File(dir)
+    require(root.isDirectory, s"graftblob path $dir is not a directory")
+    root.listFiles().iterator.flatMap { f =>
+      f.getName match {
+        case FileName(id, ext) => Some(BlobFile(f.getAbsolutePath, id.toLong, ext, f.length()))
+        case _                 => None
+      }
+    }.toArray.sortBy(_.docId)
+  }
+
+  /** Exact listing-time evaluation of the pushable filter set. */
+  def accepts(f: BlobFile, filters: Seq[Filter]): Boolean = filters.forall {
+    case sources.EqualTo("doc_id", v: Number)            => f.docId == v.longValue()
+    case sources.LessThan("doc_id", v: Number)           => f.docId < v.longValue()
+    case sources.LessThanOrEqual("doc_id", v: Number)    => f.docId <= v.longValue()
+    case sources.GreaterThan("doc_id", v: Number)        => f.docId > v.longValue()
+    case sources.GreaterThanOrEqual("doc_id", v: Number) => f.docId >= v.longValue()
+    case sources.In("doc_id", vs)                        => vs.exists(v => f.docId == v.asInstanceOf[Number].longValue())
+    case sources.EqualTo("ext", v)                       => f.ext == String.valueOf(v)
+    case _                                               => true // not pushed — never reaches here
+  }
+
+  /** True iff the filter is one [[accepts]] evaluates exactly. */
+  def pushable(f: Filter): Boolean = f match {
+    case sources.EqualTo("doc_id", _: Number) | sources.LessThan("doc_id", _: Number) |
+        sources.LessThanOrEqual("doc_id", _: Number) | sources.GreaterThan("doc_id", _: Number) |
+        sources.GreaterThanOrEqual("doc_id", _: Number) => true
+    case sources.In("doc_id", vs) => vs.forall(_.isInstanceOf[Number])
+    case sources.EqualTo("ext", v) => v.isInstanceOf[String]
+    case _ => false
+  }
+}
+
+private[sources] class BlobTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = s"graftblob($path)"
+  override def schema(): StructType = BlobDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BlobScanBuilder(path, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new BlobWriteBuilder(path, info.schema())
+}
+
+private[sources] class BlobScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = BlobDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(BlobDataSource.pushable)
+    pushed = sup
+    unsup // Spark keeps evaluating these above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val maxBytes = Option(options.get("maxPartitionBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    new BlobScan(path, required, pushed, maxBytes)
+  }
+}
+
+private[sources] class BlobScan(
+    path: String, required: StructType, pushed: Array[Filter], maxBytes: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graftblob $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = BlobDataSource.listBlobs(path)
+      .filter(BlobDataSource.accepts(_, pushed.toSeq))
+    // size-packed splits: cumulative first-fit in doc_id order — the
+    // listing is already sorted, so partitions stay range-friendly
+    val parts = Array.newBuilder[InputPartition]
+    var bin = Vector.empty[BlobDataSource.BlobFile]
+    var binBytes = 0L
+    files.foreach { f =>
+      if (bin.nonEmpty && binBytes + f.size > maxBytes) {
+        parts += BlobInputPartition(bin.toArray); bin = Vector.empty; binBytes = 0L
+      }
+      bin :+= f; binBytes += f.size
+    }
+    if (bin.nonEmpty) parts += BlobInputPartition(bin.toArray)
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlobReaderFactory(required)
+}
+
+private[sources] case class BlobInputPartition(files: Array[BlobDataSource.BlobFile])
+    extends InputPartition
+
+/** Blob sink with a real two-phase commit — the reference's temp-file
+  * spool (app.py:162-164) done the way a 1000-executor job must: each
+  * task writes `.<final>.<uuid>.tmp` files (invisible to concurrent
+  * readers, whose listing matches only `doc_*.<ext>`), its commit
+  * message lists the temp→final pairs, and only the DRIVER's job commit
+  * renames them into place — a failed/speculated task's output is never
+  * observed, and abort deletes its temps. Appends carry the full table
+  * schema (Spark's output resolver requires it); `length` is accepted
+  * and IGNORED — it is file metadata, re-derived from the blob on every
+  * read, so a writer passes `length(content)` or a literal. */
+private[sources] class BlobWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BlobBatchWrite(path, schema)
+  }
+}
+
+private[sources] case class BlobCommit(pairs: Seq[(String, String)])
+    extends WriterCommitMessage
+
+private[sources] class BlobBatchWrite(path: String, schema: StructType)
+    extends BatchWrite {
+  require(Seq("doc_id", "ext", "content").forall(schema.fieldNames.contains),
+    s"graftblob write needs (doc_id, ext, content); got ${schema.simpleString}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new BlobWriterFactory(path, schema.fieldIndex("doc_id"),
+      schema.fieldIndex("ext"), schema.fieldIndex("content"))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { m =>
+      m.asInstanceOf[BlobCommit].pairs.foreach { case (tmp, fin) =>
+        val t = new java.io.File(path, tmp)
+        if (!t.renameTo(new java.io.File(path, fin)))
+          sys.error(s"graftblob commit: could not publish $tmp -> $fin")
+      }
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.filter(_ != null).foreach {
+      case BlobCommit(pairs) =>
+        pairs.foreach { case (tmp, _) => new java.io.File(path, tmp).delete() }
+      case _ => ()
+    }
+}
+
+private[sources] class BlobWriterFactory(path: String, idIdx: Int, extIdx: Int, cIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    new DataWriter[InternalRow] {
+      private val dir = new java.io.File(path)
+      dir.mkdirs()
+      private var pairs = Vector.empty[(String, String)]
+      override def write(row: InternalRow): Unit = {
+        val id = row.getLong(idIdx)
+        val ext = row.getUTF8String(extIdx).toString
+        val fin = f"doc_$id%06d.$ext"
+        // attempt id in the temp name: a speculated twin task never
+        // collides, and only one twin's commit message reaches commit()
+        val tmp = s".$fin.$taskId.tmp"
+        java.nio.file.Files.write(
+          new java.io.File(dir, tmp).toPath, row.getBinary(cIdx))
+        pairs :+= (tmp, fin)
+      }
+      override def commit(): WriterCommitMessage = BlobCommit(pairs)
+      override def abort(): Unit =
+        pairs.foreach { case (tmp, _) => new java.io.File(dir, tmp).delete() }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] class BlobReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition.asInstanceOf[BlobInputPartition].files
+    // byte-level pruning: file bytes load ONLY when content is projected
+    val needContent = required.fieldNames.contains("content")
+    val fields = required.fieldNames
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < files.length }
+      override def get(): InternalRow = {
+        val f = files(i)
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "doc_id"  => f.docId
+          case "ext"     => UTF8String.fromString(f.ext)
+          case "length"  => f.size
+          case "content" =>
+            if (needContent) java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f.path))
+            else null
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
