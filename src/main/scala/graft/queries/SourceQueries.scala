@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.{Collections, Multimodal}
+import graft.sources.{Collections, Multimodal, Png}
 
 /** Source/sink-shaped operators (SURVEY §2.1): ordered page reassembly
   * (O1/O2 analog), hybrid full-outer combine (O24), and the multimodal
@@ -256,6 +256,36 @@ object SourceQueries {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** Content-addressed blob staging (the q60b pattern, shared by every
+    * real-container round trip): the source parquet's (name, length,
+    * mtime) fingerprint plus a format tag key the cache dir — a
+    * regenerated source or a changed blob format misses the cache, a
+    * re-run hits it. `populate` runs the distributed write (a Spark job
+    * with a foreachPartition file sink) into a temp dir, which is then
+    * published with an atomic rename; if a concurrent run won the rename,
+    * theirs is used. On a cluster the blob dir would be DFS; local-mode
+    * it's a shared local dir. */
+  private def stagedBlobs(dir: String, fmt: String)(populate: java.io.File => Unit): java.io.File = {
+    val sfName = new java.io.File(dir).getName
+    val src = new java.io.File(s"$dir/documents.parquet")
+    def fingerprint(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fingerprint(c))
+      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
+    val srcKey = java.lang.Long.toHexString(fingerprint(src))
+    val blobRoot = new java.io.File(s"/root/repo/target/blobs_${fmt}_${sfName}_$srcKey")
+    if (!blobRoot.exists()) {
+      val staging = new java.io.File(blobRoot.getParentFile,
+        s".blobs_${fmt}_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      staging.mkdirs()
+      populate(staging)
+      if (!staging.renameTo(blobRoot) && !blobRoot.exists())
+        sys.error(s"could not publish blob dir $blobRoot")
+    }
+    blobRoot
+  }
+
   // --- q60b: real binaryFile ingestion (D8, app.py:162-164) -----------------
   /** The upload path closed for real: each doc is materialized as a
     * genuine WAV file (16-bit PCM mono, samples = the text's byte values;
@@ -270,25 +300,7 @@ object SourceQueries {
     * would be DFS; local-mode it's a shared local dir. */
   def multimodalBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sfName = new java.io.File(dir).getName
-    // the source parquet's (length, mtime) fingerprint keys the cache dir —
-    // a regenerated set of the same byte size still misses the cache. The
-    // source may be a single file or a directory-style parquet; fold over
-    // every part file so both layouts fingerprint correctly.
-    val src = new java.io.File(s"$dir/documents.parquet")
-    def fingerprint(f: java.io.File): Long =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
-          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fingerprint(c))
-      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
-    val srcKey = java.lang.Long.toHexString(fingerprint(src))
-    // `wav` in the dir name versions the blob FORMAT: a cache dir staged
-    // by the older raw-bytes layout must miss, not half-match
-    val blobRoot = new java.io.File(s"/root/repo/target/blobs_wav_${sfName}_$srcKey")
-    if (!blobRoot.exists()) {
-      val staging = new java.io.File(blobRoot.getParentFile,
-        s".blobs_wav_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      staging.mkdirs()
+    val blobRoot = stagedBlobs(dir, "wav") { staging =>
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])]
@@ -300,9 +312,6 @@ object SourceQueries {
               Multimodal.encodeWavPcm16(samples))
           }
         }
-      // publish atomically; if a concurrent run won the rename, use theirs
-      if (!staging.renameTo(blobRoot) && !blobRoot.exists())
-        sys.error(s"could not publish blob dir $blobRoot")
     }
     val blobs = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
       .select(
@@ -340,21 +349,10 @@ object SourceQueries {
     * applies VERBATIM — any container bug (zip framing, XML escaping,
     * namespace handling, paragraph order) breaks the bit-exact match
     * loudly. Staging follows q60b's content-addressed blob-dir pattern. */
-  def docxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage (and cache) the genuine .docx blob dir shared by q60c/q79. */
+  private def docxBlobRoot(spark: SparkSession, dir: String): java.io.File = {
     import spark.implicits._
-    val sfName = new java.io.File(dir).getName
-    val src = new java.io.File(s"$dir/documents.parquet")
-    def fingerprint(f: java.io.File): Long =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
-          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fingerprint(c))
-      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
-    val srcKey = java.lang.Long.toHexString(fingerprint(src))
-    val blobRoot = new java.io.File(s"/root/repo/target/blobs_docx_${sfName}_$srcKey")
-    if (!blobRoot.exists()) {
-      val staging = new java.io.File(blobRoot.getParentFile,
-        s".blobs_docx_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      staging.mkdirs()
+    stagedBlobs(dir, "docx") { staging =>
       Tables.documents(spark, dir)
         .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
         .filter(size(col("toks")) > 0)
@@ -369,9 +367,12 @@ object SourceQueries {
               graft.sources.Docx.encode(paras))
           }
         }
-      if (!staging.renameTo(blobRoot) && !blobRoot.exists())
-        sys.error(s"could not publish blob dir $blobRoot")
     }
+  }
+
+  def docxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = docxBlobRoot(spark, dir)
     spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.docx", 1).cast("long").as("doc_id"),
@@ -398,19 +399,7 @@ object SourceQueries {
     * tokenizing) breaks the bit-exact match loudly. */
   def pdfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sfName = new java.io.File(dir).getName
-    val src = new java.io.File(s"$dir/documents.parquet")
-    def fingerprint(f: java.io.File): Long =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
-          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fingerprint(c))
-      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
-    val srcKey = java.lang.Long.toHexString(fingerprint(src))
-    val blobRoot = new java.io.File(s"/root/repo/target/blobs_pdf_${sfName}_$srcKey")
-    if (!blobRoot.exists()) {
-      val staging = new java.io.File(blobRoot.getParentFile,
-        s".blobs_pdf_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      staging.mkdirs()
+    val blobRoot = stagedBlobs(dir, "pdf") { staging =>
       Tables.documents(spark, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), expr(
@@ -424,8 +413,6 @@ object SourceQueries {
               graft.sources.Pdf.encode(pages))
           }
         }
-      if (!staging.renameTo(blobRoot) && !blobRoot.exists())
-        sys.error(s"could not publish blob dir $blobRoot")
     }
     val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
       .select(
@@ -445,6 +432,87 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60e: real PNG ingestion (the image leg of the multimodal mandate) --
+  /** The image path closed from REAL bytes: each doc is materialized as a
+    * genuine PNG (8-bit grayscale, pixels = the text's byte values, rows
+    * cycling all five scanline filters — Png.encode), read back with the
+    * `binaryFile` source, and decoded by the REAL PNG codec in
+    * Multimodal.decodeSamples' dispatch: chunk walk with CRC-32 verified,
+    * multi-IDAT zlib inflate, per-row unfilter (incl. the Paeth
+    * predictor), tEXt padding trim. Because the decoded pixels equal the
+    * text bytes, q60's full ord()-code oracle (8 pooled buckets + frame
+    * checksum) applies VERBATIM — any codec bug (CRC, inflate, filter
+    * reconstruction, padding) breaks the bit-exact match loudly. */
+  def pngRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "png") { staging =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+          it.foreach { case (id, bytes) =>
+            val samples = (if (bytes == null) Array.empty[Byte] else bytes).map(b => b & 0xff)
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.png").toPath,
+              Png.encode(samples))
+          }
+        }
+    }
+    val blobs = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        col("content"))
+    val feats = Multimodal.extractFeatures(blobs)
+    feats.select(
+      col("doc_id"), col("n_samples"),
+      round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+      round(col("b2"), 6).as("b2"), round(col("b3"), 6).as("b3"),
+      round(col("b4"), 6).as("b4"), round(col("b5"), 6).as("b5"),
+      round(col("b6"), 6).as("b6"), round(col("b7"), 6).as("b7"),
+      col("frame_checksum"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- q79: DSv2 blob connector scan with pushdown --------------------------
+  /** The staged .docx lake read through the `graftblob` DataSource V2
+    * connector ([[graft.sources.BlobDataSource]]) instead of `binaryFile`:
+    * the `doc_id < 250 AND ext = 'docx'` predicate pushes INTO the
+    * connector and prunes at the file LISTING — non-matching blobs never
+    * become input partitions, the 100 TB behavior a generic binaryFile
+    * scan can't give (it lists everything, then filters rows). The
+    * surviving files' bytes flow through the same real DOCX codec as
+    * q60c, so the oracle is q02c's contract restricted to the pushed
+    * doc_id range — connector listing, filter arithmetic, split packing
+    * and byte delivery all under the bit-exact gate. Plan-level pushdown
+    * (filters echoed in the scan, no content I/O when pruned) is
+    * spec-asserted in BlobDataSourceSpec. */
+  def dsv2BlobScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = docxBlobRoot(spark, dir)
+    spark.read.format("graftblob")
+      // local blobs are KiB-sized; a 256 KiB target yields real multi-file
+      // packing at sf0.01 instead of one split holding everything
+      .option("maxPartitionBytes", (256L * 1024).toString)
+      .load(blobRoot.getAbsolutePath)
+      .filter(col("doc_id") < 250 && col("ext") === "docx")
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val paras = graft.sources.Docx.decodeParagraphs(bytes)
+        val text = paras.map(_ + "\n").mkString
+        (id, paras.length.toLong, text.length.toLong, text)
+      }
+      .toDF("doc_id", "n_paras", "n_chars", "doc_text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q02c's contract over the pushed range: same paragraph reassembly,
+    * doc_id < 250. */
+  val dsv2BlobScanOracle: String =
+    paragraphJoinOracle.replace(
+      "FROM t WHERE len(toks) > 0",
+      "FROM t WHERE len(toks) > 0 AND doc_id < 250")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
     "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
@@ -454,7 +522,9 @@ object SourceQueries {
     "q60_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
     "q60b_multimodal_binaryfile" -> ((s, d) => multimodalBinaryFiles(s, d)),
     "q60c_docx_roundtrip" -> ((s, d) => docxRoundtrip(s, d)),
-    "q60d_pdf_roundtrip" -> ((s, d) => pdfRoundtrip(s, d))
+    "q60d_pdf_roundtrip" -> ((s, d) => pdfRoundtrip(s, d)),
+    "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
+    "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -469,6 +539,10 @@ object SourceQueries {
     // oracle applies verbatim — the container codec is the delta under test
     "q60c_docx_roundtrip" -> paragraphJoinOracle,
     // q60d reproduces q01's extraction contract from real PDF bytes
-    "q60d_pdf_roundtrip" -> pagesConcatOracle
+    "q60d_pdf_roundtrip" -> pagesConcatOracle,
+    // q60e's decoded pixels equal the text bytes, so q60's full
+    // pooled-bucket oracle applies verbatim — the PNG codec is the delta
+    "q60e_png_roundtrip" -> multimodalDecodeOracle,
+    "q79_dsv2_blobs" -> dsv2BlobScanOracle
   )
 }
