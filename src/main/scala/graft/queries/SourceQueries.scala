@@ -265,9 +265,10 @@ object SourceQueries {
     * published with an atomic rename; if a concurrent run won the rename,
     * theirs is used. On a cluster the blob dir would be DFS; local-mode
     * it's a shared local dir. */
-  private def stagedBlobs(dir: String, fmt: String)(populate: java.io.File => Unit): java.io.File = {
+  private def stagedBlobs(dir: String, fmt: String, srcTable: String = "documents")(
+      populate: java.io.File => Unit): java.io.File = {
     val sfName = new java.io.File(dir).getName
-    val src = new java.io.File(s"$dir/documents.parquet")
+    val src = new java.io.File(s"$dir/$srcTable.parquet")
     def fingerprint(f: java.io.File): Long =
       if (f.isDirectory)
         f.listFiles().sortBy(_.getName)
@@ -473,6 +474,40 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q80: Hive-partitioned ORC lake + partition pruning --------------------
+  /** The lake-layout scan primitive: events written ONCE as ORC,
+    * hive-partitioned by event_type (`partitionBy` → one directory per
+    * value), then read back under a partition predicate. Only the
+    * matching partition's files are listed into the scan — at 100 TB the
+    * difference between touching 1/5th of the lake and all of it before
+    * a single row is read (PartitionFilters + file-count reduction are
+    * plan-asserted in PartitionPruningSpec, along with dynamic partition
+    * pruning from a joined dimension filter). ORC as the lake format
+    * also proves the engine isn't parquet-monogamous — same DataFrame
+    * API, different columnar container. The oracle replays the
+    * aggregation over the original parquet with the same predicate, so
+    * the partitioned write + pruned read round trip is bit-exact. */
+  def partitionedLake(spark: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = stagedBlobs(dir, "orclake", srcTable = "events") { staging =>
+      Tables.events(spark, dir)
+        .write.partitionBy("event_type").mode("overwrite")
+        .orc(new java.io.File(staging, "events").getAbsolutePath)
+    }
+    spark.read.orc(new java.io.File(lakeRoot, "events").getAbsolutePath)
+      .filter(col("event_type") === "purchase")
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("hour_us"))
+  }
+
+  val partitionedLakeOracle: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY hour_us""".stripMargin
+
   // --- q79: DSv2 blob connector scan with pushdown --------------------------
   /** The staged .docx lake read through the `graftblob` DataSource V2
     * connector ([[graft.sources.BlobDataSource]]) instead of `binaryFile`:
@@ -524,7 +559,8 @@ object SourceQueries {
     "q60c_docx_roundtrip" -> ((s, d) => docxRoundtrip(s, d)),
     "q60d_pdf_roundtrip" -> ((s, d) => pdfRoundtrip(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
-    "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d))
+    "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
+    "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -543,6 +579,7 @@ object SourceQueries {
     // q60e's decoded pixels equal the text bytes, so q60's full
     // pooled-bucket oracle applies verbatim — the PNG codec is the delta
     "q60e_png_roundtrip" -> multimodalDecodeOracle,
-    "q79_dsv2_blobs" -> dsv2BlobScanOracle
+    "q79_dsv2_blobs" -> dsv2BlobScanOracle,
+    "q80_partitioned_lake" -> partitionedLakeOracle
   )
 }
