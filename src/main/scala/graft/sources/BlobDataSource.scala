@@ -41,6 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - '''Two-phase-commit writes''' ([[BlobBatchWrite]]): task output
   *     is invisible until the driver's job commit renames it into
   *     place — failed or speculated tasks never leave observable blobs.
+  *   - '''Runtime (join-driven) filtering''' (`SupportsRuntimeFiltering`):
+  *     a dynamic-pruning subquery on `doc_id` re-filters the listing at
+  *     execution time — the DSv2 cousin of dynamic partition pruning.
+  *   - '''Pruned-relation statistics''' (`SupportsReportStatistics`):
+  *     row counts from the filtered listing, byte sizes only when
+  *     `content` is projected — broadcast decisions see reality.
   */
 class BlobDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -146,7 +152,45 @@ private[sources] class BlobScanBuilder(path: String, options: CaseInsensitiveStr
 
 private[sources] class BlobScan(
     path: String, required: StructType, pushed: Array[Filter], maxBytes: Long)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Join-driven runtime filters (the DSv2 cousin of dynamic partition
+    * pruning): Spark plants a DynamicPruningSubquery on this scan when
+    * it joins a filterable build side on `doc_id`, and delivers the
+    * realized key set here BEFORE partitions are planned — so a
+    * dim-driven probe of a million-blob lake schedules only the joined
+    * files. Arrives as an In/EqualTo over doc_id; evaluated by the same
+    * exact listing-time arithmetic as the static pushdown. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  private def acceptedFiles: Array[BlobDataSource.BlobFile] =
+    BlobDataSource.listBlobs(path).filter(f =>
+      BlobDataSource.accepts(f, pushed.toSeq) &&
+        BlobDataSource.accepts(f, runtimeFilters.toSeq))
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter(BlobDataSource.pushable)
+
+  /** Post-pushdown statistics from the listing alone — file count and
+    * (only when `content` is actually projected) byte sizes — so the
+    * optimizer's broadcast/shuffle decisions see the PRUNED relation,
+    * not a format default. */
+  override def estimateStatistics(): Statistics = {
+    val fs = acceptedFiles
+    val contentBytes =
+      if (required.fieldNames.contains("content")) fs.map(_.size).sum else 0L
+    val rowOverhead = 32L * fs.length // doc_id + ext + length + row framing
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(contentBytes + rowOverhead)
+      override def numRows(): util.OptionalLong =
+        util.OptionalLong.of(fs.length.toLong)
+    }
+  }
 
   override def readSchema(): StructType = required
 
@@ -157,8 +201,7 @@ private[sources] class BlobScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = BlobDataSource.listBlobs(path)
-      .filter(BlobDataSource.accepts(_, pushed.toSeq))
+    val files = acceptedFiles
     // size-packed splits: cumulative first-fit in doc_id order — the
     // listing is already sorted, so partitions stay range-friendly
     val parts = Array.newBuilder[InputPartition]

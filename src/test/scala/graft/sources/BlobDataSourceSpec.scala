@@ -110,6 +110,52 @@ class BlobDataSourceSpec extends SparkSuite {
     assert(spark.read.format("graftblob").load(dir.getAbsolutePath).count() === 6)
   }
 
+  test("runtime filtering: a joined dim's keys re-filter the listing at execution") {
+    import spark.implicits._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // interface level: a runtime In(doc_id, …) delivered via filter()
+    // shrinks the planned partitions to exactly the matching files
+    val dir = blobDir(10, size = 100)
+    def scanWith(runtime: Option[org.apache.spark.sql.sources.Filter]) = {
+      val b = new BlobScanBuilder(dir.getAbsolutePath, CaseInsensitiveStringMap.empty())
+      b.pruneColumns(BlobDataSource.Schema)
+      val s = b.build().asInstanceOf[BlobScan]
+      runtime.foreach(f => s.filter(Array(f)))
+      s
+    }
+    val unfiltered = scanWith(None)
+    assert(unfiltered.estimateStatistics().numRows().getAsLong === 10L)
+    val filtered = scanWith(Some(org.apache.spark.sql.sources.In(
+      "doc_id", Array(2L, 5L))))
+    assert(filtered.estimateStatistics().numRows().getAsLong === 2L)
+    assert(filtered.planInputPartitions()
+      .map(_.asInstanceOf[BlobInputPartition].files.length).sum === 2)
+    // plan level: joining a file-backed filtered dim on doc_id plants the
+    // dynamic-pruning subquery on the v2 scan
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    (0L until 10L).map(i => (i, if (i % 5 == 0) "keep" else "drop"))
+      .toDF("doc_id", "verdict").write.mode("overwrite").parquet(dimPath)
+    val joined = spark.read.format("graftblob").load(dir.getAbsolutePath)
+      .select("doc_id", "length")
+      .join(spark.read.parquet(dimPath).filter(col("verdict") === "keep"), Seq("doc_id"))
+    assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      joined.queryExecution.executedPlan.toString)
+    assert(joined.count() === 2)
+  }
+
+  test("statistics: the optimizer sees the pruned listing, bytes only with content") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = blobDir(4, size = 1000)
+    def stats(prune: Boolean) = {
+      val b = new BlobScanBuilder(dir.getAbsolutePath, CaseInsensitiveStringMap.empty())
+      if (prune) b.pruneColumns(org.apache.spark.sql.types.StructType(
+        BlobDataSource.Schema.filter(_.name != "content")))
+      b.build().asInstanceOf[BlobScan].estimateStatistics()
+    }
+    assert(stats(prune = false).sizeInBytes().getAsLong >= 4000L)
+    assert(stats(prune = true).sizeInBytes().getAsLong < 1000L)
+  }
+
   test("write path: round trip through write → read preserves every byte") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftblob_rt").toFile
