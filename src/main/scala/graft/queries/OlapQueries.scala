@@ -208,8 +208,8 @@ object OlapQueries {
 
   val approxQuantilesCheckedOracle: String =
     """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
-      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS exact_p95,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
       |  TRUE AS p50_within_bound, TRUE AS p95_within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
@@ -219,13 +219,18 @@ object OlapQueries {
       .agg(
         expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("exact"),
         expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 100)").as("approx"))
+      // round to 4 (q63 discipline): interpolated percentiles of 2-decimal
+      // prices are exact multiples of 0.0005 — 4 decimals snaps engine
+      // float noise without ever landing on a rounding TIE, which 2
+      // decimals does (a .245 midpoint breaks differently in Spark's
+      // shortest-repr round vs DuckDB's binary round)
       .select(col("l_returnflag"),
-        round(element_at(col("exact"), 1), 2).as("exact_p50"),
-        round(element_at(col("approx"), 1), 2).as("approx_p50"),
+        round(element_at(col("exact"), 1), 4).as("exact_p50"),
+        round(element_at(col("approx"), 1), 4).as("approx_p50"),
         round(abs(element_at(col("approx"), 1) - element_at(col("exact"), 1)) /
           element_at(col("exact"), 1), 6).as("err_p50"),
-        round(element_at(col("exact"), 2), 2).as("exact_p95"),
-        round(element_at(col("approx"), 2), 2).as("approx_p95"),
+        round(element_at(col("exact"), 2), 4).as("exact_p95"),
+        round(element_at(col("approx"), 2), 4).as("approx_p95"),
         round(abs(element_at(col("approx"), 2) - element_at(col("exact"), 2)) /
           element_at(col("exact"), 2), 6).as("err_p95"))
       .orderBy(col("l_returnflag"))

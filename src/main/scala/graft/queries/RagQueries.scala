@@ -390,6 +390,166 @@ object RagQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  // --- q81: BM25 keyword ranking -------------------------------------------
+  /** Okapi BM25 (k1=1.2, b=0.75, Lucene's ln(1 + (N-df+.5)/(df+.5)) idf)
+    * over the chat queries — the ranking the reference's keyword leg
+    * (app.py:279-295 counts matches; BM25 is what a real keyword engine
+    * computes over the same tokens).
+    *
+    * Scale shape: the corpus is exploded ONCE and immediately semi-joined
+    * against the broadcast query-term dictionary — tf, df and every later
+    * stage see only matching (doc, term) rows, never the full vocabulary
+    * (contrast q44, whose product is the corpus-wide df). Corpus stats
+    * (N, Σdl) reduce to one broadcast row; Σdl sums LONG token counts so
+    * avgdl is a single exact division, not an order-sensitive double sum.
+    * Per-term contributions round into DECIMAL(28,12) before the per-doc
+    * sum, so the float total is order-insensitive (the repo's standard
+    * trick for cross-engine float aggregation) and the rank window orders
+    * by the exact decimal, not its double projection. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .withColumn("dl", expr("size(toks)").cast("bigint"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val terms = chatQueriesDf(spark)
+      .select(col("query_id"), explode(split(lower(col("qtext")), " ")).as("term"))
+      .filter(length(col("term")) > 3).distinct()
+    val matched = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val contrib = matched
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(terms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("c",
+        (col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .cast("decimal(28,12)"))
+    val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id")).agg(sum(col("c")).as("s"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("doc_id"),
+        round(col("s").cast("double"), 6).as("bm25"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bm25Oracle: String =
+    s"""WITH chatq(query_id, qtext) AS (VALUES $chatQueriesSqlValues),
+       |  terms AS (
+       |    SELECT DISTINCT query_id, term
+       |    FROM (SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS term FROM chatq)
+       |    WHERE length(term) > 3),
+       |  docs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |           FROM documents),
+       |  dls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+       |  stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
+       |  matched AS (
+       |    SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+       |    FROM (SELECT doc_id, unnest(toks) AS term FROM docs) t
+       |    WHERE t.term IN (SELECT DISTINCT term FROM terms) GROUP BY 1, 2),
+       |  dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM matched GROUP BY term),
+       |  contrib AS (
+       |    SELECT te.query_id, m.doc_id,
+       |           CAST(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+       |                * m.tf * 2.2 / (m.tf + 1.2 * (0.25 + 0.75 * CAST(dls.dl AS DOUBLE) / s.avgdl))
+       |                AS DECIMAL(28,12)) AS c
+       |    FROM matched m JOIN dfreq d USING (term) JOIN terms te USING (term)
+       |         JOIN dls ON dls.doc_id = m.doc_id CROSS JOIN stats s),
+       |  agg AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY 1, 2),
+       |  ranked AS (SELECT query_id, doc_id, s,
+       |                    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+       |             FROM agg)
+       |SELECT query_id, doc_id, round(CAST(s AS DOUBLE), 6) AS bm25, CAST(rnk AS INTEGER) AS rank
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // --- q82: reciprocal-rank-fusion hybrid search ----------------------------
+  /** RRF (Cormack et al. 2009, the fusion every hybrid search engine
+    * ships): vector leg = q17's top-20 cosine ranking, keyword leg =
+    * q19's match-count ranking, fused as Σ 1/(60 + rank). The reference's
+    * hybrid combine (O24, app.py's doc+web merge) upgraded from
+    * concatenation to principled rank fusion.
+    *
+    * Cross-engine exactness is free here: fusion consumes only INTEGER
+    * ranks (ties broken on ids), and 1/(60+r) is one correctly-rounded
+    * IEEE division, so the two-term sum is bit-identical in any engine.
+    * Scale: each leg ends in a WindowGroupLimit (≤20 rows/query cross the
+    * wire), the fusion join and final window touch ≤40 rows/query. */
+  def rrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val vleg = TopK.topKCosine(
+      emb.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      emb.select(col("vec_id"), col("embedding").as("cvec")), k = 20)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank").as("vrank"))
+    val kws = chatQueriesDf(spark)
+      .select(col("query_id").cast("bigint").as("query_id"),
+        explode(split(lower(col("qtext")), " ")).as("kw"))
+      .filter(length(col("kw")) > 3).distinct()
+    val wk = Window.partitionBy("query_id").orderBy(desc("n_matches"), asc("doc_id"))
+    val kleg = Tables.documents(spark, dir)
+      .join(broadcast(kws), col("text").contains(col("kw")))
+      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("n_matches"))
+      .withColumn("krank", row_number().over(wk))
+      .filter(col("krank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("krank"))
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+    vleg.join(kleg, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("krank")), lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id").cast("int").as("query_id"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"),
+        col("vrank").cast("int").as("vrank"), col("krank").cast("int").as("krank"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val rrfHybridOracle: String =
+    s"""WITH chatq(query_id, qtext) AS (VALUES $chatQueriesSqlValues),
+       |  q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |        FROM embeddings WHERE vec_id < 3),
+       |  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+       |  vleg AS (
+       |    SELECT query_id, vec_id AS doc_id, rnk AS vrank FROM (
+       |      SELECT q.query_id, c.vec_id,
+       |             row_number() OVER (PARTITION BY q.query_id
+       |                                ORDER BY list_cosine_similarity(qe, ce) DESC, c.vec_id) AS rnk
+       |      FROM q CROSS JOIN c) WHERE rnk <= 20),
+       |  kws AS (
+       |    SELECT DISTINCT query_id, kw
+       |    FROM (SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS kw FROM chatq)
+       |    WHERE length(kw) > 3),
+       |  km AS (SELECT k.query_id, d.doc_id, count(*) AS n_matches
+       |         FROM kws k JOIN documents d ON contains(d.text, k.kw) GROUP BY 1, 2),
+       |  kleg AS (
+       |    SELECT query_id, doc_id, rnk AS krank FROM (
+       |      SELECT query_id, doc_id,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY n_matches DESC, doc_id) AS rnk
+       |      FROM km) WHERE rnk <= 20),
+       |  fused AS (
+       |    SELECT coalesce(v.query_id, k.query_id) AS query_id,
+       |           coalesce(v.doc_id, k.doc_id) AS doc_id,
+       |           coalesce(1e0 / (60 + v.vrank), 0e0) + coalesce(1e0 / (60 + k.krank), 0e0) AS rrf,
+       |           v.vrank, k.krank
+       |    FROM vleg v FULL OUTER JOIN kleg k
+       |      ON v.query_id = k.query_id AND v.doc_id = k.doc_id),
+       |  ranked AS (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+       |    FROM fused)
+       |SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, round(rrf, 6) AS rrf,
+       |       CAST(vrank AS INTEGER) AS vrank, CAST(krank AS INTEGER) AS krank,
+       |       CAST(rnk AS INTEGER) AS rank
+       |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+
   // --- registry -----------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_memory_window" -> ((s, d) => memoryWindow(s, d)),
@@ -402,7 +562,9 @@ object RagQueries {
     "q25_reingest_guard" -> ((s, d) => reingestGuard(s, d)),
     "q02_chunk_stride" -> ((s, d) => chunkStride(s, d)),
     "q02b_chunk_recursive" -> ((s, d) => chunkRecursive(s, d)),
-    "q07_index_build" -> ((s, d) => indexBuild(s, d))
+    "q07_index_build" -> ((s, d) => indexBuild(s, d)),
+    "q81_bm25" -> ((s, d) => bm25(s, d)),
+    "q82_rrf_hybrid" -> ((s, d) => rrfHybrid(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -415,6 +577,8 @@ object RagQueries {
     "q11b_nonempty_defaults" -> nonEmptyDefaultsOracle,
     "q25_reingest_guard" -> reingestGuardOracle,
     "q02_chunk_stride" -> chunkStrideOracle,
-    "q02b_chunk_recursive" -> chunkRecursiveOracle
+    "q02b_chunk_recursive" -> chunkRecursiveOracle,
+    "q81_bm25" -> bm25Oracle,
+    "q82_rrf_hybrid" -> rrfHybridOracle
   )
 }

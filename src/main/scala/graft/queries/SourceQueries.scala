@@ -548,6 +548,37 @@ object SourceQueries {
       "FROM t WHERE len(toks) > 0",
       "FROM t WHERE len(toks) > 0 AND doc_id < 250")
 
+  // --- q79b: "how big is this lake" via connector aggregate pushdown -------
+  /** The metadata rollup every lake operator runs first — answered
+    * entirely by the connector's aggregate pushdown
+    * (`SupportsPushDownAggregates`): COUNT/MIN/MAX group by ext are
+    * computed from the file LISTING, complete (not partial) pushdown, so
+    * the plan opens zero blobs and moves one row per extension — over a
+    * billion-blob lake this is a driver-side metadata pass, not a job.
+    * The oracle re-derives the same facts from the documents table (the
+    * lake is doc_<id>.docx for every doc with a non-empty token list),
+    * so the listing arithmetic, the pushdown parse and the group-by
+    * shape all sit under the bit-exact gate. byte sizes (SUM(length))
+    * are pushdown-tested in BlobDataSourceSpec but omitted here: docx
+    * container overhead is not SQL-derivable. */
+  def blobLakeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val blobRoot = docxBlobRoot(spark, dir)
+    spark.read.format("graftblob").load(blobRoot.getAbsolutePath)
+      .groupBy(col("ext"))
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("ext"))
+  }
+
+  val blobLakeRollupOracle: String =
+    """SELECT 'docx' AS ext, count(*) AS n_blobs,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents
+      |WHERE len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+      |GROUP BY 1 ORDER BY ext""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
     "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
@@ -560,6 +591,7 @@ object SourceQueries {
     "q60d_pdf_roundtrip" -> ((s, d) => pdfRoundtrip(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
+    "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
     "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d))
   )
 
@@ -580,6 +612,7 @@ object SourceQueries {
     // pooled-bucket oracle applies verbatim — the PNG codec is the delta
     "q60e_png_roundtrip" -> multimodalDecodeOracle,
     "q79_dsv2_blobs" -> dsv2BlobScanOracle,
+    "q79b_blob_rollup" -> blobLakeRollupOracle,
     "q80_partitioned_lake" -> partitionedLakeOracle
   )
 }

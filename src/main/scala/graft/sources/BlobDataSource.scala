@@ -47,6 +47,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - '''Pruned-relation statistics''' (`SupportsReportStatistics`):
   *     row counts from the filtered listing, byte sizes only when
   *     `content` is projected — broadcast decisions see reality.
+  *   - '''Aggregate pushdown''' (`SupportsPushDownAggregates`):
+  *     COUNT(*), MIN/MAX(doc_id|length) and SUM(length) — optionally
+  *     grouped by `ext` — are answered from the LISTING alone, complete
+  *     (not partial) pushdown: a "how big is this lake" rollup over a
+  *     billion blobs is one metadata pass, zero file opens, one row out.
   */
 class BlobDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -67,6 +72,86 @@ class BlobDataSource extends TableProvider
 }
 
 object BlobDataSource {
+
+  /** A pushed-down aggregation the listing can answer exactly: an
+    * optional GROUP BY ext plus a sequence of per-group functions, each
+    * computed from file-name/size metadata alone. */
+  sealed trait AggSpec extends Serializable
+  case object CountRows extends AggSpec
+  final case class MinOf(field: String) extends AggSpec
+  final case class MaxOf(field: String) extends AggSpec
+  final case class SumOf(field: String) extends AggSpec
+  final case class BlobAgg(groupByExt: Boolean, funcs: Seq[AggSpec]) {
+    def schema: StructType = {
+      val aggFields = funcs.zipWithIndex.map {
+        case (CountRows, i)    => StructField(s"agg_${i}_count", LongType, nullable = false)
+        case (MinOf(f), i)     => StructField(s"agg_${i}_min_$f", LongType, nullable = true)
+        case (MaxOf(f), i)     => StructField(s"agg_${i}_max_$f", LongType, nullable = true)
+        case (SumOf(f), i)     => StructField(s"agg_${i}_sum_$f", LongType, nullable = true)
+      }
+      StructType(
+        (if (groupByExt) Seq(StructField("ext", StringType, nullable = false)) else Nil) ++
+          aggFields)
+    }
+    def describe: String = {
+      val fs = funcs.map {
+        case CountRows => "COUNT(*)"
+        case MinOf(f)  => s"MIN($f)"
+        case MaxOf(f)  => s"MAX($f)"
+        case SumOf(f)  => s"SUM($f)"
+      }
+      fs.mkString(", ") + (if (groupByExt) " GROUP BY ext" else "")
+    }
+  }
+
+  /** Parse a connector [[Aggregation]] into a listing-answerable
+    * [[BlobAgg]]; None when any piece is outside the exact set. */
+  def parseAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[BlobAgg] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val groupByExt = agg.groupByExpressions.toSeq match {
+      case Nil => Some(false)
+      case Seq(e) if name(e).contains("ext") => Some(true)
+      case _ => None
+    }
+    val numeric = Set("doc_id", "length")
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountRows)
+      // all four columns are non-null by construction, so COUNT(col) = COUNT(*)
+      case c: Count if !c.isDistinct && name(c.column).isDefined => Some(CountRows)
+      case m: Min => name(m.column).filter(numeric).map(MinOf)
+      case m: Max => name(m.column).filter(numeric).map(MaxOf)
+      case s: Sum if !s.isDistinct => name(s.column).filter(numeric).map(SumOf)
+      case _ => None
+    }
+    for (g <- groupByExt; fs <- Some(funcs) if fs.forall(_.isDefined))
+      yield BlobAgg(g, fs.map(_.get))
+  }
+
+  /** Evaluate a [[BlobAgg]] over the accepted listing — one output row
+    * per group, values as Long / String (null for empty MIN/MAX/SUM). */
+  def evalAggregation(files: Array[BlobFile], agg: BlobAgg): Array[Array[Any]] = {
+    def field(f: BlobFile, name: String): Long =
+      if (name == "doc_id") f.docId else f.size
+    def row(ext: Option[String], fs: Array[BlobFile]): Array[Any] = {
+      val aggVals: Seq[Any] = agg.funcs.map {
+        case CountRows => fs.length.toLong
+        case MinOf(c)  => if (fs.isEmpty) null else fs.iterator.map(field(_, c)).min
+        case MaxOf(c)  => if (fs.isEmpty) null else fs.iterator.map(field(_, c)).max
+        case SumOf(c)  => if (fs.isEmpty) null else fs.iterator.map(field(_, c)).sum
+      }
+      (ext.toSeq ++ aggVals).toArray
+    }
+    if (agg.groupByExt)
+      files.groupBy(_.ext).toArray.sortBy(_._1).map { case (e, fs) => row(Some(e), fs) }
+    else Array(row(None, files))
+  }
+
   val Schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("ext", StringType, nullable = false),
@@ -127,10 +212,12 @@ private[sources] class BlobTable(path: String) extends Table
 }
 
 private[sources] class BlobScanBuilder(path: String, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = BlobDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[BlobDataSource.BlobAgg] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(BlobDataSource.pushable)
@@ -143,15 +230,30 @@ private[sources] class BlobScanBuilder(path: String, options: CaseInsensitiveStr
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // The listing answers these aggregates exactly and globally, so the
+  // pushdown is COMPLETE: Spark plans no re-aggregation on top (Spark
+  // only attempts this when every filter was pushed, which keeps the
+  // listing arithmetic sound).
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    BlobDataSource.parseAggregation(aggregation).isDefined
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    agg = BlobDataSource.parseAggregation(aggregation)
+    agg.isDefined
+  }
+
   override def build(): Scan = {
     val maxBytes = Option(options.get("maxPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    new BlobScan(path, required, pushed, maxBytes)
+    new BlobScan(path, required, pushed, maxBytes, agg)
   }
 }
 
 private[sources] class BlobScan(
-    path: String, required: StructType, pushed: Array[Filter], maxBytes: Long)
+    path: String, required: StructType, pushed: Array[Filter], maxBytes: Long,
+    agg: Option[BlobDataSource.BlobAgg] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -170,7 +272,9 @@ private[sources] class BlobScan(
         BlobDataSource.accepts(f, runtimeFilters.toSeq))
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+    // an aggregated scan exposes no doc_id column to join on
+    if (agg.isDefined) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
 
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter(BlobDataSource.pushable)
@@ -181,26 +285,38 @@ private[sources] class BlobScan(
     * not a format default. */
   override def estimateStatistics(): Statistics = {
     val fs = acceptedFiles
+    val nRows = agg match {
+      case Some(a) => BlobDataSource.evalAggregation(fs, a).length.toLong
+      case None    => fs.length.toLong
+    }
     val contentBytes =
-      if (required.fieldNames.contains("content")) fs.map(_.size).sum else 0L
-    val rowOverhead = 32L * fs.length // doc_id + ext + length + row framing
+      if (agg.isEmpty && required.fieldNames.contains("content")) fs.map(_.size).sum else 0L
+    val rowOverhead = 32L * nRows // fixed-width columns + row framing
     new Statistics {
       override def sizeInBytes(): util.OptionalLong =
         util.OptionalLong.of(contentBytes + rowOverhead)
       override def numRows(): util.OptionalLong =
-        util.OptionalLong.of(fs.length.toLong)
+        util.OptionalLong.of(nRows)
     }
   }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
 
   override def description(): String =
     s"graftblob $path, PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+      agg.map(a => s"PushedAggregates: [${a.describe}], ").getOrElse("") +
+      s"ReadSchema: ${readSchema().simpleString}"
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    agg match {
+      case Some(a) =>
+        // the whole answer comes from the driver-side listing: one
+        // metadata pass, zero file opens, one tiny partition out
+        return Array(BlobAggPartition(BlobDataSource.evalAggregation(acceptedFiles, a)))
+      case None => ()
+    }
     val files = acceptedFiles
     // size-packed splits: cumulative first-fit in doc_id order — the
     // listing is already sorted, so partitions stay range-friendly
@@ -222,6 +338,10 @@ private[sources] class BlobScan(
 }
 
 private[sources] case class BlobInputPartition(files: Array[BlobDataSource.BlobFile])
+    extends InputPartition
+
+/** Pre-computed aggregate rows (Long / String / null values only). */
+private[sources] case class BlobAggPartition(rows: Array[Array[Any]])
     extends InputPartition
 
 /** Blob sink with a real two-phase commit — the reference's temp-file
@@ -299,8 +419,22 @@ private[sources] class BlobWriterFactory(path: String, idIdx: Int, extIdx: Int, 
 private[sources] class BlobReaderFactory(required: StructType)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[BlobInputPartition].files
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case BlobAggPartition(rows) =>
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = InternalRow.fromSeq(rows(i).toSeq.map {
+          case s: String => UTF8String.fromString(s)
+          case v         => v
+        })
+        override def close(): Unit = ()
+      }
+    case p: BlobInputPartition => createBlobReader(p)
+  }
+
+  private def createBlobReader(partition: BlobInputPartition): PartitionReader[InternalRow] = {
+    val files = partition.files
     // byte-level pruning: file bytes load ONLY when content is projected
     val needContent = required.fieldNames.contains("content")
     val fields = required.fieldNames

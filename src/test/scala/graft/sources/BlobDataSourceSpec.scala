@@ -22,8 +22,14 @@ class BlobDataSourceSpec extends SparkSuite {
     dir
   }
 
-  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case s: BatchScanExec => s }.get
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+    val plan = df.queryExecution.executedPlan match {
+      // aggregates plan through AQE; the scan sits in the inner plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectFirst { case s: BatchScanExec => s }.get
+  }
 
   test("filters push into the scan and prune the file listing") {
     val dir = blobDir(20)
@@ -154,6 +160,47 @@ class BlobDataSourceSpec extends SparkSuite {
     }
     assert(stats(prune = false).sizeInBytes().getAsLong >= 4000L)
     assert(stats(prune = true).sizeInBytes().getAsLong < 1000L)
+  }
+
+  test("aggregate pushdown: listing answers COUNT/MIN/MAX/SUM with zero file reads") {
+    val dir = blobDir(6, size = 100, ext = "wav")
+    // add a second extension so GROUP BY ext has two groups
+    (6 until 10).foreach { i =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, f"doc_$i%06d.png").toPath, Array.fill[Byte](50)(1))
+    }
+    val blobs = spark.read.format("graftblob").load(dir.getAbsolutePath)
+
+    // global rollup: complete pushdown — one partition, no re-aggregation scan
+    val global = blobs.agg(
+      count(lit(1)).as("n"), sum("length").as("bytes"),
+      min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val gScan = scanOf(global)
+    assert(gScan.scan.description().contains(
+      "PushedAggregates: [COUNT(*), SUM(length), MIN(doc_id), MAX(doc_id)]"),
+      gScan.scan.description())
+    assert(gScan.inputRDD.getNumPartitions === 1)
+    val g = global.first()
+    assert(g.getLong(0) === 10L && g.getLong(1) === 800L)
+    assert(g.getLong(2) === 0L && g.getLong(3) === 9L)
+
+    // grouped rollup: GROUP BY ext also answered from the listing
+    val grouped = blobs.groupBy("ext").agg(count(lit(1)).as("n"), sum("length").as("bytes"))
+      .orderBy("ext")
+    assert(scanOf(grouped).scan.description().contains("GROUP BY ext"))
+    val rows = grouped.collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("png", 4L, 200L), ("wav", 6L, 600L)))
+
+    // pushed filters compose with pushed aggregates
+    val filteredAgg = blobs.filter(col("doc_id") < 3).agg(count(lit(1)))
+    assert(scanOf(filteredAgg).scan.description().contains("LessThan(doc_id,3)"))
+    assert(filteredAgg.first().getLong(0) === 3L)
+
+    // a non-listing aggregate (over content) falls back to the row scan
+    val noPush = blobs.agg(min("ext"))
+    assert(!scanOf(noPush).scan.description().contains("PushedAggregates"))
+    assert(noPush.first().getString(0) === "png")
   }
 
   test("write path: round trip through write → read preserves every byte") {
