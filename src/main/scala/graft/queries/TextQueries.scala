@@ -467,6 +467,27 @@ object TextQueries {
       |            THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS achieved_rate
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- q83: BPE tokenizer training (Sennrich et al. 2016) -------------------
+  /** The ordered merge table a subword tokenizer is built from, learned
+    * distributed ([[graft.text.Bpe]]): one corpus scan to word
+    * frequencies, then vocab-sized iterations (Heaps'-law bounded — the
+    * 100 TB design is in Bpe's scaladoc). Rows-tier by design: 40
+    * data-dependent argmax iterations are not expressible as one SQL
+    * query in any engine; BpeSpec pins the result against an independent
+    * single-node reference implementation, exact merge-by-merge, plus
+    * partitioning invariance. Words are lowercased whitespace tokens
+    * capped at 20 chars (runaway "words" — URLs, DNA strings — cost
+    * O(len²) per merge scan and belong to the quality filter, not the
+    * tokenizer). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("word"))
+      .filter(length(col("word")) <= 20)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    graft.text.Bpe.train(spark, words, numMerges = 40)
+      .orderBy(col("rank"))
+  }
+
   // --- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition" -> ((s, d) => repetition(s, d)),
@@ -478,7 +499,8 @@ object TextQueries {
     "q43_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "q44_tfidf" -> ((s, d) => tfidf(s, d)),
     "q58_lm_fluency" -> ((s, d) => lmFluency(s, d)),
-    "q59_heavy_hitters" -> ((s, d) => heavyHitters(s, d))
+    "q59_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "q83_bpe_train" -> ((s, d) => bpeTrain(s, d))
   )
 
   def oracles: Map[String, String] = Map(

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** BPE trainer: the distributed merge list must equal an independent
+  * single-node reference implementation merge-by-merge (argmax choice,
+  * tie-breaks, support counts), at any partitioning. */
+class BpeSpec extends SparkSuite {
+
+  // Sennrich et al.'s worked example family: repeated subwords with
+  // clear frequency structure plus ties that exercise the lexicographic
+  // tie-break.
+  private val corpus: Seq[(String, Long)] = Seq(
+    "low" -> 5L, "lower" -> 2L, "lowest" -> 6L,
+    "newest" -> 3L, "widest" -> 3L, "new" -> 2L, "wide" -> 1L)
+
+  test("distributed merges equal the single-node reference, merge by merge") {
+    import spark.implicits._
+    val wordsDf = corpus.toDF("word", "freq")
+    val got = Bpe.train(spark, wordsDf, numMerges = 12)
+      .orderBy("rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val want = Bpe.trainLocal(corpus, numMerges = 12).zipWithIndex.map {
+      case ((l, r, n), i) => (i + 1, l, r, l + r, n)
+    }
+    assert(got === want)
+    // the worked-example structure is actually learned: "est" and "low"
+    // emerge as units within the first merges
+    val merged = got.map(_._4)
+    assert(merged.contains("est") || merged.contains("st") && merged.contains("es"))
+  }
+
+  test("merge list is invariant to input partitioning") {
+    import spark.implicits._
+    val one = Bpe.train(spark, corpus.toDF("word", "freq").repartition(1), 8)
+      .orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
+    val many = Bpe.train(spark, corpus.toDF("word", "freq").repartition(7), 8)
+      .orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
+    assert(one === many)
+  }
+
+  test("encode with learned merges: greedy left-to-right, non-overlapping") {
+    assert(Bpe.applyMerges("aaa", Seq(("a", "a"))) === Vector("aa", "a"))
+    assert(Bpe.applyMerges("aaaa", Seq(("a", "a"), ("aa", "aa"))) === Vector("aaaa"))
+    assert(Bpe.applyMerges("lowest", Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+      === Vector("low", "est"))
+    assert(Bpe.applyMerges("x", Seq(("a", "b"))) === Vector("x"))
+    assert(Bpe.applyMerges("", Nil) === Vector.empty)
+  }
+
+  test("trainer stops early when no pairs remain") {
+    import spark.implicits._
+    val singles = Seq("a" -> 3L, "b" -> 2L).toDF("word", "freq")
+    assert(Bpe.train(spark, singles, 10).count() === 0L)
+  }
+
+  test("q83 runs on the sf fixture and yields a full, ranked merge table") {
+    val df = graft.queries.TextQueries.bpeTrain(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length === 40)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 40))
+    // supports are non-increasing is NOT guaranteed (merges create new
+    // pairs), but every support is positive and every merged symbol is
+    // the concatenation of its parts
+    rows.foreach { r =>
+      assert(r.getLong(4) > 0)
+      assert(r.getString(3) === r.getString(1) + r.getString(2))
+    }
+  }
+}
