@@ -44,16 +44,21 @@ object StreamQueries {
 
   val sessionOracle: String =
     """WITH o AS (
-      |  SELECT user_id, value, epoch_us(ts) AS us,
+      |  SELECT user_id, value, event_id, epoch_us(ts) AS us,
       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       |  FROM events),
       |  flagged AS (
-      |    SELECT user_id, value, us,
+      |    SELECT user_id, value, event_id, us,
       |           CASE WHEN prev_us IS NULL OR us - prev_us >= 300000000 THEN 1 ELSE 0 END AS new_s
       |    FROM o),
       |  sess AS (
+      |    -- the running sum MUST order exactly like the lag above
+      |    -- ((us, event_id), not us alone): with duplicate timestamps a
+      |    -- ROWS frame ordered on the tie-broken column only is free to
+      |    -- slice the tied run around the new_s=1 row, splitting one
+      |    -- session into two rows with identical bounds
       |    SELECT user_id, value, us,
-      |           sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |           sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
       |                            ROWS UNBOUNDED PRECEDING) AS sid
       |    FROM flagged)
       |SELECT min(us) AS session_start_us,
