@@ -79,12 +79,27 @@ object Bpe {
     out.result()
   }
 
+  /** Below this vocab size the whole (word, freq) table is smaller than
+    * one shuffle block — iterate on the driver instead of paying 40
+    * job-scheduling round trips (the same adaptive small-side reasoning
+    * as a broadcast join; BpeSpec pins local ≡ distributed, so the
+    * switch can never change the answer). */
+  val LocalVocabThreshold = 65536L
+
   /** Learn `numMerges` merges from a (word, freq) DataFrame. Returns the
     * ordered merge table: (rank, left, right, merged, support). */
-  def train(spark: SparkSession, wordFreq: DataFrame, numMerges: Int): DataFrame = {
+  def train(spark: SparkSession, wordFreq: DataFrame, numMerges: Int,
+            localThreshold: Long = LocalVocabThreshold): DataFrame = {
     import spark.implicits._
     val base = wordFreq.select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)].cache()
+    if (base.count() <= localThreshold) {
+      val rows = trainLocal(base.collect().toSeq, numMerges).zipWithIndex.map {
+        case ((l, r, n), i) => (i + 1, l, r, l + r, n)
+      }
+      base.unpersist()
+      return rows.toDF("rank", "left", "right", "merged", "support")
+    }
     var merges = Vector.empty[(String, String)]
     val rows = Vector.newBuilder[(Int, String, String, String, Long)]
     var done = false

@@ -19,7 +19,9 @@ class BpeSpec extends SparkSuite {
   test("distributed merges equal the single-node reference, merge by merge") {
     import spark.implicits._
     val wordsDf = corpus.toDF("word", "freq")
-    val got = Bpe.train(spark, wordsDf, numMerges = 12)
+    // localThreshold = 0 forces the DISTRIBUTED path — the adaptive
+    // small-vocab shortcut must never be what this test exercises
+    val got = Bpe.train(spark, wordsDf, numMerges = 12, localThreshold = 0L)
       .orderBy("rank")
       .as[(Int, String, String, String, Long)].collect().toSeq
     val want = Bpe.trainLocal(corpus, numMerges = 12).zipWithIndex.map {
@@ -34,11 +36,21 @@ class BpeSpec extends SparkSuite {
 
   test("merge list is invariant to input partitioning") {
     import spark.implicits._
-    val one = Bpe.train(spark, corpus.toDF("word", "freq").repartition(1), 8)
+    val one = Bpe.train(spark, corpus.toDF("word", "freq").repartition(1), 8, localThreshold = 0L)
       .orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
-    val many = Bpe.train(spark, corpus.toDF("word", "freq").repartition(7), 8)
+    val many = Bpe.train(spark, corpus.toDF("word", "freq").repartition(7), 8, localThreshold = 0L)
       .orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
     assert(one === many)
+  }
+
+  test("adaptive small-vocab path equals the distributed path exactly") {
+    import spark.implicits._
+    val df = corpus.toDF("word", "freq")
+    val local = Bpe.train(spark, df, 10) // corpus size << threshold → local
+      .orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
+    val dist = Bpe.train(spark, df, 10, localThreshold = 0L)
+      .orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
+    assert(local === dist)
   }
 
   test("encode with learned merges: greedy left-to-right, non-overlapping") {
