@@ -188,6 +188,23 @@ object BlobDataSource {
     case _                                               => true // not pushed — never reaches here
   }
 
+  /** Size-packed splits: cumulative first-fit in listing (doc_id) order —
+    * many small blobs share a task, a huge blob gets its own. Shared by
+    * the batch scan and every micro-batch. */
+  def packBySize(files: Array[BlobFile], maxBytes: Long): Array[InputPartition] = {
+    val parts = Array.newBuilder[InputPartition]
+    var bin = Vector.empty[BlobFile]
+    var binBytes = 0L
+    files.foreach { f =>
+      if (bin.nonEmpty && binBytes + f.size > maxBytes) {
+        parts += BlobInputPartition(bin.toArray); bin = Vector.empty; binBytes = 0L
+      }
+      bin :+= f; binBytes += f.size
+    }
+    if (bin.nonEmpty) parts += BlobInputPartition(bin.toArray)
+    parts.result()
+  }
+
   /** True iff the filter is one [[accepts]] evaluates exactly. */
   def pushable(f: Filter): Boolean = f match {
     case sources.EqualTo("doc_id", _: Number) | sources.LessThan("doc_id", _: Number) |
@@ -204,7 +221,8 @@ private[sources] class BlobTable(path: String) extends Table
   override def name(): String = s"graftblob($path)"
   override def schema(): StructType = BlobDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BlobScanBuilder(path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -309,6 +327,22 @@ private[sources] class BlobScan(
 
   override def toBatch: Batch = this
 
+  /** Streaming leg: incremental exactly-once ingest of newly-arriving
+    * blobs (the reference's new-file change detection, app.py:162-170,
+    * as a real Structured Streaming source). The offset is the highest
+    * doc_id DELIVERED so far — the staging convention (`doc_<id>.<ext>`,
+    * ids assigned monotonically by the writer) makes doc_id a natural
+    * high-watermark, so a micro-batch is exactly the listing slice
+    * `lastOffset < doc_id <= latest`: each blob is planned in one batch
+    * and never again, and restart from the checkpoint's offset resumes
+    * without reprocessing. Pushed filters and column pruning apply to
+    * every micro-batch exactly as to a batch scan (same accept/prune
+    * path); the two-phase-commit writer guarantees a listed blob is
+    * complete, so no half-written file can enter a batch. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BlobMicroBatchStream(path, required, pushed, maxBytes)
+
   override def planInputPartitions(): Array[InputPartition] = {
     agg match {
       case Some(a) =>
@@ -317,20 +351,7 @@ private[sources] class BlobScan(
         return Array(BlobAggPartition(BlobDataSource.evalAggregation(acceptedFiles, a)))
       case None => ()
     }
-    val files = acceptedFiles
-    // size-packed splits: cumulative first-fit in doc_id order — the
-    // listing is already sorted, so partitions stay range-friendly
-    val parts = Array.newBuilder[InputPartition]
-    var bin = Vector.empty[BlobDataSource.BlobFile]
-    var binBytes = 0L
-    files.foreach { f =>
-      if (bin.nonEmpty && binBytes + f.size > maxBytes) {
-        parts += BlobInputPartition(bin.toArray); bin = Vector.empty; binBytes = 0L
-      }
-      bin :+= f; binBytes += f.size
-    }
-    if (bin.nonEmpty) parts += BlobInputPartition(bin.toArray)
-    parts.result()
+    BlobDataSource.packBySize(acceptedFiles, maxBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -343,6 +364,43 @@ private[sources] case class BlobInputPartition(files: Array[BlobDataSource.BlobF
 /** Pre-computed aggregate rows (Long / String / null values only). */
 private[sources] case class BlobAggPartition(rows: Array[Array[Any]])
     extends InputPartition
+
+/** High-watermark offset: the largest doc_id delivered so far. */
+private[sources] case class BlobOffset(maxDocId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = maxDocId.toString
+}
+
+private[sources] class BlobMicroBatchStream(
+    path: String, required: StructType, pushed: Array[Filter], maxBytes: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def accepted: Array[BlobDataSource.BlobFile] =
+    BlobDataSource.listBlobs(path).filter(f => BlobDataSource.accepts(f, pushed.toSeq))
+
+  override def initialOffset(): Offset = BlobOffset(-1L)
+
+  override def latestOffset(): Offset = {
+    val fs = accepted
+    BlobOffset(if (fs.isEmpty) -1L else fs.map(_.docId).max)
+  }
+
+  override def deserializeOffset(json: String): Offset = BlobOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[BlobOffset].maxDocId
+    val hi = end.asInstanceOf[BlobOffset].maxDocId
+    val batch = accepted.filter(f => f.docId > lo && f.docId <= hi)
+    BlobDataSource.packBySize(batch, maxBytes)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlobReaderFactory(required)
+
+  override def commit(end: Offset): Unit = () // listing is the source of truth
+  override def stop(): Unit = ()
+}
 
 /** Blob sink with a real two-phase commit — the reference's temp-file
   * spool (app.py:162-164) done the way a 1000-executor job must: each

@@ -203,6 +203,41 @@ class BlobDataSourceSpec extends SparkSuite {
     assert(noPush.first().getString(0) === "png")
   }
 
+  test("streaming read: new blobs arrive exactly once; checkpoint restart resumes") {
+    import spark.implicits._
+    val dir = blobDir(3, size = 10)
+    val ckpt = java.nio.file.Files.createTempDirectory("graftblob_ckpt").toString
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graftblob").load(dir.getAbsolutePath)
+        .select("doc_id", "length")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r => sink.add(r.getLong(0)))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(sink.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq.sorted === Seq(0L, 1L, 2L))
+
+    // two more blobs arrive; only they enter the next run
+    (3 until 5).foreach { i =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, f"doc_$i%06d.bin").toPath, Array.fill[Byte](10)(i.toByte))
+    }
+    runOnce()
+    assert(sink.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+
+    // nothing new: restart from the checkpoint reprocesses nothing
+    runOnce()
+    assert(sink.size === 5)
+  }
+
   test("write path: round trip through write → read preserves every byte") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftblob_rt").toFile
