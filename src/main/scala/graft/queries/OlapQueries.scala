@@ -236,10 +236,84 @@ object OlapQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  // --- q84: z-order (Morton curve) data layout ------------------------------
+  /** The multi-dimensional file-clustering optimization every lakehouse
+    * ships (Delta/Iceberg `OPTIMIZE ZORDER`): interleave the bits of two
+    * bucketed dimensions so rows close on the Morton curve land in the
+    * same file, giving every file a tight bounding box in BOTH
+    * dimensions — min/max file statistics then prune 2-D predicates,
+    * not just the lead sort key.
+    *
+    * Output is the layout MANIFEST: one row per z-tile (the file unit:
+    * top 8 of 16 z-bits) with row count, per-dimension bounds, and the
+    * pruning witness for a fixed probe (`user_id BETWEEN 40 AND 50`):
+    * whether the tile's user-bounds overlap the probe — the fraction of
+    * scanned tiles IS the benefit, visible in the result.
+    *
+    * 100 TB shape: dimension buckets use EXACT integer arithmetic from a
+    * single broadcast min/max row — `(x - min) * 256 div (span + 1)` —
+    * so there is NO global sort anywhere: bucket, interleave and tile
+    * are per-row projections, the manifest is one groupBy(tile). (A
+    * production z-writer uses equi-depth bucket boundaries from
+    * approx quantiles + a range shuffle to actually rewrite files —
+    * same curve, same manifest shape; equi-width keeps the whole layout
+    * decision oracle-exact here, and value cents make the second
+    * dimension integer-exact cross-engine.) */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("value"))
+    val stats = e.agg(
+      min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+      min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
+    e.crossJoin(broadcast(stats))
+      // integer division end-to-end: a double quotient truncated at an
+      // exact boundary could disagree with the oracle's floor div by 1
+      .withColumn("a", expr("(user_id - min_u) * 256L div (max_u - min_u + 1)"))
+      .withColumn("b", expr("(cents - min_c) * 256L div (max_c - min_c + 1)"))
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 7),
+          |  0L,
+          |  (acc, i) -> acc
+          |    + shiftleft(shiftright(a, i) % 2, 2 * i + 1)
+          |    + shiftleft(shiftright(b, i) % 2, 2 * i))""".stripMargin))
+      .withColumn("tile", expr("z div 256"))
+      .groupBy(col("tile"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .withColumn("scanned_u40_50",
+        !(col("max_user") < 40 || col("min_user") > 50))
+      .orderBy(col("tile"))
+  }
+
+  val zorderLayoutOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, value FROM events),
+      |  s AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+      |               min(cents) AS min_c, max(cents) AS max_c FROM e),
+      |  bucketed AS (
+      |    SELECT user_id, value,
+      |      (user_id - min_u) * 256 // (max_u - min_u + 1) AS a,
+      |      (cents - min_c) * 256 // (max_c - min_c + 1) AS b
+      |    FROM e CROSS JOIN s),
+      |  zed AS (
+      |    SELECT user_id, value,
+      |      list_sum(list_transform(generate_series(0, 7), i ->
+      |        (((a >> i) & 1) << (2 * i + 1)) + (((b >> i) & 1) << (2 * i)))) AS z
+      |    FROM bucketed)
+      |SELECT z // 256 AS tile, count(*) AS n_rows,
+      |  min(user_id) AS min_user, max(user_id) AS max_user,
+      |  min(value) AS min_value, max(value) AS max_value,
+      |  NOT (max(user_id) < 40 OR min(user_id) > 50) AS scanned_u40_50
+      |FROM zed GROUP BY 1 ORDER BY tile""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
     "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
     "q68_approx_quantiles" -> ((s, d) => approxQuantilesChecked(s, d)),
+    "q84_zorder_layout" -> ((s, d) => zorderLayout(s, d)),
     "q61_range_bracket" -> ((s, d) => rangeBracket(s, d)),
     "q62_running_totals" -> ((s, d) => runningTotals(s, d)),
     "q63_percentiles" -> ((s, d) => percentiles(s, d)),
@@ -248,6 +322,7 @@ object OlapQueries {
 
   def oracles: Map[String, String] = Map(
     "q68_approx_quantiles" -> approxQuantilesCheckedOracle,
+    "q84_zorder_layout" -> zorderLayoutOracle,
     "q65_window_funcs" -> windowFuncsOracle,
     "q67_pivot" -> pivotStatusOracle,
     "q61_range_bracket" -> rangeBracketOracle,
