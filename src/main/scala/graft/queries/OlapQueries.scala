@@ -271,12 +271,17 @@ object OlapQueries {
       // exact boundary could disagree with the oracle's floor div by 1
       .withColumn("a", expr("(user_id - min_u) * 256L div (max_u - min_u + 1)"))
       .withColumn("b", expr("(cents - min_c) * 256L div (max_c - min_c + 1)"))
-      .withColumn("z", expr(
-        """aggregate(sequence(0, 7),
-          |  0L,
-          |  (acc, i) -> acc
-          |    + shiftleft(shiftright(a, i) % 2, 2 * i + 1)
-          |    + shiftleft(shiftright(b, i) % 2, 2 * i))""".stripMargin))
+      // closed-form Morton spread (the classic mask-and-shift ladder)
+      // instead of a per-bit HOF loop: plain bitwise ops stay inside
+      // whole-stage codegen and read identically in the oracle
+      .withColumn("sa", expr(
+        "((a | shiftleft(a, 4)) & 3855)")) // 0x0F0F
+      .withColumn("sa", expr("((sa | shiftleft(sa, 2)) & 13107)")) // 0x3333
+      .withColumn("sa", expr("((sa | shiftleft(sa, 1)) & 21845)")) // 0x5555
+      .withColumn("sb", expr("((b | shiftleft(b, 4)) & 3855)"))
+      .withColumn("sb", expr("((sb | shiftleft(sb, 2)) & 13107)"))
+      .withColumn("sb", expr("((sb | shiftleft(sb, 1)) & 21845)"))
+      .withColumn("z", expr("shiftleft(sa, 1) | sb"))
       .withColumn("tile", expr("z div 256"))
       .groupBy(col("tile"))
       .agg(
@@ -298,11 +303,19 @@ object OlapQueries {
       |      (user_id - min_u) * 256 // (max_u - min_u + 1) AS a,
       |      (cents - min_c) * 256 // (max_c - min_c + 1) AS b
       |    FROM e CROSS JOIN s),
-      |  zed AS (
+      |  sp1 AS (
       |    SELECT user_id, value,
-      |      list_sum(list_transform(generate_series(0, 7), i ->
-      |        (((a >> i) & 1) << (2 * i + 1)) + (((b >> i) & 1) << (2 * i)))) AS z
-      |    FROM bucketed)
+      |      (a | (a << 4)) & 3855 AS sa, (b | (b << 4)) & 3855 AS sb
+      |    FROM bucketed),
+      |  sp2 AS (
+      |    SELECT user_id, value,
+      |      (sa | (sa << 2)) & 13107 AS sa, (sb | (sb << 2)) & 13107 AS sb
+      |    FROM sp1),
+      |  sp3 AS (
+      |    SELECT user_id, value,
+      |      (sa | (sa << 1)) & 21845 AS sa, (sb | (sb << 1)) & 21845 AS sb
+      |    FROM sp2),
+      |  zed AS (SELECT user_id, value, (sa << 1) | sb AS z FROM sp3)
       |SELECT z // 256 AS tile, count(*) AS n_rows,
       |  min(user_id) AS min_user, max(user_id) AS max_user,
       |  min(value) AS min_value, max(value) AS max_value,
