@@ -322,11 +322,128 @@ object OlapQueries {
       |  NOT (max(user_id) < 40 OR min(user_id) > 50) AS scanned_u40_50
       |FROM zed GROUP BY 1 ORDER BY tile""".stripMargin
 
+  // --- q85: ordered funnel analysis -----------------------------------------
+  /** The product-analytics staple: how many users progress through
+    * view → click → signup → purchase IN ORDER, each step strictly after
+    * the previous one in the per-user event sequence AND within a
+    * 48-hour conversion window of the matched previous step (the
+    * standard funnel-window semantics; 48 h yields a discriminating
+    * 150 → 96 → 47 → 25 gradient on the sf0.01 corpus).
+    *
+    * Single-shuffle design: all four stage detections are stacked window
+    * passes over the SAME (user_id, ORDER BY ts, event_id) window — one
+    * Exchange + one sort, the stages pipeline inside it (vs the textbook
+    * join-chain formulation, which shuffles four filtered event sets).
+    * Each stage's running min ranges over the strictly-PRECEDING frame,
+    * so "after" is exact even under equal timestamps (the tie order
+    * (ts, event_id) is deterministic and identical in the oracle).
+    * Final rollup is a 4-row conditional count — the only other
+    * aggregation, and it moves one boolean per user per step. */
+  private val WindowUs = 172800000000L // 48 h in microseconds
+
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val before = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("view_us", when(col("event_type") === "view", col("us")))
+      .withColumn("t1_before", min(col("view_us")).over(before))
+      .withColumn("click_us",
+        when(col("event_type") === "click" && col("t1_before").isNotNull &&
+          col("us") - col("t1_before") <= WindowUs, col("us")))
+      .withColumn("t2_before", min(col("click_us")).over(before))
+      .withColumn("signup_us",
+        when(col("event_type") === "signup" && col("t2_before").isNotNull &&
+          col("us") - col("t2_before") <= WindowUs, col("us")))
+      .withColumn("t3_before", min(col("signup_us")).over(before))
+      .withColumn("purchase_us",
+        when(col("event_type") === "purchase" && col("t3_before").isNotNull &&
+          col("us") - col("t3_before") <= WindowUs, col("us")))
+    val perUser = staged.groupBy(col("user_id")).agg(
+      max(col("view_us").isNotNull).as("s1"),
+      max(col("click_us").isNotNull).as("s2"),
+      max(col("signup_us").isNotNull).as("s3"),
+      max(col("purchase_us").isNotNull).as("s4"))
+    val steps = perUser.agg(
+      sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("n4"))
+    steps.select(expr(
+      """explode(array(
+        |  struct(1 AS step_no, 'view' AS step, n1 AS n_users),
+        |  struct(2 AS step_no, 'click' AS step, n2 AS n_users),
+        |  struct(3 AS step_no, 'signup' AS step, n3 AS n_users),
+        |  struct(4 AS step_no, 'purchase' AS step, n4 AS n_users)))""".stripMargin).as("s"))
+      .select(col("s.step_no"), col("s.step"), col("s.n_users"))
+      .withColumn("conversion", round(
+        col("n_users").cast("double") /
+          first(col("n_users")).over(Window.orderBy("step_no")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
+      .orderBy(col("step_no"))
+  }
+
+  val funnelOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |  staged AS (
+      |    SELECT user_id,
+      |      CASE WHEN event_type = 'view' THEN us END AS view_us,
+      |      min(CASE WHEN event_type = 'view' THEN us END)
+      |        OVER w AS t1_before,
+      |      us, event_id, event_type
+      |    FROM e
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |  st2 AS (
+      |    SELECT *,
+      |      CASE WHEN event_type = 'click' AND t1_before IS NOT NULL AND us - t1_before <= 172800000000 THEN us END AS click_us
+      |    FROM staged),
+      |  st2w AS (
+      |    SELECT *, min(click_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t2_before
+      |    FROM st2),
+      |  st3 AS (
+      |    SELECT *,
+      |      CASE WHEN event_type = 'signup' AND t2_before IS NOT NULL AND us - t2_before <= 172800000000 THEN us END AS signup_us
+      |    FROM st2w),
+      |  st3w AS (
+      |    SELECT *, min(signup_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t3_before
+      |    FROM st3),
+      |  st4 AS (
+      |    SELECT *,
+      |      CASE WHEN event_type = 'purchase' AND t3_before IS NOT NULL AND us - t3_before <= 172800000000 THEN us END AS purchase_us
+      |    FROM st3w),
+      |  per_user AS (
+      |    SELECT user_id,
+      |      max(view_us IS NOT NULL) AS s1, max(click_us IS NOT NULL) AS s2,
+      |      max(signup_us IS NOT NULL) AS s3, max(purchase_us IS NOT NULL) AS s4
+      |    FROM st4 GROUP BY user_id),
+      |  steps AS (
+      |    SELECT CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |           CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      |    FROM per_user),
+      |  rows_out(step_no, step, n_users) AS (
+      |    SELECT 1, 'view', n1 FROM steps UNION ALL
+      |    SELECT 2, 'click', n2 FROM steps UNION ALL
+      |    SELECT 3, 'signup', n3 FROM steps UNION ALL
+      |    SELECT 4, 'purchase', n4 FROM steps)
+      |SELECT CAST(step_no AS INTEGER) AS step_no, step, n_users,
+      |  round(CAST(n_users AS DOUBLE) /
+      |        first_value(n_users) OVER (ORDER BY step_no
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS conversion
+      |FROM rows_out ORDER BY step_no""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
     "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
     "q68_approx_quantiles" -> ((s, d) => approxQuantilesChecked(s, d)),
     "q84_zorder_layout" -> ((s, d) => zorderLayout(s, d)),
+    "q85_funnel" -> ((s, d) => funnel(s, d)),
     "q61_range_bracket" -> ((s, d) => rangeBracket(s, d)),
     "q62_running_totals" -> ((s, d) => runningTotals(s, d)),
     "q63_percentiles" -> ((s, d) => percentiles(s, d)),
@@ -336,6 +453,7 @@ object OlapQueries {
   def oracles: Map[String, String] = Map(
     "q68_approx_quantiles" -> approxQuantilesCheckedOracle,
     "q84_zorder_layout" -> zorderLayoutOracle,
+    "q85_funnel" -> funnelOracle,
     "q65_window_funcs" -> windowFuncsOracle,
     "q67_pivot" -> pivotStatusOracle,
     "q61_range_bracket" -> rangeBracketOracle,
