@@ -330,6 +330,79 @@ object RelationalQueries {
       |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin
 
   // --- registry -----------------------------------------------------------
+  // --- q86: SCD2 dimension merge (upsert with history) ----------------------
+  /** The warehouse MERGE every lakehouse dimension pipeline runs, in its
+    * type-2 (history-keeping) form: an incoming batch of changed and
+    * brand-new customers merges into the dimension, closing the old
+    * version of each changed row (valid_to = effective date,
+    * is_current = false) and opening a new one, while unchanged rows
+    * pass through open-ended. The batch is derived deterministically
+    * from the data so the whole merge is oracle-checkable: customers
+    * with c_acctbal > 7000 move to segment 'PREMIUM'; synthetic new
+    * customers (key + 1,000,000) arrive for c_acctbal > 9000.
+    *
+    * Shape: ONE left join of the dimension against the keyed update
+    * batch (broadcast here — dim updates are the classic small side;
+    * unhinted it would be a plain key-partitioned join at any scale),
+    * then each matched row EXPLODES into its closed old version and
+    * opened new version — no second scan of the dimension, no union of
+    * three branches. Inserts append via a union of the (tiny) batch
+    * remainder. */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val eff = 1706745600000000L // 2024-02-01 00:00:00 UTC in micros
+    val c = Tables.customer(spark, dir)
+    val updates = c.filter(col("c_acctbal") > 7000)
+      .select(col("c_custkey").as("u_key"), lit("PREMIUM").as("u_segment"))
+    val inserts = c.filter(col("c_acctbal") > 9000)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), lit("NEW").as("c_mktsegment"),
+        lit(eff).as("valid_from_us"), lit(null).cast("bigint").as("valid_to_us"),
+        lit(true).as("is_current"))
+    val merged = c.join(broadcast(updates), col("c_custkey") === col("u_key"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        explode(when(col("u_key").isNotNull, expr(
+          s"""array(
+             |  struct(c_mktsegment AS seg, 0L AS vf, ${eff}L AS vt, false AS cur),
+             |  struct('PREMIUM' AS seg, ${eff}L AS vf, CAST(NULL AS BIGINT) AS vt, true AS cur))"""
+            .stripMargin))
+          .otherwise(expr(
+            "array(struct(c_mktsegment AS seg, 0L AS vf, CAST(NULL AS BIGINT) AS vt, true AS cur))")))
+          .as("v"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("v.seg").as("c_mktsegment"), col("v.vf").as("valid_from_us"),
+        col("v.vt").as("valid_to_us"), col("v.cur").as("is_current"))
+    merged.unionByName(inserts)
+      .orderBy(col("c_custkey"), col("valid_from_us"))
+  }
+
+  val scd2MergeOracle: String =
+    """WITH upd AS (SELECT c_custkey AS u_key FROM customer WHERE c_acctbal > 7000),
+      |  closed AS (
+      |    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |           CAST(0 AS BIGINT) AS valid_from_us,
+      |           CAST(1706745600000000 AS BIGINT) AS valid_to_us, false AS is_current
+      |    FROM customer JOIN upd ON c_custkey = u_key),
+      |  opened AS (
+      |    SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'PREMIUM' AS c_mktsegment,
+      |           CAST(1706745600000000 AS BIGINT) AS valid_from_us,
+      |           CAST(NULL AS BIGINT) AS valid_to_us, true AS is_current
+      |    FROM customer JOIN upd ON c_custkey = u_key),
+      |  unchanged AS (
+      |    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |           CAST(0 AS BIGINT) AS valid_from_us,
+      |           CAST(NULL AS BIGINT) AS valid_to_us, true AS is_current
+      |    FROM customer WHERE c_custkey NOT IN (SELECT u_key FROM upd)),
+      |  inserted AS (
+      |    SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal,
+      |           'NEW' AS c_mktsegment,
+      |           CAST(1706745600000000 AS BIGINT) AS valid_from_us,
+      |           CAST(NULL AS BIGINT) AS valid_to_us, true AS is_current
+      |    FROM customer WHERE c_acctbal > 9000)
+      |SELECT * FROM (
+      |  SELECT * FROM closed UNION ALL SELECT * FROM opened
+      |  UNION ALL SELECT * FROM unchanged UNION ALL SELECT * FROM inserted)
+      |ORDER BY c_custkey, valid_from_us""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
     "q2_star_revenue" -> ((s, d) => starRevenue(s, d)),
@@ -343,7 +416,8 @@ object RelationalQueries {
     "q10_scalar_funcs" -> ((s, d) => scalarFunctions(s, d)),
     "q11_events_json" -> ((s, d) => eventsJsonStats(s, d)),
     "q12_events_hourly" -> ((s, d) => eventsHourly(s, d)),
-    "q13_asof_join" -> ((s, d) => asofPurchaseError(s, d))
+    "q13_asof_join" -> ((s, d) => asofPurchaseError(s, d)),
+    "q86_scd2_merge" -> ((s, d) => scd2Merge(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -359,6 +433,7 @@ object RelationalQueries {
     "q10_scalar_funcs" -> scalarFunctionsOracle,
     "q11_events_json" -> eventsJsonStatsOracle,
     "q12_events_hourly" -> eventsHourlyOracle,
-    "q13_asof_join" -> asofPurchaseErrorOracle
+    "q13_asof_join" -> asofPurchaseErrorOracle,
+    "q86_scd2_merge" -> scd2MergeOracle
   )
 }

@@ -579,6 +579,48 @@ object SourceQueries {
       |WHERE len(list_filter(string_split(text, ' '), x -> x != '')) > 0
       |GROUP BY 1 ORDER BY ext""".stripMargin
 
+  // --- q87: CSV lake round trip ---------------------------------------------
+  /** The third text container format (after ORC q80 and the blob lake):
+    * events written once as real CSV — header, RFC-quoting stressed by
+    * the `props` JSON column (embedded commas, quotes, braces),
+    * microsecond timestamps via an explicit format — then read back with
+    * a declared schema (no inference job: schema-on-read is part of the
+    * 100 TB discipline, an inference pass over a CSV lake is a full
+    * extra scan) and aggregated. The oracle replays the aggregation over
+    * the ORIGINAL parquet, so any writer/reader asymmetry (quoting,
+    * escaping, timestamp truncation, float formatting) breaks the
+    * bit-exact match loudly. Staging is content-addressed like the blob
+    * lakes (one write per corpus fingerprint). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val csvRoot = stagedBlobs(dir, "csv", srcTable = "events") { staging =>
+      Tables.events(spark, dir)
+        .write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", tsFmt)
+        .csv(new java.io.File(staging, "events_csv").getAbsolutePath)
+    }
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.read.schema(schema)
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(new java.io.File(csvRoot, "events_csv").getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        sum(length(col("props"))).as("props_chars"))
+      .orderBy(col("event_type"))
+  }
+
+  val csvRoundtripOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+      |  CAST(sum(length(props)) AS BIGINT) AS props_chars
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
     "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
@@ -592,7 +634,8 @@ object SourceQueries {
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
-    "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d))
+    "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d)),
+    "q87_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -613,6 +656,7 @@ object SourceQueries {
     "q60e_png_roundtrip" -> multimodalDecodeOracle,
     "q79_dsv2_blobs" -> dsv2BlobScanOracle,
     "q79b_blob_rollup" -> blobLakeRollupOracle,
-    "q80_partitioned_lake" -> partitionedLakeOracle
+    "q80_partitioned_lake" -> partitionedLakeOracle,
+    "q87_csv_roundtrip" -> csvRoundtripOracle
   )
 }
