@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bigram_codes"),
       new ExpressionInfo(classOf[BigramCodesExpr].getName, "graft_bigram_codes"),
       BigramCodesExpr.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_space_saving"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "graft_space_saving"),
+      SpaceSavingAgg.sqlBuilder))
   }
 }

@@ -467,6 +467,32 @@ object TextQueries {
       |            THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS achieved_rate
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- q88: sketch-first heavy hitters (Space-Saving + exact confirm) -------
+  /** q59's global top-20 computed the way a 100 TB corpus forces: a
+    * ONE-PASS Space-Saving sketch ([[graft.functions.SpaceSavingAgg]],
+    * capacity 1024) reduces each partition to ≤1024 counters before the
+    * shuffle — the exchange carries O(partitions × 1024) rows where
+    * q59's exact groupBy shuffles the whole Heaps'-law vocabulary — then
+    * a confirm pass recounts ONLY the ≤1024 candidate tokens (broadcast
+    * semi-join; the second scan's aggregation state is candidate-bounded).
+    * Any token with true frequency > n/1024 is guaranteed in the sketch,
+    * and the sf corpora's top-20 clear that bound by orders of
+    * magnitude, so the confirmed top-20 is bit-exact and
+    * partitioning-independent: q59's oracle applies VERBATIM. The sketch
+    * mechanics (bounds, merge, serialization) are SpaceSavingSpec's. */
+  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+    val cands = toks
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("token"), 1024).as("sketch"))
+      .select(explode(col("sketch")).as("c"))
+      .select(col("c.token").as("cand"))
+    toks.join(broadcast(cands), col("token") === col("cand"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(20)
+  }
+
   // --- q83: BPE tokenizer training (Sennrich et al. 2016) -------------------
   /** The ordered merge table a subword tokenizer is built from, learned
     * distributed ([[graft.text.Bpe]]): one corpus scan to word
@@ -500,7 +526,8 @@ object TextQueries {
     "q44_tfidf" -> ((s, d) => tfidf(s, d)),
     "q58_lm_fluency" -> ((s, d) => lmFluency(s, d)),
     "q59_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
-    "q83_bpe_train" -> ((s, d) => bpeTrain(s, d))
+    "q83_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+    "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -513,6 +540,9 @@ object TextQueries {
     "q43_fingerprint" -> fingerprintOracle,
     "q44_tfidf" -> tfidfOracle,
     "q58_lm_fluency" -> lmFluencyOracle,
-    "q59_heavy_hitters" -> heavyHittersOracle
+    "q59_heavy_hitters" -> heavyHittersOracle,
+    // the sketch-first path confirms candidates with exact counts, so the
+    // exact top-20 oracle applies verbatim — the sketch is the delta
+    "q88_heavy_hitters_sketch" -> heavyHittersOracle
   )
 }
