@@ -79,6 +79,36 @@ class PlanShapeSpec extends SparkSuite {
       s"global limit not heap-based (full sort would materialize the count relation) in:\n$p")
   }
 
+  test("q85 funnel: all four stage windows share ONE exchange and one sort") {
+    val p = planOf("q85_funnel")
+    // the four stacked stage detections must reuse a single
+    // (user_id, us, event_id) shuffle+sort — a refactor that splits the
+    // window definitions re-shuffles per stage and shows up here first
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges in:\n$p")
+    val sorts = "\\bSort \\[user_id".r.findAllIn(p).length
+    assert(sorts == 1, s"expected 1 user_id sort, got $sorts in:\n$p")
+  }
+
+  test("q81 BM25: query-term dictionary and corpus stats broadcast; corpus never does") {
+    val p = planOf("q81_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"term dictionary not broadcast in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"stats scalar not broadcast in:\n$p")
+  }
+
+  test("q88 sketch heavy hitters: partial sketch below the exchange, confirm join broadcast") {
+    val p = planOf("q88_heavy_hitters_sketch")
+    // partial aggregation of the sketch must run map-side (the whole
+    // point: ≤capacity counters per partition cross the wire)
+    assert(p.contains("spacesavingagg".toLowerCase) || p.toLowerCase.contains("spacesaving"),
+      s"sketch aggregate missing from plan:\n$p")
+    assert("ObjectHashAggregate.*partial_".r.findFirstIn(p.replace("\n", " ")).isDefined ||
+      p.contains("partial_spacesavingagg") || p.contains("partial"),
+      s"no partial (map-side) sketch aggregation in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"candidate confirm join not broadcast in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered in:\n$p")
+  }
+
   test("q44 tf-idf: the document-frequency side carries no broadcast hint") {
     // df (one row per distinct corpus token) is unbounded at scale —
     // Heaps' law makes it billions of rows at 100 TB. Only the 1-row
