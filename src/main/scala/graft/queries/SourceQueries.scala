@@ -621,6 +621,49 @@ object SourceQueries {
       |  CAST(sum(length(props)) AS BIGINT) AS props_chars
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- q89: JSON-lines lake round trip --------------------------------------
+  /** The fourth container format (ORC q80, graftblob q79, CSV q87): events
+    * written once as newline-delimited JSON — string escaping stressed by
+    * the nested-JSON `props` column (it round-trips as an ESCAPED string
+    * inside the JSON envelope, quotes-within-quotes), µs timestamps via
+    * explicit format — read back with a declared schema (schema-on-read,
+    * no inference pass) and aggregated; the oracle replays the
+    * aggregation over the original parquet. Same content-addressed
+    * staging as the CSV lake. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val root = stagedBlobs(dir, "jsonl", srcTable = "events") { staging =>
+      Tables.events(spark, dir)
+        .write.mode("overwrite")
+        .option("timestampFormat", tsFmt)
+        .json(new java.io.File(staging, "events_jsonl").getAbsolutePath)
+    }
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.read.schema(schema)
+      .option("timestampFormat", tsFmt)
+      .json(new java.io.File(root, "events_jsonl").getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        sum(length(col("props"))).as("props_chars"),
+        // the nested payload survives the escape/unescape round trip:
+        // parse it back out of the re-read string and aggregate a field
+        sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonlRoundtripOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+      |  CAST(sum(length(props)) AS BIGINT) AS props_chars,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
     "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
@@ -635,7 +678,8 @@ object SourceQueries {
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
     "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d)),
-    "q87_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d))
+    "q87_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d)),
+    "q89_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -657,6 +701,7 @@ object SourceQueries {
     "q79_dsv2_blobs" -> dsv2BlobScanOracle,
     "q79b_blob_rollup" -> blobLakeRollupOracle,
     "q80_partitioned_lake" -> partitionedLakeOracle,
-    "q87_csv_roundtrip" -> csvRoundtripOracle
+    "q87_csv_roundtrip" -> csvRoundtripOracle,
+    "q89_jsonl_roundtrip" -> jsonlRoundtripOracle
   )
 }
