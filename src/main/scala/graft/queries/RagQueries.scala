@@ -550,6 +550,98 @@ object RagQueries {
        |       CAST(rnk AS INTEGER) AS rank
        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // --- q90: retrieval evaluation metrics ------------------------------------
+  /** The eval harness every retrieval stack needs: score one ranker
+    * against another as ground truth. Here the exact top-10 cosine
+    * ranking (the reference's vector leg) is the relevance set and the
+    * BM25 keyword leg (q81, top-5) is the system under test; per query
+    * the output is overlap, recall@5 and MRR, plus a macro-average row
+    * (query_id = -1).
+    *
+    * Exactness: membership and ranks are INTEGERS; recall is a
+    * small-integer division; each reciprocal rank is ONE IEEE division
+    * cast to DECIMAL(28,12) before any sum (the repo's order-insensitive
+    * float-aggregation trick), so every engine computes the identical
+    * decimal. Scale: both rankers end in WindowGroupLimit (≤10 rows per
+    * query cross the wire); the metric join touches ≤15 rows per query. */
+  def retrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val gt = TopK.topKCosine(
+      emb.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      emb.select(col("vec_id"), col("embedding").as("cvec")), k = 10)
+      .select(col("query_id").cast("int").as("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("grank"))
+    val sys = bm25(spark, dir).select(col("query_id"), col("doc_id"), col("rank").as("srank"))
+    // anchor on the query UNIVERSE: a system that returns nothing for a
+    // query (query 2 matches no keywords) scores 0, it doesn't vanish
+    val perQuery = chatQueriesDf(spark).select(col("query_id"))
+      .join(sys.join(gt, Seq("query_id", "doc_id"), "left"), Seq("query_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("grank").isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+        // reciprocal rank of the FIRST system hit that is relevant
+        min(when(col("grank").isNotNull, col("srank"))).as("first_hit_rank"))
+      .withColumn("recall_at_5",
+        round(col("n_overlap").cast("double") / lit(5.0), 6))
+      .withColumn("rr",
+        coalesce((lit(1.0) / col("first_hit_rank").cast("double"))
+          .cast("decimal(28,12)"), lit(0.0).cast("decimal(28,12)")))
+    val macroRow = perQuery.agg(
+      lit(-1).as("query_id"),
+      sum(col("n_overlap")).as("n_overlap"),
+      lit(null).cast("int").as("first_hit_rank"),
+      round(avg(col("recall_at_5")), 6).as("recall_at_5"),
+      sum(col("rr")).as("rr_sum"),
+      count(lit(1)).as("n_q"))
+      .select(col("query_id"), col("n_overlap"), col("first_hit_rank"),
+        col("recall_at_5"),
+        round((col("rr_sum") / col("n_q")).cast("double"), 6).as("mrr"))
+    perQuery
+      .select(col("query_id"), col("n_overlap"), col("first_hit_rank").cast("int"),
+        col("recall_at_5"), round(col("rr").cast("double"), 6).as("mrr"))
+      .unionByName(macroRow)
+      .orderBy(col("query_id"))
+  }
+
+  val retrievalMetricsOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |        FROM embeddings WHERE vec_id < 3),
+       |  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+       |  gt AS (
+       |    SELECT CAST(query_id AS INTEGER) AS query_id, vec_id AS doc_id, rnk AS grank FROM (
+       |      SELECT q.query_id, c.vec_id,
+       |             row_number() OVER (PARTITION BY q.query_id
+       |                                ORDER BY list_cosine_similarity(qe, ce) DESC, c.vec_id) AS rnk
+       |      FROM q CROSS JOIN c) WHERE rnk <= 10),
+       |  sys AS (SELECT query_id, doc_id, rank AS srank FROM (
+       |    ${bm25Oracle})),
+       |  chatq(query_id, qtext) AS (VALUES $chatQueriesSqlValues),
+       |  joined AS (
+       |    SELECT s.query_id, s.srank, g.grank
+       |    FROM sys s LEFT JOIN gt g ON s.query_id = g.query_id AND s.doc_id = g.doc_id),
+       |  per_q AS (
+       |    SELECT cq.query_id,
+       |      CAST(sum(CASE WHEN grank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |      min(CASE WHEN grank IS NOT NULL THEN srank END) AS first_hit_rank
+       |    FROM chatq cq LEFT JOIN joined j ON cq.query_id = j.query_id
+       |    GROUP BY cq.query_id),
+       |  scored AS (
+       |    SELECT query_id, n_overlap, CAST(first_hit_rank AS INTEGER) AS first_hit_rank,
+       |      round(CAST(n_overlap AS DOUBLE) / 5.0, 6) AS recall_at_5,
+       |      coalesce(CAST(1e0 / first_hit_rank AS DECIMAL(28,12)),
+       |               CAST(0 AS DECIMAL(28,12))) AS rr
+       |    FROM per_q),
+       |  macro AS (
+       |    SELECT -1 AS query_id, CAST(sum(n_overlap) AS BIGINT) AS n_overlap,
+       |      CAST(NULL AS INTEGER) AS first_hit_rank,
+       |      round(avg(recall_at_5), 6) AS recall_at_5,
+       |      round(CAST(sum(rr) / count(*) AS DOUBLE), 6) AS mrr
+       |    FROM scored)
+       |SELECT query_id, n_overlap, first_hit_rank, recall_at_5,
+       |       round(CAST(rr AS DOUBLE), 6) AS mrr FROM scored
+       |UNION ALL SELECT * FROM macro
+       |ORDER BY query_id""".stripMargin
+
   // --- registry -----------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_memory_window" -> ((s, d) => memoryWindow(s, d)),
@@ -564,7 +656,8 @@ object RagQueries {
     "q02b_chunk_recursive" -> ((s, d) => chunkRecursive(s, d)),
     "q07_index_build" -> ((s, d) => indexBuild(s, d)),
     "q81_bm25" -> ((s, d) => bm25(s, d)),
-    "q82_rrf_hybrid" -> ((s, d) => rrfHybrid(s, d))
+    "q82_rrf_hybrid" -> ((s, d) => rrfHybrid(s, d)),
+    "q90_retrieval_metrics" -> ((s, d) => retrievalMetrics(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -579,6 +672,7 @@ object RagQueries {
     "q02_chunk_stride" -> chunkStrideOracle,
     "q02b_chunk_recursive" -> chunkRecursiveOracle,
     "q81_bm25" -> bm25Oracle,
-    "q82_rrf_hybrid" -> rrfHybridOracle
+    "q82_rrf_hybrid" -> rrfHybridOracle,
+    "q90_retrieval_metrics" -> retrievalMetricsOracle
   )
 }
