@@ -1272,6 +1272,63 @@ object PipelineQueries {
       |       TRUE AS within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --- q91: C4-style repeated-line removal ----------------------------------
+  /** The line-level boilerplate filter from C4 (Raffel et al. 2020):
+    * drop every line that occurs (normalized) in ≥3 DISTINCT documents —
+    * navigation chrome, cookie banners, license footers. Lines are the
+    * corpus's paragraph model (10-token windows, q02c); "occurs" is
+    * per-document distinct (a line repeated within one doc counts once
+    * toward the threshold — C4's semantics).
+    *
+    * 100 TB shape: the line stream shuffles as xxhash64 LONGS (q74's
+    * discipline — never line text), the document-frequency aggregation
+    * is two map-side-combinable groupBys ((doc, h) distinct → h count),
+    * and the kill set re-joins the line stream on the same hash key so
+    * the exchange is reused. Per-doc rollup output: kept-line count and
+    * a sha256 over the kept text — any hash collision or ordering bug
+    * breaks the string-level oracle loudly (the oracle works on the
+    * TEXT, so the 64-bit hash path is itself under test). */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, (size(toks) - 1) div 10), i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))"))
+          .as(Seq("line_no", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val killSet = lines.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .select(col("h"))
+    val kept = lines.join(killSet, Seq("h"), "left_anti")
+    kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sha2(array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            _.getField("line")), "\n"), 256).as("kept_sha"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lineDedupOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |  FROM documents),
+      |  l AS (
+      |    SELECT doc_id, i AS line_no,
+      |           array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS line
+      |    FROM (SELECT doc_id, toks, unnest(generate_series(0, (len(toks)-1)//10)) AS i
+      |          FROM t WHERE len(toks) > 0)),
+      |  df AS (
+      |    SELECT line, count(*) AS df FROM (SELECT DISTINCT doc_id, line FROM l)
+      |    GROUP BY line),
+      |  kill AS (SELECT line FROM df WHERE df >= 3),
+      |  kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM kill))
+      |SELECT doc_id, count(*) AS n_kept,
+      |       sha256(string_agg(line, chr(10) ORDER BY line_no)) AS kept_sha
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -1294,7 +1351,8 @@ object PipelineQueries {
     "q38_ann_pq" -> ((s, d) => annPq(s, d)),
     "q39_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
-    "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d))
+    "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
+    "q91_line_dedup" -> ((s, d) => lineDedup(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1312,6 +1370,7 @@ object PipelineQueries {
     "q36b_ann_srp_md5" -> annSrpPortableOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
     "q35_ann_ivf" -> annIvfOracle,
-    "q77_semdedup" -> semDedupOracle
+    "q77_semdedup" -> semDedupOracle,
+    "q91_line_dedup" -> lineDedupOracle
   )
 }
