@@ -1280,6 +1280,14 @@ object PipelineQueries {
     * per-document distinct (a line repeated within one doc counts once
     * toward the threshold — C4's semantics).
     *
+    * Pipeline ORDER matters and is part of the semantics: exact
+    * document dedup runs FIRST (the canonical-keeper anti-join, q30's
+    * shape), so verbatim copies of a document do not count toward a
+    * line's document frequency — otherwise a 4×-replicated corpus (the
+    * sf1 rung, by construction) pushes every line past the threshold
+    * and the filter nukes the whole corpus. That is C4's real order
+    * too: URL/doc dedup is a separate stage from line dedup.
+    *
     * 100 TB shape: the line stream shuffles as xxhash64 LONGS (q74's
     * discipline — never line text), the document-frequency aggregation
     * is two map-side-combinable groupBys ((doc, h) distinct → h count),
@@ -1289,7 +1297,10 @@ object PipelineQueries {
     * breaks the string-level oracle loudly (the oracle works on the
     * TEXT, so the 64-bit hash path is itself under test). */
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val lines = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs.groupBy(sha2(col("text"), 256).as("sha"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val lines = docs.join(keepers, Seq("doc_id"), "left_semi")
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
@@ -1312,9 +1323,11 @@ object PipelineQueries {
   }
 
   val lineDedupOracle: String =
-    """WITH t AS (
+    """WITH keepers AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+      |  t AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
-      |  FROM documents),
+      |  FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers)),
       |  l AS (
       |    SELECT doc_id, i AS line_no,
       |           array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS line
