@@ -1342,6 +1342,70 @@ object PipelineQueries {
       |       sha256(string_agg(line, chr(10) ORDER BY line_no)) AS kept_sha
       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- q92: cluster topics (cluster-then-describe) --------------------------
+  /** The corpus-understanding tool every curation loop runs: cluster the
+    * embedding space (q35's deterministic IVF codebook + argmax
+    * assignment — already oracle-exact), then DESCRIBE each cluster by
+    * its most frequent distinctive tokens (length > 3, top-5 per cell by
+    * count with lexicographic tie-break). Output is the topic card:
+    * (cell, n_docs, rank, token, n).
+    *
+    * Scale: assignment is the q35 shape (broadcast codebook, partial
+    * max_by, only (doc, cell) pairs travel); the describe leg joins
+    * token stream to assignment on doc_id (both shuffle once on the
+    * same key) and aggregates (cell, token) map-side; the top-5 is a
+    * WindowGroupLimit per cell. No stage touches vectors after
+    * assignment. */
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorFns.normL2(col("v")))
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("ccos", VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val cellSizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> length(x) > 3)")).as("token"))
+    val w = Window.partitionBy("cell").orderBy(desc("n"), asc("token"))
+    toks.join(assigned, Seq("doc_id"))
+      .groupBy(col("cell"), col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .join(cellSizes, Seq("cell"))
+      .select(col("cell"), col("n_docs"), col("rank"), col("token"), col("n"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
+  val clusterTopicsOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+      |  assigned AS (
+      |    SELECT vec_id AS doc_id, cent_id AS cell FROM (
+      |      SELECT e.vec_id, cent.cent_id,
+      |             row_number() OVER (PARTITION BY e.vec_id
+      |               ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cent_id) AS crn
+      |      FROM e CROSS JOIN cent) WHERE crn = 1),
+      |  sizes AS (SELECT cell, count(*) AS n_docs FROM assigned GROUP BY cell),
+      |  toks AS (
+      |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+      |                                      x -> length(x) > 3)) AS token
+      |    FROM documents),
+      |  counts AS (
+      |    SELECT a.cell, t.token, count(*) AS n
+      |    FROM toks t JOIN assigned a USING (doc_id) GROUP BY 1, 2),
+      |  ranked AS (
+      |    SELECT cell, token, n,
+      |           row_number() OVER (PARTITION BY cell ORDER BY n DESC, token) AS rnk
+      |    FROM counts)
+      |SELECT r.cell, s.n_docs, CAST(r.rnk AS INTEGER) AS rank, r.token, r.n
+      |FROM ranked r JOIN sizes s USING (cell)
+      |WHERE r.rnk <= 5 ORDER BY r.cell, r.rnk""".stripMargin
+
   // ---- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -1365,7 +1429,8 @@ object PipelineQueries {
     "q39_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
-    "q91_line_dedup" -> ((s, d) => lineDedup(s, d))
+    "q91_line_dedup" -> ((s, d) => lineDedup(s, d)),
+    "q92_cluster_topics" -> ((s, d) => clusterTopics(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1384,6 +1449,7 @@ object PipelineQueries {
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
     "q35_ann_ivf" -> annIvfOracle,
     "q77_semdedup" -> semDedupOracle,
-    "q91_line_dedup" -> lineDedupOracle
+    "q91_line_dedup" -> lineDedupOracle,
+    "q92_cluster_topics" -> clusterTopicsOracle
   )
 }
