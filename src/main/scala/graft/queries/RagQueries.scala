@@ -642,6 +642,78 @@ object RagQueries {
        |UNION ALL SELECT * FROM macro
        |ORDER BY query_id""".stripMargin
 
+  // --- q93: Kendall-tau rank agreement --------------------------------------
+  /** How much does hybrid fusion reorder the vector ranking? Kendall's
+    * tau between the exact cosine top-10 and the RRF top-10 per query,
+    * over their SHARED documents: concordant/discordant pair counts and
+    * tau = (C − D) / (n(n−1)/2). Everything is INTEGER until the final
+    * ratio (one division of small exact integers, rounded at 6), so the
+    * agreement score is bit-exact in any engine. Scale: both rankings
+    * are ≤10 rows per query past their WindowGroupLimits, the pair
+    * self-join is ≤45 rows per query — the metric costs nothing at any
+    * corpus size because the rankers already bounded their outputs. */
+  def rankAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val a = TopK.topKCosine(
+      emb.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      emb.select(col("vec_id"), col("embedding").as("cvec")), k = 10)
+      .select(col("query_id").cast("int").as("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("arank"))
+    val b = rrfHybrid(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("brank"))
+    val shared = a.join(b, Seq("query_id", "doc_id"))
+    val p1 = shared.select(col("query_id"), col("doc_id").as("d1"),
+      col("arank").as("a1"), col("brank").as("b1"))
+    val p2 = shared.select(col("query_id"), col("doc_id").as("d2"),
+      col("arank").as("a2"), col("brank").as("b2"))
+    val pairs = p1.join(p2, Seq("query_id")).filter(col("d1") < col("d2"))
+      .withColumn("concordant",
+        ((col("a1") < col("a2")) === (col("b1") < col("b2"))).cast("long"))
+    pairs.groupBy(col("query_id"))
+      .agg(
+        (count(lit(1)) * 2).as("n_pairs_x2"),
+        sum(col("concordant")).as("concordant"),
+        sum(lit(1L) - col("concordant")).as("discordant"))
+      .withColumn("n_shared",
+        ((lit(1.0) + sqrt(lit(1.0) + lit(4.0) * col("n_pairs_x2"))) / 2).cast("long"))
+      .withColumn("tau", round(
+        (col("concordant") - col("discordant")).cast("double") / (col("n_pairs_x2") / lit(2.0)), 6))
+      .select(col("query_id"), col("n_shared"), col("concordant"), col("discordant"), col("tau"))
+      .orderBy(col("query_id"))
+  }
+
+  val rankAgreementOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |        FROM embeddings WHERE vec_id < 3),
+       |  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+       |  a AS (
+       |    SELECT CAST(query_id AS INTEGER) AS query_id, vec_id AS doc_id, rnk AS arank FROM (
+       |      SELECT q.query_id, c.vec_id,
+       |             row_number() OVER (PARTITION BY q.query_id
+       |                                ORDER BY list_cosine_similarity(qe, ce) DESC, c.vec_id) AS rnk
+       |      FROM q CROSS JOIN c) WHERE rnk <= 10),
+       |  b AS (SELECT query_id, doc_id, rank AS brank FROM (
+       |    ${rrfHybridOracle})),
+       |  shared AS (
+       |    SELECT a.query_id, a.doc_id, a.arank, b.brank
+       |    FROM a JOIN b ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+       |  pairs AS (
+       |    SELECT s1.query_id,
+       |      CASE WHEN (s1.arank < s2.arank) = (s1.brank < s2.brank)
+       |           THEN 1 ELSE 0 END AS concordant
+       |    FROM shared s1 JOIN shared s2
+       |      ON s1.query_id = s2.query_id AND s1.doc_id < s2.doc_id),
+       |  agg AS (
+       |    SELECT query_id, CAST(count(*) * 2 AS BIGINT) AS n_pairs_x2,
+       |      CAST(sum(concordant) AS BIGINT) AS concordant,
+       |      CAST(sum(1 - concordant) AS BIGINT) AS discordant
+       |    FROM pairs GROUP BY query_id)
+       |SELECT query_id,
+       |  CAST((1.0 + sqrt(1.0 + 4.0 * n_pairs_x2)) / 2 AS BIGINT) AS n_shared,
+       |  concordant, discordant,
+       |  round(CAST(concordant - discordant AS DOUBLE) / (n_pairs_x2 / 2.0), 6) AS tau
+       |FROM agg ORDER BY query_id""".stripMargin
+
   // --- registry -----------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_memory_window" -> ((s, d) => memoryWindow(s, d)),
@@ -657,7 +729,8 @@ object RagQueries {
     "q07_index_build" -> ((s, d) => indexBuild(s, d)),
     "q81_bm25" -> ((s, d) => bm25(s, d)),
     "q82_rrf_hybrid" -> ((s, d) => rrfHybrid(s, d)),
-    "q90_retrieval_metrics" -> ((s, d) => retrievalMetrics(s, d))
+    "q90_retrieval_metrics" -> ((s, d) => retrievalMetrics(s, d)),
+    "q93_rank_agreement" -> ((s, d) => rankAgreement(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -673,6 +746,7 @@ object RagQueries {
     "q02b_chunk_recursive" -> chunkRecursiveOracle,
     "q81_bm25" -> bm25Oracle,
     "q82_rrf_hybrid" -> rrfHybridOracle,
-    "q90_retrieval_metrics" -> retrievalMetricsOracle
+    "q90_retrieval_metrics" -> retrievalMetricsOracle,
+    "q93_rank_agreement" -> rankAgreementOracle
   )
 }
