@@ -19,7 +19,14 @@ import org.apache.spark.sql.SparkSession
   * to BENCH_LOCAL.json (committed per round), and the previous round's
   * copy — if present — yields `common_with_prev`: subtotals over exactly
   * the query set measured in BOTH rounds, so new operators never muddy
-  * the like-for-like ladder. */
+  * the like-for-like ladder.
+  *
+  * Two output forms of the same results: BENCH_LOCAL.json carries the
+  * FULL map (full query names, full precision) — the committed artifact
+  * judges diff round-over-round — while the stdout line compacts the
+  * per-query map (qNN prefix keys, millisecond precision) so the whole
+  * line fits the driver's 2000-char stdout tail window and its snapshot
+  * parses instead of truncating mid-map. */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -115,12 +122,23 @@ object Bench {
       val before = common.map(_._3).sum
       s""","common_with_prev":{"n":${common.length},"total":$now,"prev_total":$before}"""
     } else ""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
-      .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":"$cpus","reps":$reps$commonExtra$extra}"""
-    try java.nio.file.Files.writeString(localPath, line + "\n")
+    def jsonMap(entries: Seq[(String, Option[Double])], fmt: Double => String): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
+        .mkString("{", ",", "}")
+    def tail(qsJson: String) =
+      s""","errors":$errs,"sf":"$sfDir","cpus":"$cpus","reps":$reps$commonExtra$extra,"queries":$qsJson}"""
+    def head(v: Double) = s"""{"metric":"total","value":$v,"unit":"sec""""
+    // committed artifact: full names, full precision
+    val fileLine = head(total) + tail(jsonMap(results, _.toString))
+    try java.nio.file.Files.writeString(localPath, fileLine + "\n")
     catch { case _: Throwable => () } // read-only cwd must not kill the bench
-    println(line)
+    // stdout: qNN-prefix keys + ms precision, sized for the driver's
+    // 2000-char tail capture (falls back to full names on prefix clash)
+    def shortKey(n: String) = n.takeWhile(_ != '_')
+    val useShort = results.map(r => shortKey(r._1)).distinct.length == results.length
+    def ms(t: Double) = BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val compact = results.map { case (k, v) => (if (useShort) shortKey(k) else k) -> v }
+    println(head(ms(total).toDouble) + tail(jsonMap(compact, ms)))
   }
 }

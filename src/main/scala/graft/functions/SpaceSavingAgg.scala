@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -24,16 +24,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics: at most `capacity` counters. A present key increments its
   * counter; a new key under capacity starts at 1; at capacity the
   * MINIMUM counter's key is evicted and the new key takes `min + 1`
-  * (the classic overestimate-by-at-most-min bound). Merge (Agarwal et
-  * al. 2012, "Mergeable Summaries") sums counters per key and keeps the
-  * top `capacity` by (count, key) — the ε·n error bound is preserved
-  * under arbitrary merge trees, which is exactly what partial
-  * aggregation needs: each map task reduces its partition to ≤capacity
-  * counters BEFORE the shuffle, so the exchange carries
-  * O(partitions × capacity) rows regardless of vocabulary size.
+  * (the classic overestimate-by-at-most-min bound). Merge is the
+  * COMPENSATED merge of Agarwal et al. 2012 ("Mergeable Summaries"):
+  * a key absent from a side that is at capacity is charged that side's
+  * minimum counter (its estimate under Space-Saving semantics — the
+  * true count of an absent key is at most the sketch minimum), then
+  * per-key sums are truncated to the top `capacity` by (count, key).
+  * This preserves the ε·n bound under ARBITRARY merge trees — without
+  * the offset, repeated merges degrade the bound toward ~2n/capacity —
+  * which is exactly what partial aggregation needs: each map task
+  * reduces its partition to ≤capacity counters BEFORE the shuffle, so
+  * the exchange carries O(partitions × capacity) rows regardless of
+  * vocabulary size.
   *
   * Guarantee used by q88: any item with true frequency > n/capacity is
-  * in the final sketch. The query therefore treats the sketch as a
+  * in the final sketch, including across merges (the compensated
+  * estimate never undercounts, so a heavy key outranks at least one of
+  * any capacity+1 counters at truncation). The query therefore treats the sketch as a
   * CANDIDATE set and exactly recounts only those ≤capacity tokens in a
   * confirm pass — making the end result bit-exact and
   * partitioning-independent even though intermediate sketch counts are
@@ -51,9 +58,16 @@ case class SpaceSavingAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+    with ImplicitCastInputTypes
     with UnaryLike[Expression] {
 
   require(capacity > 0, "space_saving capacity must be positive")
+
+  // Analysis-time contract: the child must be (castable to) a string —
+  // without this, a non-string column surfaces as an executor-side
+  // ClassCastException instead of a clear AnalysisException.
+  // (covariant override: AbstractDataType is private[sql], DataType is not)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
@@ -84,12 +98,22 @@ case class SpaceSavingAgg(
 
   override def merge(
       a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b.foreach { case (k, n) => a.update(k, a.getOrElse(k, 0L) + n) }
-    if (a.size > capacity) {
-      val keep = a.toSeq.sortBy { case (k, n) => (-n, k) }.take(capacity)
-      a.clear()
-      keep.foreach { case (k, n) => a.update(k, n) }
-    }
+    if (b.isEmpty) return a
+    if (a.isEmpty) { b.foreach { case (k, n) => a.update(k, n) }; return a }
+    // Compensated merge: a side at capacity estimates any absent key at
+    // its minimum counter (a key it evicted can have true count at most
+    // min); a side under capacity saw every key it counts, so absent
+    // means a true zero.
+    val minA = if (a.size >= capacity) a.values.min else 0L
+    val minB = if (b.size >= capacity) b.values.min else 0L
+    val merged = mutable.HashMap.empty[String, Long]
+    a.foreach { case (k, n) => merged.update(k, n + b.getOrElse(k, minB)) }
+    b.foreach { case (k, n) => if (!a.contains(k)) merged.update(k, n + minA) }
+    val keep =
+      if (merged.size > capacity) merged.toSeq.sortBy { case (k, n) => (-n, k) }.take(capacity)
+      else merged.toSeq
+    a.clear()
+    keep.foreach { case (k, n) => a.update(k, n) }
     a
   }
 

@@ -281,8 +281,17 @@ object SourceQueries {
         s".blobs_${fmt}_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       staging.mkdirs()
       populate(staging)
-      if (!staging.renameTo(blobRoot) && !blobRoot.exists())
-        sys.error(s"could not publish blob dir $blobRoot")
+      if (!staging.renameTo(blobRoot)) {
+        // Lost the publish race (or the rename failed): reclaim the
+        // fully-populated staging dir so repeated races don't accumulate
+        // orphaned blob-set copies under target/.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(staging)
+        if (!blobRoot.exists()) sys.error(s"could not publish blob dir $blobRoot")
+      }
     }
     blobRoot
   }

@@ -22,18 +22,38 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val topkCosineOracle: String =
-    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-      |           FROM embeddings WHERE vec_id < 3),
-      |     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
-      |     scored AS (
-      |       SELECT q.query_id, c.vec_id,
-      |              list_cosine_similarity(qe, ce) AS cos,
-      |              row_number() OVER (PARTITION BY q.query_id
-      |                                 ORDER BY list_cosine_similarity(qe, ce) DESC, c.vec_id) AS rnk
-      |       FROM q CROSS JOIN c)
-      |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank
-      |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+  private def topkOracle(k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id < 3),
+       |     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+       |     scored AS (
+       |       SELECT q.query_id, c.vec_id,
+       |              list_cosine_similarity(qe, ce) AS cos,
+       |              row_number() OVER (PARTITION BY q.query_id
+       |                                 ORDER BY list_cosine_similarity(qe, ce) DESC, c.vec_id) AS rnk
+       |       FROM q CROSS JOIN c)
+       |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank
+       |FROM scored WHERE rnk <= $k ORDER BY query_id, rank""".stripMargin
+
+  val topkCosineOracle: String = topkOracle(5)
+
+  /** The reference's SECOND retrieval path (app.py:400-403): the
+    * `create_retrieval_chain` answer path re-retrieves with LangChain's
+    * default `as_retriever()` — plain similarity, k=4, no MMR — while
+    * the relevance gate used MMR k=5. Registered as its own query so the
+    * documented divergence between the two paths is measurable, not just
+    * a SURVEY footnote: q17b IS the plain path, q18 is the MMR path. */
+  def topkPlain(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cands = emb.select(col("vec_id"), col("embedding").as("cvec"))
+    TopK.topKCosine(queries, cands, k = 4)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val topkPlainOracle: String = topkOracle(4)
 
   /** Symmetric int8 quantization of the embedding column — the 4× memory
     * cut a 100 TB vector index takes before anything else (IVF codebooks
@@ -97,11 +117,13 @@ object VectorQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_topk_cosine" -> ((s, d) => topkCosine(s, d)),
+    "q17b_topk_plain" -> ((s, d) => topkPlain(s, d)),
     "q73_embedding_quantize" -> ((s, d) => embeddingQuantize(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "q17_topk_cosine" -> topkCosineOracle,
+    "q17b_topk_plain" -> topkPlainOracle,
     "q73_embedding_quantize" -> embeddingQuantizeOracle
   )
 }

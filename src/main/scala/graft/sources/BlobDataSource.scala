@@ -431,14 +431,23 @@ private[sources] class BlobBatchWrite(path: String, schema: StructType)
     new BlobWriterFactory(path, schema.fieldIndex("doc_id"),
       schema.fieldIndex("ext"), schema.fieldIndex("content"))
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { m =>
-      m.asInstanceOf[BlobCommit].pairs.foreach { case (tmp, fin) =>
-        val t = new java.io.File(path, tmp)
-        if (!t.renameTo(new java.io.File(path, fin)))
-          sys.error(s"graftblob commit: could not publish $tmp -> $fin")
-      }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.flatMap(_.asInstanceOf[BlobCommit].pairs)
+    // Two rows with the same (doc_id, ext) in one batch would race to
+    // the same final name and the later rename would silently replace
+    // the earlier blob — fail the job instead of losing a row.
+    val dups = all.groupBy(_._2).filter(_._2.length > 1).keys
+    if (dups.nonEmpty) {
+      all.foreach { case (tmp, _) => new java.io.File(path, tmp).delete() }
+      sys.error("graftblob commit: duplicate (doc_id, ext) rows map to the same " +
+        s"blob name(s) ${dups.take(5).mkString(", ")} — refusing last-writer-wins")
     }
+    all.foreach { case (tmp, fin) =>
+      val t = new java.io.File(path, tmp)
+      if (!t.renameTo(new java.io.File(path, fin)))
+        sys.error(s"graftblob commit: could not publish $tmp -> $fin")
+    }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.filter(_ != null).foreach {

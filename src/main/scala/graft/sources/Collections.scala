@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.StructType
 object Collections {
 
   def exists(spark: SparkSession, path: String): Boolean =
-    try { spark.read.parquet(path).schema; true } catch { case _: Throwable => false }
+    // Only "path is not a readable table" means absent; anything else
+    // (OOM, interrupt, a genuinely corrupt store) must propagate.
+    try { spark.read.parquet(path).schema; true }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
 
   /** Idempotent CREATE: writes an empty table if absent, no-op if present. */
   def create(spark: SparkSession, path: String, schema: StructType): Unit =

@@ -30,6 +30,10 @@ object Png {
     * pads the last row with zeros; the decoder trims back to this. */
   private[graft] val LenKey = "graft-len"
 
+  /** Upper bound on decoded pixel bytes (256 MiB) — a sanity cap on
+    * IHDR geometry, far above any fixture and far below heap limits. */
+  private val MaxPixelBytes: Long = 256L * 1024 * 1024
+
   private[graft] def isPng(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == Signature(i))
 
@@ -194,6 +198,14 @@ object Png {
     require(width > 0, "corrupt PNG: no IHDR chunk")
     require(idat.size() > 0, "corrupt PNG: no IDAT chunk")
     val bpp = channels
+    // Geometry guard in Long arithmetic: a crafted IHDR can make
+    // height * (width*channels + 1) wrap Int — negative (allocation
+    // throws) or small-positive (a "successful" tiny decode). Reject
+    // before any size computation touches Int.
+    require(
+      width.toLong * bpp * height <= MaxPixelBytes &&
+        height.toLong * (width.toLong * bpp + 1) <= Int.MaxValue.toLong,
+      s"corrupt PNG: geometry ${width}x$height x$bpp exceeds decode limit")
     val rowBytes = width * bpp
     val raw = zlibInflate(idat.toByteArray, height * (rowBytes + 1))
     val px = new Array[Byte](height * rowBytes)

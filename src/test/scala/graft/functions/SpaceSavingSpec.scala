@@ -32,15 +32,42 @@ class SpaceSavingSpec extends SparkSuite {
     }
   }
 
-  test("estimates overestimate by at most the eviction bound and never undercount") {
+  test("estimates overestimate by at most n/capacity and never undercount") {
     val data = Seq.fill(50)("x") ++ Seq.fill(30)("y") ++ (0 until 40).map(i => s"z_$i")
-    val est = sketchTokens(data, 8, 3).toMap
-    // Space-Saving never undercounts a surviving key
-    assert(est.getOrElse("x", 0L) >= 50L)
-    assert(est.getOrElse("y", 0L) >= 30L)
-    // total count is conserved-or-reduced by truncation, never inflated
-    // beyond n (each increment adds exactly 1 to one counter)
-    assert(est.values.sum <= data.size)
+    val bound = data.size / 8 // ε·n with ε = 1/capacity, preserved by compensated merge
+    for (parts <- Seq(1, 3, 7)) {
+      val est = sketchTokens(data, 8, parts).toMap
+      // Space-Saving never undercounts a surviving key (compensation only adds)
+      assert(est.getOrElse("x", 0L) >= 50L, s"parts=$parts")
+      assert(est.getOrElse("y", 0L) >= 30L, s"parts=$parts")
+      // ... and the compensated merge keeps the single-sketch error bound
+      assert(est("x") <= 50L + bound, s"parts=$parts")
+      assert(est("y") <= 30L + bound, s"parts=$parts")
+    }
+  }
+
+  test("heavy items survive adversarial merge trees (compensated merge)") {
+    // A wide vocabulary of mid-weight fillers spread across many
+    // partitions is the case where the un-compensated merge degrades
+    // toward ~2n/capacity: each side's evictions are forgotten at merge.
+    // The min-count offset keeps the heavy key's estimate dominant.
+    val heavy = Seq.fill(200)("HEAVY")
+    val filler = (0 until 16).flatMap(p => (0 until 50).map(i => s"f_${p}_$i"))
+    val data = scala.util.Random.shuffle(heavy ++ filler)
+    // n = 1000, capacity 8 → bound 125 < 200: HEAVY must survive any tree
+    for (parts <- Seq(2, 8, 16)) {
+      val kept = sketchTokens(data, 8, parts).map(_._1).toSet
+      assert(kept.contains("HEAVY"), s"parts=$parts")
+    }
+  }
+
+  test("non-castable input type is rejected at analysis time") {
+    import spark.implicits._
+    val df = Seq(Seq(1, 2), Seq(3)).toDF("arr")
+    val e = intercept[Exception] {
+      df.agg(spaceSaving(col("arr"), 4)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type") || e.getMessage.contains("arr"))
   }
 
   test("capacity bounds the buffer at any partitioning") {
