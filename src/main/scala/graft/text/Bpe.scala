@@ -86,10 +86,72 @@ object Bpe {
     * switch can never change the answer). */
   val LocalVocabThreshold = 65536L
 
+  /** How many merges one distributed scan may accept. 16 cuts job count
+    * ~16× at a real vocab (50k merges → ~3k scans instead of 50k) while
+    * the exactness filter below keeps the result identical to the
+    * one-merge-per-scan sequence. */
+  val MergeBatchSize = 16
+
+  /** The largest rank-prefix of one scan's top pairs that SEQUENTIAL
+    * training would provably pick in the same order — the driver-side
+    * "non-interacting batch" check. Candidates arrive as (l, r, count)
+    * sorted by (-count, l, r); always at least 1 is accepted (the plain
+    * argmax is exact by definition). Acceptance stops at the first pair
+    * that is not provably safe:
+    *
+    *   1. '''Prefix only''': a skipped pair may be the true next argmax
+    *      (its count can survive earlier merges), so nothing after the
+    *      first rejection is taken this scan.
+    *   2. '''Mutual disjointness''': pair i's symbols {l, r} must avoid
+    *      every earlier accepted {l, r, l+r} — then earlier merges can
+    *      neither create nor destroy an occurrence of pair i, so its
+    *      count (and rank among accepted) is invariant while the batch
+    *      is applied.
+    *   3. '''Strictly above the boundary''' (count of the first
+    *      non-accepted candidate): any pair a batch merge CREATES
+    *      (x, l+r) comes from an original occurrence of (x, l), which
+    *      shares a symbol with an accepted pair, so it was not accepted
+    *      and its count is ≤ the boundary. Accepted counts strictly
+    *      above the boundary therefore still dominate every new pair —
+    *      without this, a created pair could out-rank (or out-tie-break)
+    *      a later batch member and sequential training would diverge.
+    *   4. '''A self-pair (l == r) closes the batch''' after itself: the
+    *      bound in (3) rests on every created pair having a witness pair
+    *      that shares a symbol with an accepted pair and was therefore
+    *      NOT accepted (≤ boundary). For "a"+"a" the witness of a
+    *      created ("aa","a") is ("a","a") — the accepted pair ITSELF,
+    *      whose support is not below the boundary, so created pairs may
+    *      out-rank later members ("aaaa…" corpora do exactly this). The
+    *      next scan re-counts them correctly.
+    */
+  private[text] def acceptBatch(
+      cand: Seq[(String, String, Long)], batch: Int): Seq[(String, String, Long)] = {
+    val limit = math.min(batch, cand.length)
+    val used = scala.collection.mutable.Set.empty[String]
+    var k = 0
+    var open = true
+    while (open && k < limit) {
+      val (l, r, _) = cand(k)
+      if (k > 0 && (used(l) || used(r))) open = false
+      else {
+        used += l; used += r; used += (l + r)
+        k += 1
+        if (l == r) open = false
+      }
+    }
+    val boundary = if (k < cand.length) cand(k)._3 else 0L
+    while (k > 1 && cand(k - 1)._3 <= boundary) k -= 1
+    cand.take(k)
+  }
+
   /** Learn `numMerges` merges from a (word, freq) DataFrame. Returns the
-    * ordered merge table: (rank, left, right, merged, support). */
+    * ordered merge table: (rank, left, right, merged, support). Each
+    * distributed scan accepts up to `batchSize` merges via [[acceptBatch]]
+    * — bit-identical to one-merge-per-scan (BpeSpec pins both against
+    * [[trainLocal]]) at ~batchSize× fewer Spark jobs. */
   def train(spark: SparkSession, wordFreq: DataFrame, numMerges: Int,
-            localThreshold: Long = LocalVocabThreshold): DataFrame = {
+            localThreshold: Long = LocalVocabThreshold,
+            batchSize: Int = MergeBatchSize): DataFrame = {
     import spark.implicits._
     val base = wordFreq.select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)].cache()
@@ -105,16 +167,18 @@ object Bpe {
     var done = false
     while (!done && merges.length < numMerges) {
       val sofar = merges // stable closure capture for this iteration
+      val want = math.min(batchSize, numMerges - merges.length)
       val top = base.flatMap { case (w, n) =>
         val syms = applyMerges(w, sofar)
         syms.indices.dropRight(1).iterator.map(i => (syms(i), syms(i + 1), n))
       }.toDF("l", "r", "n")
         .groupBy("l", "r").agg(sum("n").as("n"))
         .orderBy(desc("n"), asc("l"), asc("r"))
-        .limit(1).collect()
+        .limit(want + 1) // +1: the boundary candidate the batch must clear
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       if (top.isEmpty) done = true
-      else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      else acceptBatch(top, want).foreach { case (l, r, n) =>
         merges :+= ((l, r))
         rows += ((merges.length, l, r, l + r, n))
       }

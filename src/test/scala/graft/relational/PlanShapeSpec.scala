@@ -109,6 +109,37 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered in:\n$p")
   }
 
+  test("q38 PQ: ADC tables broadcast, map-side shortlist cap, zero sort-merge joins") {
+    val p = planOf("q38_ann_pq")
+    // the per-query distance tables reach the scoring scan as a broadcast
+    // cross join — if Catalyst/AQE ever de-broadcasts them the corpus
+    // would shuffle against 3 rows
+    assert(p.contains("BroadcastNestedLoopJoin"), s"ADC tables not broadcast in:\n$p")
+    // the only corpus-sized rows crossing a wire are bare shortlist
+    // triples, pre-capped map-side at 100/query before their exchange
+    assert("WindowGroupLimit [^\n]*100, Partial".r.findFirstIn(p).isDefined,
+      s"no map-side (Partial) shortlist cap in:\n$p")
+    // every join in the query path broadcasts its small side; a
+    // SortMergeJoin appearing here means the corpus started shuffling
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared in:\n$p")
+  }
+
+  test("q39 IVFADC: probes/tables broadcast; only the index BUILD join shuffles") {
+    val p = planOf("q39_ann_ivfpq")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroid/ADC tables not broadcast in:\n$p")
+    // nprobe cell pruning and the 100-row shortlist both cap map-side
+    assert("WindowGroupLimit [^\n]*\\b4, Partial".r.findFirstIn(p).isDefined,
+      s"no map-side nprobe cap in:\n$p")
+    assert("WindowGroupLimit [^\n]*100, Partial".r.findFirstIn(p).isDefined,
+      s"no map-side shortlist cap in:\n$p")
+    // exactly ONE sort-merge join is legitimate: codes ⋈ cell-assignment
+    // when BUILDING the inverted lists (one-time index construction; at
+    // scale it's a write partitioned by cell). A second one means a
+    // query-path join lost its broadcast.
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 1, s"expected ≤1 sort-merge join (index build), got $smj in:\n$p")
+  }
+
   test("q44 tf-idf: the document-frequency side carries no broadcast hint") {
     // df (one row per distinct corpus token) is unbounded at scale —
     // Heaps' law makes it billions of rows at 100 TB. Only the 1-row

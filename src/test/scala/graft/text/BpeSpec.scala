@@ -62,6 +62,68 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.applyMerges("", Nil) === Vector.empty)
   }
 
+  test("batched distributed merges equal the reference on adversarial corpora") {
+    import spark.implicits._
+    // self-pair runs: merging (a,a) creates (aa,a)/(aa,aa) pairs whose
+    // counts rival everything else — the case where naive batching
+    // diverges from sequential training (acceptBatch rule 4)
+    val runs = Seq("aaaaaaaa" -> 9L, "aaab" -> 7L, "bbbb" -> 6L, "abab" -> 5L)
+    // dense tie structure: every count equal — the boundary-strictness
+    // shrink (rule 3) must collapse each batch to the plain argmax
+    val ties = Seq("ab" -> 3L, "cd" -> 3L, "ef" -> 3L, "gh" -> 3L, "ij" -> 3L)
+    // chained symbols: rank-adjacent pairs share letters (rule 2)
+    val chain = Seq("the" -> 10L, "then" -> 8L, "hen" -> 6L, "ten" -> 4L)
+    for ((corpus, n) <- Seq((runs, 12), (ties, 6), (chain, 10))) {
+      val got = Bpe.train(spark, corpus.toDF("word", "freq"), n, localThreshold = 0L)
+        .orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
+      val want = Bpe.trainLocal(corpus, n).zipWithIndex.map {
+        case ((l, r, s), i) => (i + 1, l, r, l + r, s)
+      }
+      assert(got === want, s"corpus=${corpus.take(2)}…")
+    }
+  }
+
+  test("batched distributed merges equal the reference on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 0 until 3) {
+      val corpus = (0 until 60).map { _ =>
+        val len = 1 + rng.nextInt(8)
+        val w = (0 until len).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+        w -> (1L + rng.nextInt(20))
+      }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }.toSeq
+      val got = Bpe.train(spark, corpus.toDF("word", "freq"), 15, localThreshold = 0L)
+        .orderBy("rank").as[(Int, String, String, String, Long)].collect().toSeq
+      val want = Bpe.trainLocal(corpus, 15).zipWithIndex.map {
+        case ((l, r, s), i) => (i + 1, l, r, l + r, s)
+      }
+      assert(got === want, s"trial=$trial")
+    }
+  }
+
+  test("acceptBatch: prefix, disjointness, boundary strictness, self-pair close") {
+    // disjoint, strictly descending: all accepted
+    assert(Bpe.acceptBatch(Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)), 16)
+      .map(_._3) === Seq(10L, 8L, 6L))
+    // interaction stops the prefix (no skipping over)
+    assert(Bpe.acceptBatch(
+      Seq(("a", "b", 10L), ("b", "c", 8L), ("e", "f", 6L)), 16).map(_._3) === Seq(10L))
+    // the merged symbol also interacts: ("a","b") blocks ("ab","x")
+    assert(Bpe.acceptBatch(
+      Seq(("a", "b", 10L), ("ab", "x", 8L)), 16).map(_._3) === Seq(10L))
+    // tie with the boundary candidate shrinks the batch to above it
+    assert(Bpe.acceptBatch(
+      Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 8L)), 2).map(_._3) === Seq(10L))
+    // rank-1 is always accepted even when tied (plain argmax is exact)
+    assert(Bpe.acceptBatch(
+      Seq(("a", "b", 8L), ("c", "d", 8L)), 1).map(_._1) === Seq("a"))
+    // a self-pair closes the batch after itself
+    assert(Bpe.acceptBatch(
+      Seq(("a", "a", 10L), ("c", "d", 8L)), 16).map(_._3) === Seq(10L))
+    assert(Bpe.acceptBatch(
+      Seq(("c", "d", 10L), ("a", "a", 8L), ("e", "f", 6L)), 16).map(_._3) === Seq(10L, 8L))
+  }
+
   test("trainer stops early when no pairs remain") {
     import spark.implicits._
     val singles = Seq("a" -> 3L, "b" -> 2L).toDF("word", "freq")
