@@ -673,6 +673,70 @@ object SourceQueries {
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- q94: PDF page-1 preview render at 0.5× (app.py:217-225) --------------
+  /** The reference's preview pane closed as data: page 1 of each staged
+    * PDF (the REAL codec's object-graph walk — same blobs as q60d, cache
+    * shared) is "rendered" at 0.5× scale and published as a genuine PNG,
+    * then decoded back and summarized. Glyph rasterization stays out of
+    * scope (no font engine in a headless JVM — SURVEY §7.4); the
+    * deterministic raster stand-in is the page-1 byte stream downsampled
+    * 2:1 (the 0.5 zoom factor applied to the only axis the corpus has),
+    * so every pixel of the preview still travels the full real
+    * PNG encode → CRC/inflate/unfilter decode path and the DuckDB oracle
+    * can recompute the identical checksum from `documents.text`. */
+  def pdfPreview(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "pdf") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
+              graft.sources.Pdf.encode(pages))
+          }
+        }
+    }
+    spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val page1 = graft.sources.Pdf.decodePages(bytes).head
+        val raster = page1.getBytes("ISO-8859-1").zipWithIndex
+          .collect { case (b, i) if i % 2 == 0 => b & 0xff }
+        val png = Png.encode(raster, width = 32)
+        val img = Png.decode(png) // the preview a reader would see
+        val checksum = img.samples.foldLeft(0L)((a, s) => (a * 31 + s) % 2147483647L)
+        (id, img.samples.length.toLong, img.width, img.height, checksum)
+      }
+      .toDF("doc_id", "n_px", "preview_w", "preview_h", "px_checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  val pdfPreviewOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, substring(text, 1, 200) AS p1
+      |  FROM documents WHERE length(text) > 0),
+      |c AS (
+      |  SELECT doc_id,
+      |         list_transform(
+      |           list_filter(generate_series(1, length(p1)), i -> (i - 1) % 2 = 0),
+      |           i -> ord(substring(p1, i, 1))) AS codes
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(len(codes) AS BIGINT) AS n_px,
+      |  CAST(32 AS INTEGER) AS preview_w,
+      |  CAST(ceil(len(codes) / 32.0) AS INTEGER) AS preview_h,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+      |                   (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS px_checksum
+      |FROM c ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
     "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
@@ -688,7 +752,8 @@ object SourceQueries {
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
     "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d)),
     "q87_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d)),
-    "q89_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d))
+    "q89_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d)),
+    "q94_pdf_preview" -> ((s, d) => pdfPreview(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -711,6 +776,7 @@ object SourceQueries {
     "q79b_blob_rollup" -> blobLakeRollupOracle,
     "q80_partitioned_lake" -> partitionedLakeOracle,
     "q87_csv_roundtrip" -> csvRoundtripOracle,
-    "q89_jsonl_roundtrip" -> jsonlRoundtripOracle
+    "q89_jsonl_roundtrip" -> jsonlRoundtripOracle,
+    "q94_pdf_preview" -> pdfPreviewOracle
   )
 }

@@ -45,7 +45,15 @@ object Sessionize {
               else s = UserState(s.n + 1, s.total + e.value, math.max(s.lastTs, e.ts.getTime))
             }
             state.update(s)
-            state.setTimeoutTimestamp(s.lastTs + TtlMs)
+            // Clamp to just above the watermark: a group fed entirely by
+            // LATE events (Spark does not pre-filter late rows for
+            // flatMapGroupsWithState) can have lastTs + TTL below the
+            // current watermark, and setTimeoutTimestamp throws on past
+            // timestamps — crashing the query instead of closing the
+            // already-expired session. The clamp arms the earliest legal
+            // timer, so such a session closes at the next trigger.
+            state.setTimeoutTimestamp(
+              math.max(s.lastTs + TtlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.single(UserUpdate(uid, s.n, s.total, closed = false))
           }
         })

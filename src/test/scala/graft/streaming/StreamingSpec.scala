@@ -108,6 +108,39 @@ class StreamingSpec extends SparkSuite {
     assert(closed.head.getLong(1) === 1L && closed.head.getDouble(2) === 7.0)
   }
 
+  test("S3/S4: late input behind the watermark never poisons the query") {
+    // A key arriving entirely behind the watermark would give
+    // lastTs + TTL < watermark, and an unclamped setTimeoutTimestamp
+    // throws IllegalArgumentException — killing the WHOLE query. On the
+    // memory-stream path Spark's late-row filter drops such rows before
+    // the function (asserted below); on a file-source stream the
+    // late-event watermark lags the eviction watermark by a batch, the
+    // row gets through, and only the max(lastTs + TTL, watermark + 1)
+    // clamp in Sessionize keeps the query alive — reproduced and
+    // validated at sf1 by graft.StreamProbe (SCALING.md round 8), which
+    // crashed 2 of 3 runs before the clamp.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Sessionize.updates(mem.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("late_state")
+      .outputMode(OutputMode.Update).start()
+    // batch 1 pushes the watermark to t+120min
+    mem.addData(Ev(ts(120), 1L, "purchase", 1.0))
+    q.processAllAvailable()
+    // batch 2: user 9's only event is 2 h behind the watermark (TTL 10 min)
+    mem.addData(Ev(ts(0), 9L, "purchase", 5.0))
+    q.processAllAvailable()
+    // batch 3: the query is still alive and processing fresh keys
+    mem.addData(Ev(ts(121), 2L, "purchase", 3.0))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died on late input: ${q.exception}")
+    q.stop()
+    val out = spark.table("late_state").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(!out.exists(_._1 == 9L), s"late row expected dropped on this path: $out")
+    assert(out.contains((2L, 1L, 3.0, false)), s"fresh key missing after late input: $out")
+  }
+
   test("streaming exact dedup: duplicate event_ids across batches emit once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
