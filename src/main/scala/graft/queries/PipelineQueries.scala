@@ -545,6 +545,78 @@ object PipelineQueries {
       |SELECT query_id, vec_id, cell, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank
       |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---- ANN: 1-bit sign quantization + Hamming shortlist --------------------
+  /** Binary-quantized ANN: each d-dim vector compresses to ceil(d/64)
+    * longs of sign bits — 64× smaller than float32, the most aggressive
+    * of the quantization ladder (float32 → int8 (q73) → PQ bytes (q38) →
+    * 1 bit here). Candidates rank by Hamming distance = Σ bit_count(xor)
+    * over the packed words (pure integer codegen, no float math in the
+    * scan), a 20-row shortlist per query survives, and ONLY the shortlist
+    * re-joins the full-precision table for the exact-cosine re-rank.
+    *
+    * 100 TB shape: the scan reads 8 bytes per vector instead of 256 — a
+    * 32× I/O cut before any pruning — and the shortlist join touches
+    * k·|queries| rows. Sign bits are a deterministic function of the
+    * stored floats, so the whole path (pack → Hamming → shortlist →
+    * re-rank) is oracle-expressible: DuckDB recomputes the Hamming
+    * distance as the count of sign disagreements per pair. */
+  def annHamming(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorFns.normL2(col("v")))
+      .cache()
+    // generic in dim: word w holds sign bits for coords [w*64, w*64+63]
+    val packed = e.select(col("vec_id"), expr(
+      """transform(sequence(0, int((size(v)-1) div 64)), w ->
+        |  aggregate(sequence(w*64, least(w*64+63, size(v)-1)), 0L,
+        |    (acc, i) -> IF(element_at(v, i+1) >= 0D,
+        |                   acc | shiftleft(1L, i - w*64), acc)))""".stripMargin).as("sig"))
+    val qsig = packed.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val wh = Window.partitionBy("query_id").orderBy(asc("hamming"), asc("vec_id"))
+    val shortlist = packed.crossJoin(broadcast(qsig))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(qsig, sig, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)"))
+      .withColumn("hrn", row_number().over(wh))
+      .filter(col("hrn") <= 20)
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    val qv = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    shortlist.join(e, Seq("vec_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", VectorFns.safeCosine(VectorFns.dot(col("qv"), col("v")), col("qn"), col("n")))
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annHammingOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+      |  ham AS (
+      |    SELECT q.query_id, e.vec_id,
+      |      CAST(list_sum(list_transform(list_zip(q.qv, e.v),
+      |        x -> CASE WHEN (x[1] >= 0) != (x[2] >= 0) THEN 1 ELSE 0 END))
+      |        AS INTEGER) AS hamming
+      |    FROM q CROSS JOIN e),
+      |  short AS (
+      |    SELECT query_id, vec_id, hamming FROM (
+      |      SELECT query_id, vec_id, hamming,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY hamming, vec_id) AS hrn
+      |      FROM ham) WHERE hrn <= 20),
+      |  rr AS (
+      |    SELECT s.query_id, s.vec_id, s.hamming,
+      |           list_cosine_similarity(q.qv, e.v) AS cos,
+      |           row_number() OVER (PARTITION BY s.query_id
+      |             ORDER BY list_cosine_similarity(q.qv, e.v) DESC, s.vec_id) AS rnk
+      |    FROM short s JOIN e ON s.vec_id = e.vec_id JOIN q ON s.query_id = q.query_id)
+      |SELECT query_id, vec_id, hamming, round(cos, 6) AS cosine,
+      |       CAST(rnk AS INTEGER) AS rank
+      |FROM rr WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---- semantic dedup over embedding clusters (SemDeDup) -------------------
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication" — public paper): embedding
@@ -1427,6 +1499,7 @@ object PipelineQueries {
     "q36b_ann_srp_md5" -> ((s, d) => annSrpPortable(s, d)),
     "q38_ann_pq" -> ((s, d) => annPq(s, d)),
     "q39_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
+    "q96_ann_hamming" -> ((s, d) => annHamming(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
     "q91_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -1448,6 +1521,7 @@ object PipelineQueries {
     "q36b_ann_srp_md5" -> annSrpPortableOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
     "q35_ann_ivf" -> annIvfOracle,
+    "q96_ann_hamming" -> annHammingOracle,
     "q77_semdedup" -> semDedupOracle,
     "q91_line_dedup" -> lineDedupOracle,
     "q92_cluster_topics" -> clusterTopicsOracle

@@ -514,6 +514,99 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  // --- q95: Gopher rule-based quality filter (Rae et al. 2021, App. A) -----
+  /** The Gopher quality-rule battery — the canonical rule set a web-scale
+    * pretraining corpus is screened with before any model-based scoring:
+    * word-count bounds [50, 100000], mean word length in [3, 10],
+    * symbol-to-word ratio (# / ellipsis) <= 0.1, <=90% of lines starting
+    * with a bullet, <=30% of lines ending with an ellipsis, >=80% of words
+    * containing an alphabetic character, and at least 2 of 8 required
+    * English stop words. Emits each rule's raw metric AND verdict plus
+    * the conjunction `keep`, so a downstream mix can re-weight rules
+    * instead of re-scanning text.
+    *
+    * 100 TB shape: one projection over one scan — every metric is a
+    * codegen'd higher-order function over the same split; the only
+    * shuffle is the output sort, and in production the sort drops and
+    * this is a zero-shuffle map-only pass. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val reqStops = "array('the','be','to','of','and','that','have','with')"
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_words", expr("size(toks)").cast("bigint"))
+      // empty docs carry no signal for any rule (guard mirrored in SQL)
+      .filter(col("n_words") > 0)
+      .withColumn("mean_word_len",
+        expr("aggregate(toks, 0L, (a, x) -> a + length(x))") / col("n_words").cast("double"))
+      .withColumn("n_sym",
+        (length(col("text")) - length(expr("replace(text, '#', '')")))
+          + (length(col("text")) - length(expr("replace(text, '...', '')"))) / lit(3)
+          + (length(col("text")) - length(expr("replace(text, '…', '')"))))
+      .withColumn("symbol_ratio", col("n_sym") / col("n_words").cast("double"))
+      .withColumn("bullet_frac",
+        expr("size(filter(lines, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))")
+          / expr("size(lines)").cast("double"))
+      .withColumn("ellipsis_frac",
+        expr("size(filter(lines, x -> x LIKE '%...' OR x LIKE '%…'))")
+          / expr("size(lines)").cast("double"))
+      .withColumn("alpha_frac",
+        expr("size(filter(toks, x -> x rlike '[A-Za-z]'))") / col("n_words").cast("double"))
+      .withColumn("stop_hits",
+        expr(s"size(filter($reqStops, w -> array_contains(toks, w)))"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          (col("symbol_ratio") <= 0.1) &&
+          (col("bullet_frac") <= 0.9) && (col("ellipsis_frac") <= 0.3) &&
+          (col("alpha_frac") >= 0.8) && (col("stop_hits") >= 2))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("symbol_ratio"), 6).as("symbol_ratio"),
+        round(col("bullet_frac"), 6).as("bullet_frac"),
+        round(col("ellipsis_frac"), 6).as("ellipsis_frac"),
+        round(col("alpha_frac"), 6).as("alpha_frac"),
+        col("stop_hits"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRulesOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS toks,
+      |    string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |  m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    list_sum(list_transform(toks, x -> length(x)))
+      |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+      |    ((length(text) - length(replace(text, '#', '')))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3
+      |      + (length(text) - length(replace(text, '…', ''))))
+      |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+      |    len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%'))
+      |      / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+      |    len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…'))
+      |      / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+      |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+      |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+      |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |      w -> list_contains(toks, w))) AS INTEGER) AS stop_hits
+      |  FROM d WHERE len(toks) > 0)
+      |SELECT doc_id, n_words,
+      |  round(mean_word_len, 6) AS mean_word_len,
+      |  round(symbol_ratio, 6) AS symbol_ratio,
+      |  round(bullet_frac, 6) AS bullet_frac,
+      |  round(ellipsis_frac, 6) AS ellipsis_frac,
+      |  round(alpha_frac, 6) AS alpha_frac,
+      |  stop_hits,
+      |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+      |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+      |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+      |   AND stop_hits >= 2) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // --- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition" -> ((s, d) => repetition(s, d)),
@@ -527,7 +620,8 @@ object TextQueries {
     "q58_lm_fluency" -> ((s, d) => lmFluency(s, d)),
     "q59_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q83_bpe_train" -> ((s, d) => bpeTrain(s, d)),
-    "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d))
+    "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
+    "q95_gopher_rules" -> ((s, d) => gopherRules(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -543,6 +637,7 @@ object TextQueries {
     "q59_heavy_hitters" -> heavyHittersOracle,
     // the sketch-first path confirms candidates with exact counts, so the
     // exact top-20 oracle applies verbatim — the sketch is the delta
-    "q88_heavy_hitters_sketch" -> heavyHittersOracle
+    "q88_heavy_hitters_sketch" -> heavyHittersOracle,
+    "q95_gopher_rules" -> gopherRulesOracle
   )
 }
