@@ -140,6 +140,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(smj <= 1, s"expected ≤1 sort-merge join (index build), got $smj in:\n$p")
   }
 
+  test("q95 gopher rules: map-only pass — no hash-partitioned exchange, no join, no aggregate") {
+    val p = planOf("q95_gopher_rules")
+    // every rule metric is a HOF over one projection of one scan; the only
+    // legitimate exchange is the test-harness output sort (range
+    // partitioning). A hash exchange, join, or aggregate appearing here
+    // means a rule started shuffling the corpus.
+    assert(!p.contains("Exchange hashpartitioning"), s"hash exchange appeared in:\n$p")
+    assert(!p.contains("Join"), s"join appeared in:\n$p")
+    assert(!p.contains("Aggregate"), s"aggregate appeared in:\n$p")
+  }
+
+  test("q96 Hamming ANN: query signatures broadcast, map-side shortlist cap") {
+    val p = planOf("q96_ann_hamming")
+    // the 3-row packed query signatures reach the corpus scan as a
+    // broadcast cross join — de-broadcasting would shuffle the corpus
+    // against 3 rows
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query signatures not broadcast in:\n$p")
+    // only 20 shortlist rows per query may cross an exchange, capped
+    // map-side before the wire
+    assert("WindowGroupLimit [^\n]*20, Partial".r.findFirstIn(p).isDefined,
+      s"no map-side (Partial) shortlist cap in:\n$p")
+    // every query-path join broadcasts its small side (shortlist or
+    // query vectors); a SortMergeJoin means the corpus started shuffling
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared in:\n$p")
+  }
+
   test("q44 tf-idf: the document-frequency side carries no broadcast hint") {
     // df (one row per distinct corpus token) is unbounded at scale —
     // Heaps' law makes it billions of rows at 100 TB. Only the 1-row
