@@ -607,6 +607,91 @@ object TextQueries {
       |   AND stop_hits >= 2) AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // --- q98: token-budget curation (distributed prefix sum) -----------------
+  /** "Fill a token budget with the best documents": the greedy knapsack
+    * every pretraining-mix builder runs — order docs by quality density
+    * (q40's quality score per token), admit while the running token total
+    * stays within budget (here: a quarter of the corpus's tokens, so the
+    * query is scale-free).
+    *
+    * The naive formulation is a running sum over ONE global ordering — an
+    * orderBy-only window collapses to a single partition, the classic
+    * driver-shaped bottleneck. This implements the distributed prefix
+    * sum instead: density quantizes into order-preserving buckets
+    * (floor(density*1000) — monotone, so bucket-major order IS density
+    * order), per-bucket token totals (≤1001 rows) compute each bucket's
+    * global offset, and the per-doc running sum windows WITHIN buckets —
+    * fully parallel. cum = bucket offset + in-bucket prefix, exactly
+    * equal to the naive global scan, which is what the DuckDB oracle
+    * runs. Integer token arithmetic end to end; the only corpus-sized
+    * shuffle carries (doc_id, n_tokens, density). */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    // quality has exactly 6 decimals, so quality/n_tokens can land exactly
+    // on a 6-dp half boundary where double rounding diverges cross-engine;
+    // the OUTPUT density therefore rounds via exact integer arithmetic
+    // (q6 = quality·1e6 is integer-valued: round-half-up of q6/n is
+    // floor((2·q6 + n) / 2n)). Ordering/bucketing use the raw double —
+    // one IEEE division, bit-identical everywhere, never rounded.
+    val d = withQuality(Tables.documents(spark, dir))
+      .withColumn("density", col("quality") / col("n_tokens").cast("double"))
+      .withColumn("q6", round(col("quality") * lit(1e6)).cast("long"))
+      .withColumn("density6",
+        expr("(2*q6 + n_tokens) div (2*n_tokens)"))
+      .withColumn("bucket", floor(col("density") * lit(1000.0)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("density"), col("density6"), col("bucket"))
+    val budgetDf = d.agg(expr("sum(n_tokens) div 4").as("budget"))
+    val wOff = Window.orderBy(desc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤1001 rows: the single-partition window here is over the bucket
+    // TOTALS, not the corpus
+    val offsets = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btoks"))
+      .withColumn("boff", coalesce(sum(col("btoks")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(desc("density"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens", col("boff") + sum(col("n_tokens")).over(wIn))
+      .crossJoin(broadcast(budgetDf))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("density6").cast("double") / lit(1e6)).as("density"),
+        col("cum_tokens"), col("budget"))
+      .orderBy(col("cum_tokens"))
+  }
+
+  val tokenBudgetOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |  c AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(toks, x -> x IN $stopList)) AS BIGINT) AS n_stop,
+       |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
+       |  FROM d WHERE len(toks) > 0),
+       |  q0 AS (
+       |  SELECT doc_id, n_tokens,
+       |    round(0.4 * (n_distinct / CAST(n_tokens AS DOUBLE))
+       |        + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
+       |        + 0.3 * least(1.0, (sum_len / CAST(n_tokens AS DOUBLE)) / 8.0), 6) AS quality
+       |  FROM c),
+       |  q AS (
+       |  SELECT doc_id, n_tokens,
+       |    quality / CAST(n_tokens AS DOUBLE) AS density_raw,
+       |    CAST(round(quality * 1e6) AS BIGINT) AS q6
+       |  FROM q0),
+       |  b AS (SELECT CAST(sum(n_tokens) // 4 AS BIGINT) AS budget FROM q),
+       |  cum AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST((2*q6 + n_tokens) // (2*n_tokens) AS DOUBLE) / 1e6 AS density,
+       |    CAST(sum(n_tokens) OVER (ORDER BY density_raw DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, n_tokens, density, cum_tokens, b.budget
+       |FROM cum, b WHERE cum_tokens <= b.budget ORDER BY cum_tokens""".stripMargin
+
   // --- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition" -> ((s, d) => repetition(s, d)),
@@ -621,7 +706,8 @@ object TextQueries {
     "q59_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q83_bpe_train" -> ((s, d) => bpeTrain(s, d)),
     "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
-    "q95_gopher_rules" -> ((s, d) => gopherRules(s, d))
+    "q95_gopher_rules" -> ((s, d) => gopherRules(s, d)),
+    "q98_token_budget" -> ((s, d) => tokenBudget(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -638,6 +724,7 @@ object TextQueries {
     // the sketch-first path confirms candidates with exact counts, so the
     // exact top-20 oracle applies verbatim — the sketch is the delta
     "q88_heavy_hitters_sketch" -> heavyHittersOracle,
-    "q95_gopher_rules" -> gopherRulesOracle
+    "q95_gopher_rules" -> gopherRulesOracle,
+    "q98_token_budget" -> tokenBudgetOracle
   )
 }

@@ -166,6 +166,26 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared in:\n$p")
   }
 
+  test("q97 DSIR: the bucket-bounded log-ratio model joins broadcast") {
+    val p = planOf("q97_dsir_weights")
+    // the language models are bounded by B=1024 buckets — if the scoring
+    // join ever de-broadcasts, the corpus-sized count stream shuffles
+    // against a few-KB table
+    assert(p.contains("BroadcastHashJoin"), s"ratio model not broadcast in:\n$p")
+  }
+
+  test("q98 token budget: corpus window partitions by bucket, offsets/budget broadcast") {
+    val p = planOf("q98_token_budget")
+    // the distributed-prefix-sum promise: the corpus-sized running sum
+    // must window WITHIN buckets (parallel), never over one global
+    // ordering; the bucket offsets and budget scalar reach it broadcast
+    assert("Window \\[[^\n]*\\], \\[bucket".r.findFirstIn(p).isDefined,
+      s"corpus running sum not partitioned by bucket in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"budget scalar not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared in:\n$p")
+  }
+
   test("q44 tf-idf: the document-frequency side carries no broadcast hint") {
     // df (one row per distinct corpus token) is unbounded at scale —
     // Heaps' law makes it billions of rows at 100 TB. Only the 1-row
