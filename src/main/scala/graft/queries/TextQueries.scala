@@ -514,6 +514,50 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  // --- q83b: BPE tokenizer APPLY (encode the corpus) -----------------------
+  /** The step after q83's training: tokenize the whole corpus with the
+    * learned merge table and report per-doc token statistics — the
+    * "how many tokens is my dataset" pass every pretraining run starts
+    * with (and the input q98's budget would consume in production).
+    *
+    * Scale shape — encode the VOCABULARY, not the corpus: merges apply
+    * per distinct word, so the iterative merge loop runs once per vocab
+    * entry (Heaps'-law bounded, corpus tokens ≫ vocab) in a typed map
+    * with the ≤40-row merge table in the closure; the corpus then
+    * equi-joins its exploded words to the (word, n_pieces) relation —
+    * UNHINTED, the q44 discipline, since vocab is unbounded at 100 TB —
+    * and sums per doc. Long words (>20 chars) are excluded from TRAINING
+    * (q83's filter) but still encoded here, as a tokenizer must.
+    *
+    * Not SQL-expressible (iterative greedy merges) → rows-only tier;
+    * BpeSpec pins the full distributed path against an independent
+    * driver-local re-encode. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val trainWords = docs
+      .select(explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("word"))
+      .filter(length(col("word")) <= 20)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges: Seq[(String, String)] =
+      graft.text.Bpe.train(spark, trainWords, numMerges = 40)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val corpusWords = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("word"))
+    val pieces = corpusWords.select(col("word")).distinct()
+      .as[String]
+      .map(w => (w, graft.text.Bpe.applyMerges(w, merges).length.toLong))
+      .toDF("word", "n_pieces")
+    corpusWords.join(pieces, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_tokens"))
+      .withColumn("tokens_per_word",
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   // --- q95: Gopher rule-based quality filter (Rae et al. 2021, App. A) -----
   /** The Gopher quality-rule battery — the canonical rule set a web-scale
     * pretraining corpus is screened with before any model-based scoring:
@@ -705,6 +749,7 @@ object TextQueries {
     "q58_lm_fluency" -> ((s, d) => lmFluency(s, d)),
     "q59_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q83_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+    "q83b_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
     "q95_gopher_rules" -> ((s, d) => gopherRules(s, d)),
     "q98_token_budget" -> ((s, d) => tokenBudget(s, d))

@@ -17,7 +17,8 @@ class RegistrySpec extends AnyFunSuite {
     "q37_ann_mllib",        // MLlib LSH cross-check, recall column spec'd
     "q38_ann_pq",           // float k-means codebook; PqSpec pins recall + determinism
     "q39_ann_ivfpq",        // same k-means + IVF; IvfPqSpec pins recall, determinism, cell closure
-    "q83_bpe_train")        // 40 data-dependent argmax iterations, not one SQL query; BpeSpec pins vs single-node reference
+    "q83_bpe_train",        // 40 data-dependent argmax iterations, not one SQL query; BpeSpec pins vs single-node reference
+    "q83b_bpe_encode")      // iterative greedy merge application; BpeSpec pins vs driver-local re-encode
 
   test("every query has an oracle or a documented rows-only justification") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly

@@ -130,6 +130,30 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.train(spark, singles, 10).count() === 0L)
   }
 
+  test("q83b distributed corpus encode equals a driver-local re-encode") {
+    // independent path: train locally on the same (filtered) word freqs,
+    // then re-encode every doc on the driver word by word — the
+    // distributed query's vocab-encode + join-back must reproduce it
+    // exactly, doc for doc
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "filter(split(lower(text), ' '), x -> x != '') AS toks")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val freqs = docs.flatMap(_._2).filter(_.length <= 20)
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val merges = Bpe.trainLocal(freqs, numMerges = 40).map { case (l, r, _) => (l, r) }
+    val pieceLen = scala.collection.mutable.Map.empty[String, Long]
+    val want = docs.filter(_._2.nonEmpty).map { case (id, toks) =>
+      val nt = toks.map(w =>
+        pieceLen.getOrElseUpdate(w, Bpe.applyMerges(w, merges).length.toLong)).sum
+      (id, toks.length.toLong, nt)
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.TextQueries.bpeEncode(spark, sfDir)
+      .select("doc_id", "n_words", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
   test("q83 runs on the sf fixture and yields a full, ranked merge table") {
     val df = graft.queries.TextQueries.bpeTrain(spark, sfDir)
     val rows = df.collect()
