@@ -165,6 +165,36 @@ object StreamQueries {
       |       count(DISTINCT user_id) AS n_users
       |FROM j GROUP BY 1 ORDER BY hour_us""".stripMargin
 
+  /** S2 outer batch form: attribution coverage per hour — every purchase
+    * kept, matched ones fanned out per qualifying view, unmatched ones
+    * surviving as null-view rows, so the aggregate can report BOTH the
+    * conversion pairs and the unattributed purchases the inner join
+    * silently drops. Stream≡batch for the outer join (watermark-driven
+    * null emission) is asserted in StreamingSpec. */
+  def intervalJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    EventStreams.viewToPurchaseOuter(
+      e.filter(col("event_type") === "view"),
+      e.filter(col("event_type") === "purchase"))
+      .groupBy((unix_micros(date_trunc("hour", col("p_ts")))).as("hour_us"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        countDistinct(when(col("v_ts").isNull, col("p_id"))).as("n_unattributed"))
+      .orderBy(col("hour_us"))
+  }
+
+  val intervalJoinOuterOracle: String =
+    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts FROM events WHERE event_type = 'view'),
+      |     p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+      |     j AS (SELECT p.p_id, p.p_ts, v.v_ts
+      |           FROM p LEFT JOIN v ON p.user_id = v.v_user
+      |             AND v.v_ts <= p.p_ts AND v.v_ts > p.p_ts - INTERVAL 10 MINUTE)
+      |SELECT epoch_us(date_trunc('hour', p_ts)) AS hour_us,
+      |       count(*) AS n_rows,
+      |       count(DISTINCT p_id) AS n_purchases,
+      |       count(DISTINCT CASE WHEN v_ts IS NULL THEN p_id END) AS n_unattributed
+      |FROM j GROUP BY 1 ORDER BY hour_us""".stripMargin
+
   /** S5 batch form: exactly-once recovery from an at-least-once delivery
     * stream. Deliveries = events plus a re-delivery of every 7th event_id
     * 90 seconds later (the retry simulation, constructed identically in
@@ -216,6 +246,7 @@ object StreamQueries {
     "q57_stream_enrich" -> ((s, d) => streamEnrich(s, d)),
     "q56_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q55_interval_join" -> ((s, d) => intervalJoin(s, d)),
+    "q55b_interval_join_outer" -> ((s, d) => intervalJoinOuter(s, d)),
     "q50_tumbling_window" -> ((s, d) => tumbling(s, d)),
     "q51_sliding_window" -> ((s, d) => sliding(s, d)),
     "q52_session_window" -> ((s, d) => session(s, d)),
@@ -227,6 +258,7 @@ object StreamQueries {
     "q57_stream_enrich" -> streamEnrichOracle,
     "q56_stream_dedup" -> streamDedupOracle,
     "q55_interval_join" -> intervalJoinOracle,
+    "q55b_interval_join_outer" -> intervalJoinOuterOracle,
     "q50_tumbling_window" -> tumblingOracle,
     "q51_sliding_window" -> slidingOracle,
     "q52_session_window" -> sessionOracle,

@@ -57,6 +57,27 @@ object EventStreams {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** S2 outer form — purchases LEFT OUTER joined to preceding views on
+    * the same 10-minute interval: every purchase survives, unmatched
+    * ones with a null v_ts. In streaming this exercises a semantics the
+    * inner join does not — an unmatched purchase's null row can only be
+    * EMITTED once the watermark proves no matching view can still
+    * arrive, so correctness depends on watermark-driven state eviction,
+    * not just state lookup. State stays bounded by the same 30-minute
+    * watermark + 10-minute condition window as the inner form. */
+  def viewToPurchaseOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** S5 — exactly-once recovery over an at-least-once delivery stream:
     * re-deliveries of the same event_id arriving within the watermark
     * are dropped, keeping the FIRST arrival. Streaming state is one

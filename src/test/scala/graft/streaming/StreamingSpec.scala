@@ -302,4 +302,41 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
     assert(batch.map(_._1) === Seq(200L, 201L, 204L)) // 202/203 excluded
   }
+
+  test("S2 stream-stream LEFT OUTER interval join: null rows emit on watermark, equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      PEv(ts(0), 1L, "view", 100L),
+      PEv(ts(12), 1L, "view", 101L),
+      PEv(ts(7), 2L, "view", 102L))
+    val purchases = Seq(
+      PEv(ts(5), 1L, "purchase", 200L),   // matched
+      PEv(ts(20), 1L, "purchase", 201L),  // matched
+      PEv(ts(10), 1L, "purchase", 202L),  // UNMATCHED (strict bound) -> null row
+      PEv(ts(6), 2L, "purchase", 203L),   // UNMATCHED (view after) -> null row
+      PEv(ts(16), 2L, "purchase", 204L))  // matched
+    val memV = MemoryStream[PEv]; val memP = MemoryStream[PEv]
+    memV.addData(views: _*); memP.addData(purchases: _*)
+    val q = EventStreams.viewToPurchaseOuter(memV.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("ssoj").outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // unmatched purchases can only emit once the watermark PROVES no
+    // matching view can still arrive; the GLOBAL watermark is the min
+    // across inputs, so BOTH streams need a far-future sentinel (unused
+    // user) before the drain — the sentinel purchase itself stays in
+    // state unemitted and is filtered from the comparison
+    memV.addData(PEv(ts(24 * 60), 99L, "view", 999L))
+    memP.addData(PEv(ts(24 * 60), 99L, "purchase", 998L))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ssoj").filter("p_id < 900").orderBy("p_id", "v_ts")
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(3)))).toSeq
+    val batch = EventStreams.viewToPurchaseOuter(views.toDF(), purchases.toDF())
+      .orderBy("p_id", "v_ts")
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(3)))).toSeq
+    assert(streamed === batch)
+    assert(batch.map(_._1) === Seq(200L, 201L, 202L, 203L, 204L)) // every purchase survives
+    assert(batch.collect { case (id, None) => id } === Seq(202L, 203L))
+  }
 }
