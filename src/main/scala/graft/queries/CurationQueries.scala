@@ -399,7 +399,16 @@ object CurationQueries {
     * size; the only corpus-sized shuffles carry (doc_id, bucket, count)
     * longs, never text. Raw + target models come from one pass over the
     * cached per-doc counts. */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirScored(spark, dir)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("w").cast("double"), 6).as("dsir_logweight"),
+        (col("w") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Shared DSIR scoring core: (doc_id, n_bigrams, w DECIMAL(28,12)) —
+    * q97 publishes the weights, q97b consumes them for resampling. */
+  private def dsirScored(spark: SparkSession, dir: String): DataFrame = {
     val B = 1024
     val counts = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -436,11 +445,84 @@ object CurationQueries {
       .withColumn("term", (col("c").cast("double") * col("lr")).cast("decimal(28,12)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), sum(col("term")).as("w"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("w").cast("double"), 6).as("dsir_logweight"),
-        (col("w") > 0).as("keep"))
-      .orderBy(col("doc_id"))
   }
+
+  // --- q97b: DSIR Gumbel-top-k resampling (the selection half) --------------
+  /** The paper's second half: sample k documents ∝ importance weight
+    * WITHOUT replacement via the Gumbel-top-k trick (Kool et al. 2019 —
+    * public): key = log w + Gumbel(0,1) noise, take the k largest keys.
+    * Randomness is a deterministic hash-uniform (q32b's portable md5
+    * trick: 60-bit integer → u = (h + 0.5)/2⁶⁰, strictly inside (0,1)),
+    * so the draw is reproducible run-to-run AND bit-identical in DuckDB:
+    * every transcendental (ln of identical doubles) and the key sum
+    * follow the q81 cross-engine discipline.
+    *
+    * 100 TB shape: scoring is q97's broadcast plan; the global top-k
+    * compiles to TakeOrderedAndProject — the O(k)-memory heap merge, the
+    * corpus is never sorted (the q59 guard discipline, asserted in
+    * PlanShapeSpec). */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    // global top-k via orderBy+limit (TakeOrderedAndProject, O(k) heap);
+    // the rank window runs AFTER the limit, over k rows only — a bare
+    // global row_number here would single-partition the corpus
+    val top = dsirScored(spark, dir)
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(concat('gumbel-', doc_id) as binary)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("u", (col("h").cast("double") + lit(0.5)) / lit(math.pow(2.0, 60)))
+      .withColumn("key", col("w").cast("double") - log(-log(col("u"))))
+      .orderBy(desc("key"), asc("doc_id")).limit(k)
+    val w = Window.orderBy(desc("key"), asc("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("doc_id"), round(col("key"), 6).as("gumbel_key"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val dsirResampleOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |  FROM documents),
+      |  bg AS (
+      |  SELECT doc_id, source,
+      |         unnest(CASE WHEN len(toks) >= 2
+      |           THEN list_transform(generate_series(1, len(toks)-1),
+      |                  i -> toks[i] || ' ' || toks[i+1])
+      |           ELSE [] END) AS bg
+      |  FROM d),
+      |  counts AS (
+      |  SELECT doc_id, source,
+      |         CAST('0x' || substring(md5(bg), 1, 15) AS BIGINT) % 1024 AS bucket,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM bg GROUP BY 1, 2, 3),
+      |  raw AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS nr FROM counts GROUP BY 1),
+      |  tgt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS nt
+      |          FROM counts WHERE source = 'src0' GROUP BY 1),
+      |  tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_raw,
+      |                 CAST(sum(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS BIGINT) AS n_tgt
+      |          FROM counts),
+      |  lr AS (
+      |  SELECT r.bucket,
+      |         ln(CAST(coalesce(t.nt, 0) + 1 AS DOUBLE) / CAST(tot.n_tgt + 1024 AS DOUBLE))
+      |         - ln(CAST(r.nr + 1 AS DOUBLE) / CAST(tot.n_raw + 1024 AS DOUBLE)) AS lr
+      |  FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot),
+      |  sc AS (
+      |  SELECT c.doc_id,
+      |         sum(CAST(CAST(c.c AS DOUBLE) * lr.lr AS DECIMAL(28,12))) AS w
+      |  FROM counts c JOIN lr USING (bucket) GROUP BY 1),
+      |  keyed AS (
+      |  SELECT doc_id,
+      |    CAST(w AS DOUBLE)
+      |      - ln(-ln((CAST(CAST('0x' || substring(md5('gumbel-' || doc_id), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+      |              / 1152921504606846976.0)) AS key
+      |  FROM sc),
+      |  ranked AS (
+      |  SELECT doc_id, key,
+      |         row_number() OVER (ORDER BY key DESC, doc_id) AS rnk
+      |  FROM keyed)
+      |SELECT doc_id, round(key, 6) AS gumbel_key, CAST(rnk AS INTEGER) AS rank
+      |FROM ranked WHERE rnk <= 100 ORDER BY rank""".stripMargin
 
   val dsirWeightsOracle: String =
     """WITH d AS (
@@ -487,7 +569,8 @@ object CurationQueries {
     "q72b_domain_mix_hash" -> ((s, d) => domainMixHash(s, d)),
     "q76_train_split" -> ((s, d) => trainSplit(s, d)),
     "q78_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
-    "q97_dsir_weights" -> ((s, d) => dsirWeights(s, d))
+    "q97_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
+    "q97b_dsir_resample" -> ((s, d) => dsirResample(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -498,6 +581,7 @@ object CurationQueries {
     "q72b_domain_mix_hash" -> domainMixHashOracle,
     "q76_train_split" -> trainSplitOracle,
     "q78_global_shuffle" -> globalShuffleOracle,
-    "q97_dsir_weights" -> dsirWeightsOracle
+    "q97_dsir_weights" -> dsirWeightsOracle,
+    "q97b_dsir_resample" -> dsirResampleOracle
   )
 }

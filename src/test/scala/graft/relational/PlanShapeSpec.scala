@@ -186,6 +186,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared in:\n$p")
   }
 
+  test("q97b DSIR resample: global top-k compiles to TakeOrderedAndProject") {
+    val p = planOf("q97b_dsir_resample")
+    // the k-of-corpus selection must be the O(k)-heap merge — a full
+    // sort materializing the scored corpus is the scale failure here
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k not heap-based in:\n$p")
+  }
+
   test("q44 tf-idf: the document-frequency side carries no broadcast hint") {
     // df (one row per distinct corpus token) is unbounded at scale —
     // Heaps' law makes it billions of rows at 100 TB. Only the 1-row
