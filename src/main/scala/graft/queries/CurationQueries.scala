@@ -561,6 +561,73 @@ object CurationQueries {
       |       (w > 0) AS keep
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // --- q99: temperature-weighted language mixture ---------------------------
+  /** The multilingual pretraining sampler (mC4 / XLM-R, Conneau et al.
+    * 2020 — public): resample languages with probability ∝ n_l^α so
+    * low-resource languages are upsampled and the head is tamed. α = 0.5
+    * deliberately: n^0.5 is `sqrt`, which IEEE guarantees correctly
+    * rounded in every engine — `pow(x, 0.3)` is only 1-ulp-accurate and
+    * can diverge cross-engine. Per-language boost r_l = p_l·N/n_l turns
+    * into per-doc copy counts deterministically: floor(r_l) guaranteed
+    * copies plus one more when the doc's portable hash-uniform falls
+    * under frac(r_l) — a reproducible stochastic round, bit-identical in
+    * DuckDB.
+    *
+    * 100 TB shape: the language table is ≤|langs| rows (broadcast); the
+    * per-doc pass is map-only over one scan; the rollup shuffles one
+    * (lang, count) pair per partition. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", sqrt(col("n_docs").cast("double")).cast("decimal(28,12)"))
+    val totals = langs.agg(
+      sum(col("n_docs")).as("n_total"), sum(col("s")).as("s_total"))
+    val rates = langs.crossJoin(broadcast(totals))
+      .withColumn("p", col("s").cast("double") / col("s_total").cast("double"))
+      .withColumn("r",
+        col("p") * col("n_total").cast("double") / col("n_docs").cast("double"))
+      .select(col("lang"), col("n_docs"), col("p"), col("r"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("u", (expr(
+        "cast(conv(substring(md5(cast(concat('tmix-', doc_id) as binary)), 1, 15), 16, 10) as bigint)")
+        .cast("double") + lit(0.5)) / lit(math.pow(2.0, 60)))
+      .withColumn("copies",
+        floor(col("r")).cast("long")
+          + when(col("u") < col("r") - floor(col("r")), 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(first(col("p")), 6).as("sampling_prob"),
+        round(first(col("r")), 6).as("boost"),
+        sum(col("copies")).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val temperatureMixOracle: String =
+    """WITH langs AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,12)) AS s
+      |  FROM documents GROUP BY lang),
+      |  tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total, sum(s) AS s_total FROM langs),
+      |  rates AS (
+      |  SELECT lang, n_docs,
+      |         CAST(s AS DOUBLE) / CAST(tot.s_total AS DOUBLE) AS p,
+      |         (CAST(s AS DOUBLE) / CAST(tot.s_total AS DOUBLE))
+      |           * CAST(tot.n_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS r
+      |  FROM langs CROSS JOIN tot),
+      |  perdoc AS (
+      |  SELECT d.lang, r.p, r.r,
+      |    CAST(floor(r.r) AS BIGINT)
+      |      + CASE WHEN (CAST(CAST('0x' || substring(md5('tmix-' || d.doc_id), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+      |                  / 1152921504606846976.0 < r.r - floor(r.r)
+      |             THEN 1 ELSE 0 END AS copies
+      |  FROM documents d JOIN rates r USING (lang))
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(any_value(p), 6) AS sampling_prob,
+      |       round(any_value(r), 6) AS boost,
+      |       CAST(sum(copies) AS BIGINT) AS n_sampled
+      |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q70b_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
@@ -570,7 +637,8 @@ object CurationQueries {
     "q76_train_split" -> ((s, d) => trainSplit(s, d)),
     "q78_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
     "q97_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
-    "q97b_dsir_resample" -> ((s, d) => dsirResample(s, d))
+    "q97b_dsir_resample" -> ((s, d) => dsirResample(s, d)),
+    "q99_temperature_mix" -> ((s, d) => temperatureMix(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -582,6 +650,7 @@ object CurationQueries {
     "q76_train_split" -> trainSplitOracle,
     "q78_global_shuffle" -> globalShuffleOracle,
     "q97_dsir_weights" -> dsirWeightsOracle,
-    "q97b_dsir_resample" -> dsirResampleOracle
+    "q97b_dsir_resample" -> dsirResampleOracle,
+    "q99_temperature_mix" -> temperatureMixOracle
   )
 }
