@@ -737,6 +737,67 @@ object SourceQueries {
       |                   (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS px_checksum
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // --- q100: real WARC/WET ingestion (the Common Crawl shard shape) --------
+  /** The pretraining ingest format closed for real: documents stage into
+    * 16 genuine multi-record WET-style WARC shards (a warcinfo header
+    * record + one `conversion` record per doc, `WARC-Target-URI` carrying
+    * the doc identity — the Common Crawl extracted-text layout, ISO
+    * 28500), read back whole-file via `binaryFile`, and parsed by the
+    * strict record walk in [[graft.sources.Warc]]. Extracted payloads
+    * must reproduce `documents.text` byte-for-byte under the bit-exact
+    * oracle, so any codec bug — header parse, Content-Length off-by-one,
+    * terminator handling — fails loudly.
+    *
+    * 100 TB shape: this IS how crawl corpora arrive — thousands of
+    * multi-record shards, one task per file (uncompressed WARC is not
+    * block-splittable; file-level parallelism is the real contract),
+    * record decode streaming within the task. The 16-shard staging keeps
+    * that file-per-task structure at test scale. */
+  def warcIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val date = "2024-01-01T00:00:00Z"
+    val blobRoot = stagedBlobs(dir, "warc") { staging =>
+      Tables.documents(spark, dir)
+        .select(pmod(col("doc_id"), lit(16L)).as("bucket"), col("doc_id"), col("text"))
+        .groupBy(col("bucket"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("docs"))
+        .as[(Long, Seq[(Long, String)])]
+        .foreachPartition { it: Iterator[(Long, Seq[(Long, String)])] =>
+          it.foreach { case (bucket, docs) =>
+            val info = graft.sources.Warc.Record("warcinfo",
+              s"<urn:graft:warcinfo/$bucket>", "", date,
+              "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val recs = info +: docs.map { case (id, text) =>
+              graft.sources.Warc.Record("conversion", s"<urn:graft:rec/$id>",
+                s"urn:graft:doc/$id", date,
+                Option(text).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"shard_$bucket%02d.warc").toPath,
+              graft.sources.Warc.encode(recs))
+          }
+        }
+    }
+    spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        graft.sources.Warc.decode(bytes)
+          .filter(_.warcType == "conversion")
+          .map { r =>
+            (r.targetUri.stripPrefix("urn:graft:doc/").toLong,
+              new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+      .toDF("doc_id", "doc_text")
+      .select(col("doc_id"),
+        length(col("doc_text")).cast("bigint").as("n_chars"), col("doc_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val warcIngestOracle: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text AS doc_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
     "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
@@ -753,7 +814,8 @@ object SourceQueries {
     "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d)),
     "q87_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d)),
     "q89_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d)),
-    "q94_pdf_preview" -> ((s, d) => pdfPreview(s, d))
+    "q94_pdf_preview" -> ((s, d) => pdfPreview(s, d)),
+    "q100_warc_ingest" -> ((s, d) => warcIngest(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -777,6 +839,7 @@ object SourceQueries {
     "q80_partitioned_lake" -> partitionedLakeOracle,
     "q87_csv_roundtrip" -> csvRoundtripOracle,
     "q89_jsonl_roundtrip" -> jsonlRoundtripOracle,
-    "q94_pdf_preview" -> pdfPreviewOracle
+    "q94_pdf_preview" -> pdfPreviewOracle,
+    "q100_warc_ingest" -> warcIngestOracle
   )
 }

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC codec: strict ISO 28500 record walk — round trips, multi-record
+  * order, and the fail-loudly contract on every corruption class. */
+class WarcCodecSpec extends AnyFunSuite {
+
+  private def rec(id: Long, body: String) = Warc.Record(
+    "conversion", s"<urn:graft:rec/$id>", s"urn:graft:doc/$id",
+    "2024-01-01T00:00:00Z", body.getBytes(UTF_8))
+
+  test("round trip: single record survives encode → decode exactly") {
+    val r = rec(7, "hello warc\nsecond line")
+    val got = Warc.decode(Warc.encode(Seq(r)))
+    assert(got.length === 1)
+    assert(got.head.warcType === "conversion")
+    assert(got.head.targetUri === "urn:graft:doc/7")
+    assert(new String(got.head.payload, UTF_8) === "hello warc\nsecond line")
+  }
+
+  test("round trip: multi-record file keeps order; payloads may contain CRLF") {
+    val rs = Seq(
+      Warc.Record("warcinfo", "<urn:graft:warcinfo/0>", "", "2024-01-01T00:00:00Z",
+        "software: graft\r\n".getBytes(UTF_8)),
+      rec(1, "a\r\n\r\nb"), // payload containing the record terminator bytes
+      rec(2, ""), // empty payload
+      rec(3, "plain"))
+    val got = Warc.decode(Warc.encode(rs))
+    assert(got.map(_.recordId) === rs.map(_.recordId))
+    assert(got.map(r => new String(r.payload, UTF_8)) ===
+      Seq("software: graft\r\n", "a\r\n\r\nb", "", "plain"))
+    assert(got.head.targetUri === "")
+  }
+
+  test("corrupt payloads fail loudly, never half-parse") {
+    val good = Warc.encode(Seq(rec(1, "abcdef"), rec(2, "ghijkl")))
+    // truncated mid-payload
+    intercept[IllegalArgumentException] {
+      Warc.decode(java.util.Arrays.copyOfRange(good, 0, good.length - 12))
+    }
+    // bad version line
+    val badVersion = ("WARC/2.9\r\n" + new String(good, UTF_8).split("\r\n", 2)(1)).getBytes(UTF_8)
+    intercept[IllegalArgumentException] { Warc.decode(badVersion) }
+    // missing record terminator (flip the final CRLF CRLF)
+    val noTerm = good.clone(); noTerm(good.length - 1) = 'x'
+    intercept[IllegalArgumentException] { Warc.decode(noTerm) }
+    // header without a colon
+    val noColon = new String(good, UTF_8).replaceFirst("WARC-Date: ", "WARC-Date ").getBytes(UTF_8)
+    intercept[IllegalArgumentException] { Warc.decode(noColon) }
+    // gzip member refused up front
+    intercept[IllegalArgumentException] {
+      Warc.decode(Array(0x1f.toByte, 0x8b.toByte, 0x08.toByte, 0x00.toByte))
+    }
+    // empty input
+    intercept[IllegalArgumentException] { Warc.decode(Array.emptyByteArray) }
+    // missing Content-Length
+    val noLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n\r\n").getBytes(UTF_8)
+    intercept[RuntimeException] { Warc.decode(noLen) }
+  }
+
+  test("encode is deterministic (content-addressed staging keys hold)") {
+    val rs = Seq(rec(1, "abc"), rec(2, "def"))
+    assert(Warc.encode(rs).toSeq === Warc.encode(rs).toSeq)
+  }
+}
