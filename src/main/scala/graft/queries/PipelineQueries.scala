@@ -178,6 +178,100 @@ object PipelineQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ---- incremental dedup: new batch vs existing corpus index --------------
+  /** The day-N+1 shape of deduplication at 100 TB: a NEW batch dedups
+    * against the accumulated corpus WITHOUT rescanning it — the index
+    * side is only its fingerprints/blocks/sketches (in production a
+    * materialized table the pipeline appends to; here derived from the
+    * `old` split). Batch = one synthetic arrival per doc: an exact copy
+    * (doc_id%3=0), a 90% truncation (near-dup, %3=1), or a 20% prefix
+    * (below the 0.3 Jaccard bar → genuinely 'new', %3=2), so all three
+    * decision paths are exercised and oracle-checked.
+    *
+    * Two passes, strictly cheaper than a full recompute: (1) exact —
+    * sha256 equi-join batch→index; (2) near — prefix-block equi-join
+    * batch→index with hashed-shingle Jaccard verify (q31's machinery:
+    * PPJoin length prefilter, 8-byte shingle hashes on the wire, string
+    * shingles in the oracle as the collision witness). Precedence
+    * exact > near > new; best near match = highest Jaccard then lowest
+    * index id. Batch×index joins touch |batch|·avgBlock pairs — never
+    * index×index. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    def feat(df: DataFrame) = df
+      .withColumn("fp", sha2(col("text"), 256))
+      .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
+      .withColumn("sh", transform(shingleExpr("text"), x => xxhash64(x)))
+      .drop("text")
+    val index = feat(d.select(col("doc_id"), col("text"))).cache()
+    val batch = feat(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("""CASE doc_id % 3
+              |WHEN 0 THEN text
+              |WHEN 1 THEN substring(text, 1, CAST(n_chars * 9 DIV 10 AS INT))
+              |ELSE substring(text, 1, CAST(n_chars DIV 5 AS INT)) END""".stripMargin).as("text")))
+      .cache()
+    val exact = batch.join(index.select(col("fp"), col("doc_id").as("old_id")), Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_id"))
+    val wBest = Window.partitionBy("doc_id").orderBy(desc("jaccard"), asc("old_id"))
+    val near = withJaccard(
+        batch.select(col("doc_id"), col("block"), col("sh").as("sh1"))
+          .join(index.select(col("block"), col("doc_id").as("old_id"), col("sh").as("sh2")),
+            Seq("block")),
+        "sh1", "sh2", minJaccardTenths = 3)
+      .filter(col("jaccard") >= 0.3)
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("old_id").as("near_id"), col("jaccard").as("near_jac"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("decision",
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup").otherwise("new"))
+      .withColumn("matched_id", coalesce(col("exact_id"), col("near_id")))
+      .withColumn("jaccard",
+        when(col("exact_id").isNotNull, lit(null).cast("double")).otherwise(col("near_jac")))
+      .select(col("doc_id"), col("decision"), col("matched_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalDedupOracle: String = {
+    val sh = shingleSql("text")
+    s"""WITH d AS (SELECT doc_id, text, n_chars FROM documents),
+       |  oldc AS (SELECT doc_id, text FROM d),
+       |  batchc AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN text
+       |      WHEN 1 THEN substring(text, 1, CAST(n_chars * 9 // 10 AS INTEGER))
+       |      ELSE substring(text, 1, CAST(n_chars // 5 AS INTEGER)) END AS text
+       |  FROM d),
+       |  ofeat AS (SELECT doc_id, sha256(text) AS fp,
+       |    array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:5], ' ') AS block,
+       |    $sh AS sh FROM oldc),
+       |  bfeat AS (SELECT doc_id, sha256(text) AS fp,
+       |    array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:5], ' ') AS block,
+       |    $sh AS sh FROM batchc),
+       |  exact AS (
+       |  SELECT b.doc_id, min(o.doc_id) AS exact_id
+       |  FROM bfeat b JOIN ofeat o USING (fp) GROUP BY 1),
+       |  pairs AS (
+       |  SELECT b.doc_id, o.doc_id AS old_id,
+       |    round(CAST(len(list_intersect(b.sh, o.sh)) AS DOUBLE)
+       |      / (len(b.sh) + len(o.sh) - len(list_intersect(b.sh, o.sh))), 6) AS jaccard
+       |  FROM bfeat b JOIN ofeat o ON b.block = o.block),
+       |  near AS (
+       |  SELECT doc_id, old_id AS near_id, jaccard AS near_jac FROM (
+       |    SELECT doc_id, old_id, jaccard,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, old_id) AS rn
+       |    FROM pairs WHERE jaccard >= 0.3) WHERE rn = 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.near_id IS NOT NULL THEN 'near_dup' ELSE 'new' END AS decision,
+       |  coalesce(e.exact_id, n.near_id) AS matched_id,
+       |  CASE WHEN e.exact_id IS NOT NULL THEN NULL ELSE n.near_jac END AS jaccard
+       |FROM bfeat b LEFT JOIN exact e USING (doc_id) LEFT JOIN near n USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ---- near-dup: MinHash LSH (banded) ------------------------------------
   /** MinHash LSH: 16 bands × 4 rows; docs sharing any band bucket become
     * candidates; candidates are verified with exact Jaccard. Rows-only
@@ -1500,6 +1594,7 @@ object PipelineQueries {
     "q38_ann_pq" -> ((s, d) => annPq(s, d)),
     "q39_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "q96_ann_hamming" -> ((s, d) => annHamming(s, d)),
+    "q101_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
     "q91_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -1522,6 +1617,7 @@ object PipelineQueries {
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
     "q35_ann_ivf" -> annIvfOracle,
     "q96_ann_hamming" -> annHammingOracle,
+    "q101_incremental_dedup" -> incrementalDedupOracle,
     "q77_semdedup" -> semDedupOracle,
     "q91_line_dedup" -> lineDedupOracle,
     "q92_cluster_topics" -> clusterTopicsOracle
