@@ -76,10 +76,13 @@ object Warc {
         headers += (line.substring(0, i).trim -> line.substring(i + 1).trim)
         line = readLine()
       }
-      val len = headers.getOrElse("Content-Length",
-        sys.error(s"WARC: record at offset $at has no Content-Length")).toInt
-      require(len >= 0 && pos.toLong + len + 4 <= bytes.length,
-        s"WARC: payload of $len bytes overruns buffer at offset $pos")
+      // parse as Long first: a >2 GiB declared length must fail the
+      // bounds check loudly, not wrap negative through toInt
+      val lenL = headers.getOrElse("Content-Length",
+        sys.error(s"WARC: record at offset $at has no Content-Length")).toLong
+      require(lenL >= 0 && pos.toLong + lenL + 4 <= bytes.length,
+        s"WARC: payload of $lenL bytes overruns buffer at offset $pos")
+      val len = lenL.toInt
       val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
       pos += len
       require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&

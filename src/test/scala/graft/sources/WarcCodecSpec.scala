@@ -61,6 +61,30 @@ class WarcCodecSpec extends AnyFunSuite {
     intercept[RuntimeException] { Warc.decode(noLen) }
   }
 
+  test("seeded fuzz: arbitrary binary payloads round trip exactly") {
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { trial =>
+      val recs = (0 until 1 + rnd.nextInt(6)).map { i =>
+        val payload = new Array[Byte](rnd.nextInt(300))
+        rnd.nextBytes(payload) // includes CR, LF, NUL, high bytes
+        Warc.Record("conversion", s"<urn:graft:rec/$trial-$i>",
+          s"urn:graft:doc/$trial-$i", "2024-01-01T00:00:00Z", payload)
+      }
+      val got = Warc.decode(Warc.encode(recs))
+      assert(got.length === recs.length, s"trial $trial")
+      got.zip(recs).foreach { case (g, w) =>
+        assert(g.recordId === w.recordId)
+        assert(g.payload.toSeq === w.payload.toSeq, s"trial $trial payload")
+      }
+    }
+  }
+
+  test("oversized declared Content-Length fails the bounds check, never wraps") {
+    val huge = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: 99999999999\r\n\r\n").getBytes(UTF_8)
+    intercept[IllegalArgumentException] { Warc.decode(huge) }
+  }
+
   test("encode is deterministic (content-addressed staging keys hold)") {
     val rs = Seq(rec(1, "abc"), rec(2, "def"))
     assert(Warc.encode(rs).toSeq === Warc.encode(rs).toSeq)
