@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_space_saving"),
       new ExpressionInfo(classOf[SpaceSavingAgg].getName, "graft_space_saving"),
       SpaceSavingAgg.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      NfcNormalizeExpr.sqlBuilder))
   }
 }

@@ -736,6 +736,55 @@ object TextQueries {
        |SELECT doc_id, n_tokens, density, cum_tokens, b.budget
        |FROM cum, b WHERE cum_tokens <= b.budget ORDER BY cum_tokens""".stripMargin
 
+  // --- q102: Unicode text normalization (NFC + control strip + ws collapse)
+  /** The normalization pass a web corpus runs before any hashing or
+    * dedup: NFC canonical composition (the same logical text arrives
+    * composed from one site, decomposed from another — unnormalized,
+    * every dedup family silently splits the group), control-character
+    * strip, whitespace collapse, trim. NFC runs through the native
+    * codegen [[graft.functions.NfcNormalizeExpr]] (Spark has no builtin;
+    * a UDF would pay the encoder round trip per row), registered in SQL
+    * as `graft_nfc` via GraftExtensions.
+    *
+    * The fixture corpus is ASCII, so each doc deterministically gains a
+    * Unicode tail — combining-acute 'cafe'+U+0301 (must COMPOSE, 2 chars
+    * → 1), precomposed café (already NFC), or tabs+BEL control — built
+    * identically in both engines (chr() codes in DuckDB), and DuckDB's
+    * `nfc_normalize` makes the whole pass bit-exact oracle-checkable.
+    * One scan, zero shuffles beyond the harness sort. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("dirty", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")) // decomposed: e + combining acute
+          .when(col("doc_id") % 3 === 1, lit(" caf\u00e9")) // precomposed
+          .otherwise(lit(" x\t\ty\u0007"))))
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(
+          graft.functions.NfcNormalizeExpr.nfc(col("dirty")),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""), "[ \\t]+", " ")))
+      .select(col("doc_id"),
+        length(col("dirty")).cast("bigint").as("n_dirty"),
+        length(col("norm")).cast("bigint").as("n_norm"),
+        col("norm").as("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNormalizeOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text ||
+      |    CASE doc_id % 3 WHEN 0 THEN ' cafe' || chr(769)
+      |      WHEN 1 THEN ' caf' || chr(233)
+      |      ELSE ' x' || chr(9) || chr(9) || 'y' || chr(7) END AS dirty
+      |  FROM documents),
+      |  n AS (
+      |  SELECT doc_id, dirty,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm
+      |  FROM d)
+      |SELECT doc_id, CAST(length(dirty) AS BIGINT) AS n_dirty,
+      |       CAST(length(norm) AS BIGINT) AS n_norm, norm AS norm_text
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // --- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition" -> ((s, d) => repetition(s, d)),
@@ -752,7 +801,8 @@ object TextQueries {
     "q83b_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
     "q95_gopher_rules" -> ((s, d) => gopherRules(s, d)),
-    "q98_token_budget" -> ((s, d) => tokenBudget(s, d))
+    "q98_token_budget" -> ((s, d) => tokenBudget(s, d)),
+    "q102_text_normalize" -> ((s, d) => textNormalize(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -770,6 +820,7 @@ object TextQueries {
     // exact top-20 oracle applies verbatim — the sketch is the delta
     "q88_heavy_hitters_sketch" -> heavyHittersOracle,
     "q95_gopher_rules" -> gopherRulesOracle,
-    "q98_token_budget" -> tokenBudgetOracle
+    "q98_token_budget" -> tokenBudgetOracle,
+    "q102_text_normalize" -> textNormalizeOracle
   )
 }
