@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
       NfcNormalizeExpr.sqlBuilder))
+    // whole-operator tier: the merge-based as-of join (plans/AsOfJoinPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

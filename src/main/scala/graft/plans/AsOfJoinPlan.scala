@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** The whole-operator tier of the custom-operator ladder (SURVEY §7.3
+  * tier c): a dedicated AS-OF JOIN — logical node, planner strategy, and
+  * merge-based physical operator — registered via SparkSessionExtensions.
+  *
+  * WHY a custom operator when q13 already composes as-of from built-ins:
+  * the composed plan (equi-join on key + time-range predicate +
+  * row_number window) MATERIALIZES every (left row, earlier right row)
+  * pair before the window discards all but one — O(L·R) rows per key
+  * through the join, then a second sort for the window. This operator is
+  * the classic streaming merge: both sides arrive hash-partitioned on
+  * the key and sorted by (key, time) — requirements Catalyst's
+  * EnsureRequirements enforces with ordinary exchanges/sorts — and one
+  * forward pass per partition emits each left row with the LAST right
+  * row at-or-before its time: O(L+R), no pair blow-up, no second sort.
+  * At 100 TB the pair stream is the difference between a job that runs
+  * and one that doesn't (a user with E errors and P purchases produces
+  * E·P intermediate rows composed, max(E,P) here).
+  *
+  * Semantics (inner, pandas merge_asof backward): for each left row, the
+  * right row with the greatest (time, tieBreak) such that right.key =
+  * left.key and right.time <= left.time; left rows with no such match
+  * are dropped. Null keys/times never match. Bit-exactness vs the
+  * composed q13 form is oracle-checked (q13b shares q13's DuckDB oracle)
+  * and spec-pinned.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // both sides hash-partitioned on the key (EnsureRequirements inserts
+  // compatible exchanges) ...
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // ... and sorted so one forward pass per partition suffices; the right
+  // tie-break sorts ascending so the LAST row advanced past at equal
+  // times is the max-tie row (matching the composed form's
+  // `ORDER BY time DESC, tie DESC ... rn = 1` pick)
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTieBreak, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  @inline private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = BindReferences.bindReference(leftKey, lOut)
+    val lt = BindReferences.bindReference(leftTime, lOut)
+    val rk = BindReferences.bindReference(rightKey, rOut)
+    val rt = BindReferences.bindReference(rightTime, rOut)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val result = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val joined = new JoinedRow
+      // single-row lookahead; every advanced right row is copied because
+      // Spark row iterators reuse the underlying object
+      var rHead: InternalRow = if (rIt.hasNext) rIt.next().copy() else null
+      def advanceRight(): Unit =
+        rHead = if (rIt.hasNext) rIt.next().copy() else null
+      var lastKey: Any = null
+      var lastMatch: InternalRow = null
+      lIt.flatMap { l =>
+        val k = lk.eval(l)
+        val t = lt.eval(l)
+        if (k == null || t == null) Iterator.empty
+        else {
+          var scanning = true
+          while (scanning && rHead != null) {
+            val rkv = rk.eval(rHead)
+            val rtv = rt.eval(rHead)
+            if (rkv == null || rtv == null) advanceRight()
+            else {
+              val c = cmp(rkv, k)
+              if (c < 0) { lastKey = null; lastMatch = null; advanceRight() }
+              else if (c == 0 && cmp(rtv, t) <= 0) {
+                lastKey = rkv; lastMatch = rHead; advanceRight()
+              } else scanning = false
+            }
+          }
+          if (lastMatch != null && lastKey != null && cmp(lastKey, k) == 0)
+            Iterator.single(result(joined(l, lastMatch)))
+          else Iterator.empty
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node to the merge exec —
+  * injected by [[graft.functions.GraftExtensions]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoinOps {
+  /** DataFrame surface: as-of join `left` to `right` (inner, backward).
+    * Column names must be disjoint between the two frames — alias before
+    * joining (loud failure otherwise; a silent exprId collision would
+    * mis-resolve downstream selects). */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           rightTieBreak: String): DataFrame = {
+    // the declarative path is GraftExtensions (injectPlannerStrategy);
+    // for sessions built without it, attach the strategy imperatively —
+    // experimental.extraStrategies is the public live-session hook
+    val session = left.sparkSession
+    if (!session.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = Bridge.analyzedPlan(left)
+    val rp = Bridge.analyzedPlan(right)
+    val overlap = lp.output.map(_.name).toSet.intersect(rp.output.map(_.name).toSet)
+    require(overlap.isEmpty,
+      s"asof: column names must be disjoint, both sides have: ${overlap.mkString(", ")}")
+    require(lp.output.map(_.exprId).toSet.intersect(rp.output.map(_.exprId).toSet).isEmpty,
+      "asof: the two sides share attribute lineage — alias one side's columns first")
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        sys.error(s"asof: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    Bridge.ofRows(left.sparkSession,
+      AsOfJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTieBreak)))
+  }
+}

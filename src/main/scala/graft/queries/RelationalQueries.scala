@@ -320,6 +320,27 @@ object RelationalQueries {
       .orderBy(col("p_id"))
   }
 
+  /** q13's as-of semantics through the CUSTOM whole-operator path
+    * (plans/AsOfJoinPlan): logical AsOfJoin node → planner strategy →
+    * merge-based AsOfJoinExec. Same DuckDB oracle as q13 verbatim — the
+    * custom physical operator is under the bit-exact gate. The composed
+    * q13 stays registered as the built-ins baseline; see AsOfJoinPlan's
+    * scaladoc for why the merge form wins at scale (O(L+R) vs the
+    * composed O(L·R)-pairs-per-key join+window). */
+  def asofMergeOperator(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    graft.plans.AsOfJoinOps.asof(purchases, errors,
+      leftKey = "user_id", rightKey = "e_user",
+      leftTime = "p_ts", rightTime = "e_ts", rightTieBreak = "e_id")
+      .select(col("p_id"), col("user_id"), col("e_id").as("last_error_id"),
+        unix_micros(col("e_ts")).as("last_error_us"))
+      .orderBy(col("p_id"))
+  }
+
   val asofPurchaseErrorOracle: String =
     """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
       |     e AS (SELECT event_id AS e_id, user_id AS e_user, ts AS e_ts FROM events WHERE event_type = 'error'),
@@ -417,6 +438,7 @@ object RelationalQueries {
     "q11_events_json" -> ((s, d) => eventsJsonStats(s, d)),
     "q12_events_hourly" -> ((s, d) => eventsHourly(s, d)),
     "q13_asof_join" -> ((s, d) => asofPurchaseError(s, d)),
+    "q13b_asof_merge" -> ((s, d) => asofMergeOperator(s, d)),
     "q86_scd2_merge" -> ((s, d) => scd2Merge(s, d))
   )
 
@@ -434,6 +456,7 @@ object RelationalQueries {
     "q11_events_json" -> eventsJsonStatsOracle,
     "q12_events_hourly" -> eventsHourlyOracle,
     "q13_asof_join" -> asofPurchaseErrorOracle,
+    "q13b_asof_merge" -> asofPurchaseErrorOracle,
     "q86_scd2_merge" -> scd2MergeOracle
   )
 }
