@@ -27,12 +27,13 @@ import org.apache.spark.sql.graftbridge.Bridge
   * and one that doesn't (a user with E errors and P purchases produces
   * E·P intermediate rows composed, max(E,P) here).
   *
-  * Semantics (inner, pandas merge_asof backward): for each left row, the
-  * right row with the greatest (time, tieBreak) such that right.key =
-  * left.key and right.time <= left.time; left rows with no such match
-  * are dropped. Null keys/times never match. Bit-exactness vs the
-  * composed q13 form is oracle-checked (q13b shares q13's DuckDB oracle)
-  * and spec-pinned.
+  * Semantics (pandas merge_asof backward): for each left row, the right
+  * row with the greatest (time, tieBreak) such that right.key = left.key
+  * and right.time <= left.time. Inner mode drops unmatched left rows;
+  * outer mode (merge_asof's default) keeps them with a null right side.
+  * Null keys/times never match. Bit-exactness vs the composed forms is
+  * oracle-checked (q13b shares q13's DuckDB oracle; q13c has the LEFT
+  * JOIN twin) and spec-pinned.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -41,9 +42,14 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryNode {
+    rightTieBreak: Expression,
+    outer: Boolean) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // left-outer keeps unmatched left rows with a null right side, so the
+  // right attributes must surface nullable (pandas merge_asof's default)
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -57,9 +63,12 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryExecNode {
+    rightTieBreak: Expression,
+    outer: Boolean) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   // both sides hash-partitioned on the key (EnsureRequirements inserts
   // compatible exchanges) ...
@@ -88,9 +97,16 @@ case class AsOfJoinExec(
     val rk = BindReferences.bindReference(rightKey, rOut)
     val rt = BindReferences.bindReference(rightTime, rOut)
     val outAttrs = output
+    val isOuter = outer
+    // the projection's INPUT schema must declare the right side nullable
+    // in outer mode, or generated code skips null checks on the all-null
+    // row and reads zeros (caught by AsOfJoinPlanSpec's outer test)
+    val rOutIn = if (isOuter) rOut.map(_.withNullability(true)) else rOut
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
-      val result = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val result = UnsafeProjection.create(outAttrs, lOut ++ rOutIn)
       val joined = new JoinedRow
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.length)
       // single-row lookahead; every advanced right row is copied because
       // Spark row iterators reuse the underlying object
       var rHead: InternalRow = if (rIt.hasNext) rIt.next().copy() else null
@@ -101,8 +117,10 @@ case class AsOfJoinExec(
       lIt.flatMap { l =>
         val k = lk.eval(l)
         val t = lt.eval(l)
-        if (k == null || t == null) Iterator.empty
-        else {
+        if (k == null || t == null) {
+          if (isOuter) Iterator.single(result(joined(l, nullRight)))
+          else Iterator.empty
+        } else {
           var scanning = true
           while (scanning && rHead != null) {
             val rkv = rk.eval(rHead)
@@ -118,6 +136,7 @@ case class AsOfJoinExec(
           }
           if (lastMatch != null && lastKey != null && cmp(lastKey, k) == 0)
             Iterator.single(result(joined(l, lastMatch)))
+          else if (isOuter) Iterator.single(result(joined(l, nullRight)))
           else Iterator.empty
         }
       }
@@ -133,8 +152,8 @@ case class AsOfJoinExec(
   * injected by [[graft.functions.GraftExtensions]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer) :: Nil
     case _ => Nil
   }
 }
@@ -147,7 +166,8 @@ object AsOfJoinOps {
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightTieBreak: String): DataFrame = {
+           rightTieBreak: String,
+           outer: Boolean = false): DataFrame = {
     // the declarative path is GraftExtensions (injectPlannerStrategy);
     // for sessions built without it, attach the strategy imperatively —
     // experimental.extraStrategies is the public live-session hook
@@ -167,6 +187,6 @@ object AsOfJoinOps {
         sys.error(s"asof: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
     Bridge.ofRows(left.sparkSession,
       AsOfJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTieBreak)))
+        attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTieBreak), outer))
   }
 }

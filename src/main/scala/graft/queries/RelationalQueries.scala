@@ -341,6 +341,33 @@ object RelationalQueries {
       .orderBy(col("p_id"))
   }
 
+  /** q13b's operator in LEFT-OUTER mode (pandas merge_asof's default):
+    * every purchase survives; those with no prior error carry nulls —
+    * the unmatched population the inner form silently drops, measurable
+    * instead of invisible. Own LEFT JOIN oracle. */
+  def asofMergeOuterOperator(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    graft.plans.AsOfJoinOps.asof(purchases, errors,
+      leftKey = "user_id", rightKey = "e_user",
+      leftTime = "p_ts", rightTime = "e_ts", rightTieBreak = "e_id", outer = true)
+      .select(col("p_id"), col("user_id"), col("e_id").as("last_error_id"),
+        unix_micros(col("e_ts")).as("last_error_us"))
+      .orderBy(col("p_id"))
+  }
+
+  val asofMergeOuterOracle: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+      |     e AS (SELECT event_id AS e_id, user_id AS e_user, ts AS e_ts FROM events WHERE event_type = 'error'),
+      |     j AS (SELECT p.p_id, p.user_id, e.e_id, e.e_ts,
+      |                  row_number() OVER (PARTITION BY p.p_id ORDER BY e.e_ts DESC, e.e_id DESC) AS rn
+      |           FROM p LEFT JOIN e ON p.user_id = e.e_user AND e.e_ts <= p.p_ts)
+      |SELECT p_id, user_id, e_id AS last_error_id, epoch_us(e_ts) AS last_error_us
+      |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin
+
   val asofPurchaseErrorOracle: String =
     """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
       |     e AS (SELECT event_id AS e_id, user_id AS e_user, ts AS e_ts FROM events WHERE event_type = 'error'),
@@ -439,6 +466,7 @@ object RelationalQueries {
     "q12_events_hourly" -> ((s, d) => eventsHourly(s, d)),
     "q13_asof_join" -> ((s, d) => asofPurchaseError(s, d)),
     "q13b_asof_merge" -> ((s, d) => asofMergeOperator(s, d)),
+    "q13c_asof_merge_outer" -> ((s, d) => asofMergeOuterOperator(s, d)),
     "q86_scd2_merge" -> ((s, d) => scd2Merge(s, d))
   )
 
@@ -457,6 +485,7 @@ object RelationalQueries {
     "q12_events_hourly" -> eventsHourlyOracle,
     "q13_asof_join" -> asofPurchaseErrorOracle,
     "q13b_asof_merge" -> asofPurchaseErrorOracle,
+    "q13c_asof_merge_outer" -> asofMergeOuterOracle,
     "q86_scd2_merge" -> scd2MergeOracle
   )
 }

@@ -62,6 +62,25 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(gotN === Seq((100L, 200L)))
   }
 
+  test("outer mode keeps unmatched and null-key left rows with a null right side") {
+    import spark.implicits._
+    val left = Seq((1L, ts(10), 100L), (2L, ts(8), 102L), (3L, ts(9), 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, ts(4), 200L), (2L, ts(9), 203L)).toDF("rk", "rt", "rid")
+    val got = AsOfJoinOps.asof(left, right, "k", "rk", "t", "rt", "rid", outer = true)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq.sortBy(_._1)
+    assert(got === Seq((100L, Some(200L)), (102L, None), (103L, None)))
+    // a null-key left row survives outer mode too (matches the LEFT JOIN oracle)
+    val leftN = Seq((Some(1L), ts(10), 100L), (None, ts(5), 101L)).toDF("k", "t", "lid")
+    val gotN = AsOfJoinOps.asof(leftN, right, "k", "rk", "t", "rt", "rid", outer = true)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq.sortBy(_._1)
+    assert(gotN === Seq((100L, Some(200L)), (101L, None)))
+  }
+
   test("overlapping column names fail loudly before planning") {
     import spark.implicits._
     val l = Seq((1L, ts(1), 1L)).toDF("k", "t", "id")
