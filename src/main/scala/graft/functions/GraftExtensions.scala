@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NfcNormalizeExpr.sqlBuilder))
     // whole-operator tier: the merge-based as-of join (plans/AsOfJoinPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer-rule tier: collapse idempotent nested NFC applications
+    ext.injectOptimizerRule(_ => CollapseNfcRule)
   }
 }

@@ -61,6 +61,21 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `Rule[LogicalPlan]` tier of the extension ladder: NFC is idempotent
+  * (Unicode guarantees NFC(NFC(x)) = NFC(x)), so nested applications —
+  * which arise naturally when composed pipeline stages each normalize
+  * defensively — collapse to one. Injected by GraftExtensions via
+  * injectOptimizerRule; the spec asserts the optimized plan carries a
+  * single NfcNormalizeExpr and that results are unchanged. */
+object CollapseNfcRule extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case NfcNormalizeExpr(inner @ NfcNormalizeExpr(_)) => inner
+    }
+}
+
 object NfcNormalizeExpr {
   /** Column form over a STRING column. */
   def nfc(s: Column): Column =

@@ -40,6 +40,21 @@ class NfcNormalizeExprSpec extends SparkSuite {
     assert(r === "caf\u00e9")
   }
 
+  test("CollapseNfcRule: nested graft_nfc collapses to one in the optimized plan") {
+    // a file-backed scan keeps the expression non-foldable (a literal
+    // input constant-folds the whole projection away — also correct, but
+    // not what this asserts)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = docs.select(nfc(nfc(nfc(col("text")))).as("n"), col("doc_id"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val n = "nfcnormalize".r.findAllIn(optimized.toLowerCase).length
+    // the rule (injected by GraftExtensions) must leave exactly one
+    assert(n === 1, s"nested NFC not collapsed (found $n) in:\n$optimized")
+    val single = docs.select(nfc(col("text")).as("n"), col("doc_id"))
+    assert(df.orderBy("doc_id").collect().map(_.getString(0)).toSeq ===
+      single.orderBy("doc_id").collect().map(_.getString(0)).toSeq)
+  }
+
   test("interpreted path (nullSafeEval) agrees with codegen") {
     val e = NfcNormalizeExpr(
       org.apache.spark.sql.catalyst.expressions.Literal("cafe\u0301 ko \u1100\u1161"))
