@@ -715,7 +715,90 @@ object RagQueries {
        |FROM agg ORDER BY query_id""".stripMargin
 
   // --- registry -----------------------------------------------------------
+  // --- q104: inverted-index build (segmented, delta-encoded postings) ------
+  /** The search-index BUILD as a Spark job — the artifact q81's BM25
+    * would consult instead of re-exploding the corpus per query.
+    * Postings are SEGMENTED by doc_id range (the Lucene segment layout):
+    * a term's posting list at 100 TB is unbounded (a stopword's postings
+    * are the corpus), so no task ever materializes one — each
+    * (term, segment of 64 docs) group collects a BOUNDED sorted run,
+    * delta-encodes it (gap compression, the classic index trick), and
+    * emits the segment's stats + a sha256 of the encoded run so the
+    * oracle witnesses the exact encoding. Output bounded to the top
+    * terms by df for a stable result set; the full build is the same
+    * plan minus the limit.
+    *
+    * Shape: explode → (term, doc) tf pre-agg → (term, segment) bounded
+    * collect — two shuffles, both carrying (term, ids, counts) only;
+    * no unbounded per-key state anywhere. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val seg = 64
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("term"))
+      .filter(length(col("term")) > 3)
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("segment", expr(s"doc_id div $seg"))
+      .groupBy(col("term"), col("segment"))
+      .agg(count(lit(1)).as("seg_df"), sum(col("tf")).as("seg_tf"),
+        sort_array(collect_list(col("doc_id"))).as("docs"))
+      // delta encode: first entry absolute within the segment, then gaps
+      .withColumn("gaps", expr(
+        """concat(array(element_at(docs, 1)),
+          |  zip_with(slice(docs, 2, greatest(size(docs)-1, 0)),
+          |           slice(docs, 1, greatest(size(docs)-1, 0)),
+          |           (a, b) -> a - b))""".stripMargin))
+      .withColumn("postings_sha",
+        sha2(concat_ws(",", expr("transform(gaps, x -> cast(x as string))")), 256))
+    val df = postings.groupBy(col("term"))
+      .agg(sum(col("seg_df")).as("df"), sum(col("seg_tf")).as("total_tf"),
+        count(lit(1)).as("n_segments"))
+    val w = Window.orderBy(desc("df"), asc("term"))
+    val top = df.orderBy(desc("df"), asc("term")).limit(50)
+      .withColumn("term_rank", row_number().over(w).cast("int"))
+    postings.join(broadcast(top), Seq("term"))
+      .select(col("term"), col("term_rank"), col("df"), col("total_tf"),
+        col("n_segments"), col("segment"), col("seg_df"), col("seg_tf"),
+        col("postings_sha"))
+      .orderBy(col("term_rank"), col("segment"))
+  }
+
+  val invertedIndexOracle: String =
+    """WITH tf AS (
+      |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id,
+      |           unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+      |    FROM documents)
+      |  WHERE length(term) > 3 GROUP BY 1, 2),
+      |  segs AS (
+      |  SELECT term, doc_id // 64 AS segment,
+      |         CAST(count(*) AS BIGINT) AS seg_df,
+      |         CAST(sum(tf) AS BIGINT) AS seg_tf,
+      |         list_sort(list(doc_id)) AS docs
+      |  FROM tf GROUP BY 1, 2),
+      |  enc AS (
+      |  SELECT term, segment, seg_df, seg_tf,
+      |    sha256(array_to_string(
+      |      list_concat([docs[1]],
+      |        list_transform(generate_series(2, len(docs)),
+      |          i -> docs[i] - docs[i-1])), ',')) AS postings_sha
+      |  FROM segs),
+      |  tot AS (
+      |  SELECT term, CAST(sum(seg_df) AS BIGINT) AS df,
+      |         CAST(sum(seg_tf) AS BIGINT) AS total_tf,
+      |         CAST(count(*) AS BIGINT) AS n_segments
+      |  FROM enc GROUP BY 1),
+      |  top AS (
+      |  SELECT term, df, total_tf, n_segments,
+      |         CAST(row_number() OVER (ORDER BY df DESC, term) AS INTEGER) AS term_rank
+      |  FROM tot ORDER BY df DESC, term LIMIT 50)
+      |SELECT e.term, t.term_rank, t.df, t.total_tf, t.n_segments,
+      |       e.segment, e.seg_df, e.seg_tf, e.postings_sha
+      |FROM enc e JOIN top t USING (term)
+      |ORDER BY t.term_rank, e.segment""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "q16_memory_window" -> ((s, d) => memoryWindow(s, d)),
     "q09_preview" -> ((s, d) => preview(s, d)),
     "q14_context_assembly" -> ((s, d) => contextAssembly(s, d)),
@@ -734,6 +817,7 @@ object RagQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q104_inverted_index" -> invertedIndexOracle,
     "q16_memory_window" -> memoryWindowOracle,
     "q09_preview" -> previewOracle,
     "q14_context_assembly" -> contextAssemblyOracle,
