@@ -86,6 +86,12 @@ case class AsOfJoinExec(
 
   override def outputPartitioning = left.outputPartitioning
 
+  // the merge emits ≤1 row per left row, in left-scan order — the
+  // (key, time) sort is preserved, so declare it and spare downstream
+  // windows/sorts on the same columns a redundant re-sort
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
   @inline private def cmp(a: Any, b: Any): Int =
     a.asInstanceOf[Comparable[Any]].compareTo(b)
 
@@ -170,11 +176,17 @@ object AsOfJoinOps {
            outer: Boolean = false): DataFrame = {
     // the declarative path is GraftExtensions (injectPlannerStrategy);
     // for sessions built without it, attach the strategy imperatively —
-    // experimental.extraStrategies is the public live-session hook
+    // experimental.extraStrategies is the public live-session hook.
+    // Synchronized: this mutates session-global state from a query
+    // builder, and two threads' read-modify-write could otherwise
+    // interleave (a duplicate entry is harmless to planning — the
+    // strategy matches the same node — but unbounded growth is not)
     val session = left.sparkSession
-    if (!session.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      session.experimental.extraStrategies =
-        session.experimental.extraStrategies :+ AsOfJoinStrategy
+    session.experimental.synchronized {
+      if (!session.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        session.experimental.extraStrategies =
+          session.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lp = Bridge.analyzedPlan(left)
     val rp = Bridge.analyzedPlan(right)
     val overlap = lp.output.map(_.name).toSet.intersect(rp.output.map(_.name).toSet)
@@ -185,8 +197,32 @@ object AsOfJoinOps {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         sys.error(s"asof: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    val (lkA, rkA) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (ltA, rtA) = (attr(lp, leftTime), attr(rp, rightTime))
+    // a normal join would insert implicit casts at analysis; this node
+    // hash-partitions each side by its own key type (Int and Long hash
+    // differently — equal values would land in different partitions and
+    // silently never match) and the merge compares raw boxed values, so
+    // mismatched types must be an analysis-time error, not wrong results
+    require(lkA.dataType == rkA.dataType,
+      s"asof: key types differ — $leftKey: ${lkA.dataType.sql} vs $rightKey: ${rkA.dataType.sql}; cast one side first")
+    require(ltA.dataType == rtA.dataType,
+      s"asof: time types differ — $leftTime: ${ltA.dataType.sql} vs $rightTime: ${rtA.dataType.sql}; cast one side first")
+    def comparable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+             FloatType | StringType | TimestampType | TimestampNTZType |
+             DateType | BooleanType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    }
+    require(comparable(lkA.dataType),
+      s"asof: key type ${lkA.dataType.sql} is not an orderable scalar type")
+    require(comparable(ltA.dataType),
+      s"asof: time type ${ltA.dataType.sql} is not an orderable scalar type")
     Bridge.ofRows(left.sparkSession,
-      AsOfJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTieBreak), outer))
+      AsOfJoin(lp, rp, lkA, rkA, ltA, rtA, attr(rp, rightTieBreak), outer))
   }
 }

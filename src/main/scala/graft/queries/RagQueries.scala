@@ -750,6 +750,9 @@ object RagQueries {
           |           (a, b) -> a - b))""".stripMargin))
       .withColumn("postings_sha",
         sha2(concat_ws(",", expr("transform(gaps, x -> cast(x as string))")), 256))
+      // reused by both the top-50 stats branch and the final probe join —
+      // uncached, the whole corpus explode + two shuffles would run twice
+      .cache()
     val df = postings.groupBy(col("term"))
       .agg(sum(col("seg_df")).as("df"), sum(col("seg_tf")).as("total_tf"),
         count(lit(1)).as("n_segments"))

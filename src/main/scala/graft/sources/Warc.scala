@@ -77,10 +77,14 @@ object Warc {
         line = readLine()
       }
       // parse as Long first: a >2 GiB declared length must fail the
-      // bounds check loudly, not wrap negative through toInt
+      // bounds check loudly, not wrap negative through toInt. The
+      // buffer-size bound comes BEFORE the sum so a length near
+      // Long.MaxValue cannot overflow pos + len + 4 and sneak past
+      // (Arrays.copyOfRange would then zero-pad gigabytes from thin air)
       val lenL = headers.getOrElse("Content-Length",
         sys.error(s"WARC: record at offset $at has no Content-Length")).toLong
-      require(lenL >= 0 && pos.toLong + lenL + 4 <= bytes.length,
+      require(lenL >= 0 && lenL <= bytes.length &&
+        pos.toLong + lenL + 4 <= bytes.length,
         s"WARC: payload of $lenL bytes overruns buffer at offset $pos")
       val len = lenL.toInt
       val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len)

@@ -81,6 +81,24 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(gotN === Seq((100L, Some(200L)), (101L, None)))
   }
 
+  test("mismatched key/time types fail at build time, not with wrong results") {
+    import spark.implicits._
+    // Int vs Long keys hash to different partitions for equal values —
+    // a silent empty result without this guard
+    val l = Seq((1, ts(1), 1L)).toDF("k", "t", "lid")
+    val r = Seq((1L, ts(1), 2L)).toDF("rk", "rt", "rid")
+    val err = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asof(l, r, "k", "rk", "t", "rt", "rid")
+    }
+    assert(err.getMessage.contains("key types differ"))
+    val l2 = Seq((1L, 5L, 1L)).toDF("k", "t", "lid") // bigint time vs timestamp
+    val r2 = Seq((1L, ts(1), 2L)).toDF("rk", "rt", "rid")
+    val err2 = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asof(l2, r2, "k", "rk", "t", "rt", "rid")
+    }
+    assert(err2.getMessage.contains("time types differ"))
+  }
+
   test("overlapping column names fail loudly before planning") {
     import spark.implicits._
     val l = Seq((1L, ts(1), 1L)).toDF("k", "t", "id")

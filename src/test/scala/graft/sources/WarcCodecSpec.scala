@@ -83,6 +83,11 @@ class WarcCodecSpec extends AnyFunSuite {
     val huge = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
       "Content-Length: 99999999999\r\n\r\n").getBytes(UTF_8)
     intercept[IllegalArgumentException] { Warc.decode(huge) }
+    // near Long.MaxValue the naive pos + len + 4 sum wraps negative —
+    // the buffer-size bound must reject it before the sum
+    val wrap = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"Content-Length: ${Long.MaxValue - 30}\r\n\r\n").getBytes(UTF_8)
+    intercept[IllegalArgumentException] { Warc.decode(wrap) }
   }
 
   test("encode is deterministic (content-addressed staging keys hold)") {
