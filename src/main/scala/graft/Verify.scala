@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // query-internal .cache() frames (dsir/ann/dedup paths) are scoped to
+      // one query by harness contract — drop them so a 125-query session
+      // doesn't accumulate cached RDDs (Bench does the same per rep)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

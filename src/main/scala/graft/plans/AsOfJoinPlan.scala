@@ -92,8 +92,16 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  // -0.0 and 0.0 are equal under SQL comparison (and under the shuffle
+  // writer, which normalizes -0.0), but NOT under Double/Float.compareTo —
+  // normalize before the boxed compare so a signed-zero key still matches
+  @inline private def normZero(a: Any): Any = a match {
+    case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case x => x
+  }
   @inline private def cmp(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
+    normZero(a).asInstanceOf[Comparable[Any]].compareTo(normZero(b))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output

@@ -286,7 +286,10 @@ object SourceQueries {
         // fully-populated staging dir so repeated races don't accumulate
         // orphaned blob-set copies under target/.
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles() returns null if the dir vanished mid-walk — exactly
+          // the concurrent-racer scenario this cleanup exists for
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
           f.delete()
         }
         rm(staging)
@@ -421,6 +424,50 @@ object SourceQueries {
             java.nio.file.Files.write(
               new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
               graft.sources.Pdf.encode(pages))
+          }
+        }
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- q60f: compressed (FlateDecode) PDF ingestion -------------------------
+  /** q60d's contract against the shape virtually every REAL-WORLD PDF
+    * has: content streams written `/Filter /FlateDecode` (zlib), /Length
+    * carrying the compressed byte count (app.py:123-132 handles these via
+    * PyMuPDF; until round 9 this codec rejected them all). The reader's
+    * object-graph walk is unchanged — only the stream decode inflates —
+    * so q01's oracle applies VERBATIM, and any inflate/length/framing bug
+    * breaks the bit-exact match loudly. Unsupported filters still throw
+    * (PdfCodecSpec pins that contract). */
+  def pdfFlateRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "pdfz") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
+              graft.sources.Pdf.encode(pages, compress = true))
           }
         }
     }
@@ -708,8 +755,11 @@ object SourceQueries {
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
         val page1 = graft.sources.Pdf.decodePages(bytes).head
-        val raster = page1.getBytes("ISO-8859-1").zipWithIndex
-          .collect { case (b, i) if i % 2 == 0 => b & 0xff }
+        // Sample every other *codepoint* (mod 256), mirroring the oracle's
+        // ord(substring(...)) % 256 — byte-level getBytes("ISO-8859-1")
+        // would silently mangle any codepoint > U+00FF to '?'.
+        val raster = page1.codePoints().toArray.zipWithIndex
+          .collect { case (cp, i) if i % 2 == 0 => cp % 256 }
         val png = Png.encode(raster, width = 32)
         val img = Png.decode(png) // the preview a reader would see
         val checksum = img.samples.foldLeft(0L)((a, s) => (a * 31 + s) % 2147483647L)
@@ -727,7 +777,7 @@ object SourceQueries {
       |  SELECT doc_id,
       |         list_transform(
       |           list_filter(generate_series(1, length(p1)), i -> (i - 1) % 2 = 0),
-      |           i -> ord(substring(p1, i, 1))) AS codes
+      |           i -> ord(substring(p1, i, 1)) % 256) AS codes
       |  FROM d)
       |SELECT doc_id,
       |  CAST(len(codes) AS BIGINT) AS n_px,
@@ -808,6 +858,7 @@ object SourceQueries {
     "q60b_multimodal_binaryfile" -> ((s, d) => multimodalBinaryFiles(s, d)),
     "q60c_docx_roundtrip" -> ((s, d) => docxRoundtrip(s, d)),
     "q60d_pdf_roundtrip" -> ((s, d) => pdfRoundtrip(s, d)),
+    "q60f_pdf_flate" -> ((s, d) => pdfFlateRoundtrip(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
@@ -831,6 +882,8 @@ object SourceQueries {
     "q60c_docx_roundtrip" -> paragraphJoinOracle,
     // q60d reproduces q01's extraction contract from real PDF bytes
     "q60d_pdf_roundtrip" -> pagesConcatOracle,
+    // q60f: same extraction contract, FlateDecode-compressed staging
+    "q60f_pdf_flate" -> pagesConcatOracle,
     // q60e's decoded pixels equal the text bytes, so q60's full
     // pooled-bucket oracle applies verbatim — the PNG codec is the delta
     "q60e_png_roundtrip" -> multimodalDecodeOracle,

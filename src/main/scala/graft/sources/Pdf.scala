@@ -15,11 +15,16 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   * with full PDF string-escape handling: \\( \\) \\\\ \\n octal codes,
   * line continuations).
   *
-  * Scope is declared LOUDLY, not silently: a /Filter'ed (compressed)
-  * content stream, a missing page tree, or an unbalanced string throws —
-  * at lake scale a half-extracted PDF is corpus poison (same contract as
-  * the WAV and DOCX codecs). PDF bytes are treated as Latin-1 so byte
-  * offsets equal char offsets (the corpus payloads are ASCII). */
+  * Content streams may be stored raw or `/Filter /FlateDecode` (zlib) —
+  * the filter virtually every real-world PDF applies; the reader inflates
+  * those transparently (same zlib discipline as the PNG codec's IDAT
+  * path). Scope beyond that is declared LOUDLY, not silently: any other
+  * /Filter (DCTDecode, LZW, ASCIIHex, filter chains), a missing page
+  * tree, or an unbalanced string throws — at lake scale a half-extracted
+  * PDF is corpus poison (same contract as the WAV and DOCX codecs). PDF
+  * bytes are treated as Latin-1 so byte offsets equal char offsets (the
+  * corpus payloads are ASCII; compressed stream bytes round trip 0-255
+  * exactly under Latin-1). */
 object Pdf {
 
   private[graft] def isPdf(bytes: Array[Byte]): Boolean =
@@ -39,8 +44,11 @@ object Pdf {
   /** One PDF, one page per element of `pages`. Object layout: 1 catalog,
     * 2 page tree, 3 font, then (page, contents) object pairs. The xref
     * offsets are computed from the actual emitted bytes — a conformant
-    * reader can resolve every object through the table. */
-  private[graft] def encode(pages: Seq[String]): Array[Byte] = {
+    * reader can resolve every object through the table. With
+    * `compress = true` each content stream is written
+    * `/Filter /FlateDecode` (the real-world shape; /Length is the
+    * COMPRESSED byte count, per spec). */
+  private[graft] def encode(pages: Seq[String], compress: Boolean = false): Array[Byte] = {
     val sb = new StringBuilder
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     def obj(body: String): Unit = {
@@ -56,7 +64,14 @@ object Pdf {
       obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
         s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>")
       val stream = s"BT /F1 12 Tf 72 720 Td (${escape(text)}) Tj ET"
-      obj(s"<< /Length ${stream.length} >>\nstream\n$stream\nendstream")
+      if (compress) {
+        // Latin-1 round trips bytes 0-255 exactly, so the binary deflate
+        // output can ride the same StringBuilder as the text objects
+        val comp = new String(deflate(stream.getBytes(ISO_8859_1)), ISO_8859_1)
+        obj(s"<< /Length ${comp.length} /Filter /FlateDecode >>\n" +
+          s"stream\n$comp\nendstream")
+      } else
+        obj(s"<< /Length ${stream.length} >>\nstream\n$stream\nendstream")
     }
     val xrefOff = sb.length
     sb.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
@@ -71,6 +86,49 @@ object Pdf {
   private val hdrPat = java.util.regex.Pattern.compile("(\\d+)\\s+0\\s+obj\\b")
   private val refPat = java.util.regex.Pattern.compile("(\\d+)\\s+0\\s+R")
   private val lenPat = java.util.regex.Pattern.compile("/Length\\s+(\\d+)")
+  // /Filter value: a single name or a (possibly 1-element) array of names
+  private val filterPat =
+    java.util.regex.Pattern.compile("/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)")
+  private val namePat = java.util.regex.Pattern.compile("/([A-Za-z0-9]+)")
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** zlib inflate with UNKNOWN output size (PDF's /Length is the
+    * compressed count — unlike PNG there is no declared raw size). */
+  private def inflate(comp: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater
+    inf.setInput(comp)
+    val out = new java.io.ByteArrayOutputStream(comp.length * 4 + 64)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val got = inf.inflate(buf)
+      require(got > 0 || inf.finished(),
+        "corrupt PDF: FlateDecode stream truncated or malformed")
+      out.write(buf, 0, got)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Filter names declared on a stream dict (empty when unfiltered). */
+  private def filters(dict: String): Seq[String] = {
+    val fm = filterPat.matcher(dict)
+    if (!fm.find()) Seq.empty
+    else {
+      val nm = namePat.matcher(fm.group(1))
+      val b = Seq.newBuilder[String]
+      while (nm.find()) b += nm.group(1)
+      b.result()
+    }
+  }
 
   /** Split the document into objId → body. Stream data is delimited by
     * the dict's /Length — NOT by scanning for `endstream`/`endobj`
@@ -157,10 +215,17 @@ object Pdf {
         throw new IllegalArgumentException(s"corrupt PDF: missing page object $pid"))
       val contents = objs.getOrElse(ref(page, "/Contents"),
         throw new IllegalArgumentException("corrupt PDF: missing contents object"))
-      require(!contents.contains("/Filter"),
-        "unsupported PDF: filtered (compressed) content stream — " +
-          "only the uncompressed subset is implemented")
-      extractText(streamData(contents))
+      val sAt = contents.indexOf("stream")
+      require(sAt >= 0, "corrupt PDF: contents without stream")
+      val stream = filters(contents.substring(0, sAt)) match {
+        case Seq() => streamData(contents)
+        case Seq("FlateDecode") =>
+          new String(inflate(streamData(contents).getBytes(ISO_8859_1)), ISO_8859_1)
+        case other => throw new IllegalArgumentException(
+          s"unsupported PDF: /Filter ${other.mkString("[", " ", "]")} — " +
+            "only FlateDecode (and unfiltered) content streams are implemented")
+      }
+      extractText(stream)
     }
   }
 

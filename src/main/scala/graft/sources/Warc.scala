@@ -73,7 +73,12 @@ object Warc {
         // (e.g. a timestamp) and the real separator is missing
         require(i > 0 && !line.substring(0, i).exists(c => c == ' ' || c == '\t'),
           s"WARC: malformed header '$line' at offset $at")
-        headers += (line.substring(0, i).trim -> line.substring(i + 1).trim)
+        val name = line.substring(0, i).trim
+        // a duplicated field name is the same corruption class as a
+        // malformed header — reject rather than silently last-win
+        require(!headers.contains(name),
+          s"WARC: duplicate header '$name' in record at offset $at")
+        headers += (name -> line.substring(i + 1).trim)
         line = readLine()
       }
       // parse as Long first: a >2 GiB declared length must fail the
@@ -81,8 +86,12 @@ object Warc {
       // buffer-size bound comes BEFORE the sum so a length near
       // Long.MaxValue cannot overflow pos + len + 4 and sneak past
       // (Arrays.copyOfRange would then zero-pad gigabytes from thin air)
-      val lenL = headers.getOrElse("Content-Length",
-        sys.error(s"WARC: record at offset $at has no Content-Length")).toLong
+      val lenRaw = headers.getOrElse("Content-Length",
+        sys.error(s"WARC: record at offset $at has no Content-Length"))
+      val lenL =
+        try lenRaw.toLong
+        catch { case _: NumberFormatException => sys.error(
+          s"WARC: non-numeric Content-Length '$lenRaw' in record at offset $at") }
       require(lenL >= 0 && lenL <= bytes.length &&
         pos.toLong + lenL + 4 <= bytes.length,
         s"WARC: payload of $lenL bytes overruns buffer at offset $pos")

@@ -99,6 +99,17 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(err2.getMessage.contains("time types differ"))
   }
 
+  test("signed-zero double keys match: -0.0 and 0.0 are one key under SQL equality") {
+    import spark.implicits._
+    // Double.compareTo orders -0.0 < 0.0; without normalization a -0.0
+    // left key silently never matches a 0.0 right key (ADVICE r8)
+    val l = Seq((-0.0d, ts(10), 100L), (0.0d, ts(11), 101L)).toDF("k", "t", "lid")
+    val r = Seq((0.0d, ts(4), 200L), (-0.0d, ts(5), 201L)).toDF("rk", "rt", "rid")
+    val got = AsOfJoinOps.asof(l, r, "k", "rk", "t", "rt", "rid")
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    assert(got === Seq((100L, 201L), (101L, 201L)))
+  }
+
   test("overlapping column names fail loudly before planning") {
     import spark.implicits._
     val l = Seq((1L, ts(1), 1L)).toDF("k", "t", "id")

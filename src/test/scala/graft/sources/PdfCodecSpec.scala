@@ -11,6 +11,18 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(Pdf.decodePages(Pdf.encode(pages)) === pages)
   }
 
+  test("round trip: FlateDecode-compressed content streams") {
+    val pages = Seq("first page text", "second page with (parens) and \\ escapes",
+      "operators inside strings: BT Tj ET endstream endobj")
+    val z = Pdf.encode(pages, compress = true)
+    // the compressed file really is filtered, and still round trips
+    assert(new String(z, "ISO-8859-1").contains("/Filter /FlateDecode"))
+    assert(Pdf.decodePages(z) === pages)
+    // long repetitive pages (where deflate actually shrinks) round trip too
+    val many = (0 until 100).map(i => ("lorem ipsum " * 40) + s"page $i")
+    assert(Pdf.decodePages(Pdf.encode(many, compress = true)) === many)
+  }
+
   test("round trip: delimiters and escapes in page text") {
     val pages = Seq(
       "parens (nested (deep)) balanced",
@@ -42,13 +54,28 @@ class PdfCodecSpec extends AnyFunSuite {
     }
     val good = Pdf.encode(Seq("some genuine page content here"))
     intercept[Exception] { Pdf.decodePages(good.take(good.length / 2)) }
-    // filtered (compressed) streams are out of scope — must throw, not
-    // silently return empty text
-    val filtered = new String(good, "ISO-8859-1")
+    // filters other than FlateDecode are out of scope — must throw with
+    // the filter named, not silently return empty text
+    val lzw = new String(good, "ISO-8859-1")
+      .replace("<< /Length", "<< /Filter /LZWDecode /Length")
+      .getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException] { Pdf.decodePages(lzw) }
+    assert(e.getMessage.contains("unsupported") && e.getMessage.contains("LZWDecode"))
+    // filter CHAINS are also out of scope
+    val chain = new String(good, "ISO-8859-1")
+      .replace("<< /Length", "<< /Filter [ /ASCIIHexDecode /FlateDecode ] /Length")
+      .getBytes("ISO-8859-1")
+    val e2 = intercept[IllegalArgumentException] { Pdf.decodePages(chain) }
+    assert(e2.getMessage.contains("unsupported"))
+    // a stream LABELED FlateDecode whose bytes aren't zlib is corrupt, not
+    // silently empty
+    val mislabeled = new String(good, "ISO-8859-1")
       .replace("<< /Length", "<< /Filter /FlateDecode /Length")
       .getBytes("ISO-8859-1")
-    val e = intercept[IllegalArgumentException] { Pdf.decodePages(filtered) }
-    assert(e.getMessage.contains("unsupported"))
+    intercept[Exception] { Pdf.decodePages(mislabeled) }
+    // truncated compressed stream fails the inflate loudly
+    val z = Pdf.encode(Seq("a page body that deflate makes binary" * 5), compress = true)
+    intercept[Exception] { Pdf.decodePages(z.take(z.length - 40)) }
   }
 
   test("encode is deterministic and xref offsets resolve") {

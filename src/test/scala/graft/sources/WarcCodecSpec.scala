@@ -59,6 +59,16 @@ class WarcCodecSpec extends AnyFunSuite {
     // missing Content-Length
     val noLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n\r\n").getBytes(UTF_8)
     intercept[RuntimeException] { Warc.decode(noLen) }
+    // non-numeric Content-Length: reported with record offset, not a bare
+    // NumberFormatException
+    val nonNum = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: twelve\r\n\r\n").getBytes(UTF_8)
+    val e = intercept[RuntimeException] { Warc.decode(nonNum) }
+    assert(e.getMessage.contains("offset"))
+    // duplicate header field names are the same corruption class
+    val dup = ("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Type: response\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes(UTF_8)
+    intercept[IllegalArgumentException] { Warc.decode(dup) }
   }
 
   test("seeded fuzz: arbitrary binary payloads round trip exactly") {
