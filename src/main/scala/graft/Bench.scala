@@ -21,6 +21,14 @@ import org.apache.spark.sql.SparkSession
   * the query set measured in BOTH rounds, so new operators never muddy
   * the like-for-like ladder.
   *
+  * Variance guard (round 9, after a box-contended local[32] leg got
+  * committed as a fake 1.7× regression): when the common-query total
+  * deviates more than ±25% from the previous committed snapshot — twice
+  * SCALING.md's documented ±12% box-variance band — the output carries a
+  * loud `variance_alert` field and stderr says to re-run on a quiet box.
+  * The snapshot is still written (the driver needs A record), but no
+  * reader can mistake a contaminated one for a clean measurement.
+  *
   * Two output forms of the same results: BENCH_LOCAL.json carries the
   * FULL map (full query names, full precision) — the committed artifact
   * judges diff round-over-round — while the stdout line compacts the
@@ -37,6 +45,21 @@ object Bench {
   private val smallQueryCutoffSec = 0.5
   private val smallQueryReps = 7
 
+  /** twice SCALING.md's documented ±12% box-variance band */
+  private[graft] val varianceBand = 0.25
+
+  /** Some(ratio) when the common-query total deviates >±25% from the
+    * previous committed snapshot — the r8 contamination (71.4 s vs 41.7 s
+    * one commit earlier, ratio 1.71) is exactly what this catches. */
+  private[graft] def varianceAlert(nowTotal: Double, prevTotal: Double): Option[Double] = {
+    if (prevTotal <= 0) None
+    else {
+      val ratio = nowTotal / prevTotal
+      if (ratio > 1 + varianceBand || ratio < 1 / (1 + varianceBand)) Some(ratio)
+      else None
+    }
+  }
+
   private def run(cpus: String, sfDir: String, reps: Int)
       : (Double, Seq[(String, Option[Double])], Seq[String]) = {
     val spark = SparkSession.builder()
@@ -45,6 +68,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every unpartitioned-window site on the board runs over bounded input
+    // (post-limit or ≤1001-row aggregates — CurationQueries:476 k=100,
+    // RagQueries:759 top-50, TextQueries:687 ≤1001 buckets, OlapQueries:382
+    // 4 funnel steps), so WindowExec's blanket single-partition warning is
+    // known-benign here; muting it keeps the bench tail clean so a REAL
+    // unpartitioned-window regression would stand out in the driver capture
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     // warm-up outside the timed loop: pays JVM/codegen/parquet-reader
     // startup once so the alphabetically-first query's number reflects the
     // query, not session spin-up (entry() runs the flagship on sf0.001)
@@ -120,7 +151,14 @@ object Bench {
     val commonExtra = if (common.nonEmpty) {
       val now = common.map(_._2).sum
       val before = common.map(_._3).sum
-      s""","common_with_prev":{"n":${common.length},"total":$now,"prev_total":$before}"""
+      val alert = varianceAlert(now, before).fold("") { ratio =>
+        System.err.println(
+          f"[bench] VARIANCE ALERT: common-query total $now%.1f s vs previous " +
+            f"snapshot $before%.1f s (ratio $ratio%.2f) exceeds the ±${varianceBand * 100}%.0f%% " +
+            "band — likely box contention; re-run on a quiet box before committing")
+        f""","variance_alert":{"ratio":$ratio%.3f,"band":$varianceBand,"note":"exceeds box-variance band vs previous snapshot; re-run on a quiet box"}"""
+      }
+      s""","common_with_prev":{"n":${common.length},"total":$now,"prev_total":$before}$alert"""
     } else ""
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jsonMap(entries: Seq[(String, Option[Double])], fmt: Double => String): String =
