@@ -1055,6 +1055,78 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- ANN witness tier (property oracles for the rows-only family) --------
+  /** Witness wrapper lifting an engine-internal ANN query to the DuckDB
+    * oracle tier (the q66 precedent): per query, emit columns the oracle
+    * CAN recompute from base tables — the exact brute-force top-1 id and
+    * cosine (the q17-proven double-parity path) — plus booleans holding
+    * the ANN output to its contract: `n_results` = k rows came back,
+    * `self_hit` = the ANN's rank-1 equals the exact argmax, `recall_ok` =
+    * hits against the exact top-5 meet the per-query floor (measured
+    * across sf0.001/0.01/0.1 with margin; a bucketing/codebook regression
+    * drives recall to ~0 and flips it). The oracle emits the exact values
+    * and literal TRUEs, so any violation is a bit-exact hash mismatch —
+    * the driver gate goes red instead of only a spec. Full per-rank
+    * detail stays in the underlying functions for the specs. */
+  private def annWitness(spark: SparkSession, dir: String, annRaw: DataFrame,
+      minHits: Int): DataFrame = {
+    // the ANN frame feeds BOTH the hits join and the top-1 aggregate; its
+    // output is tiny (k rows × 3 queries) but its DAG is the whole
+    // index-build + scan — cache so the expensive part runs once, not
+    // twice (harness contract: cleared per query/rep by Bench/Verify)
+    val ann = annRaw.cache()
+    val exact = VectorQueries.topkCosine(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .cache()
+    val exactTop1 = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id").as("exact_top1"),
+        col("cosine").as("exact_top1_cos"))
+    val hits = ann.select(col("query_id"), col("vec_id"))
+      .join(exact.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    ann.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_results"),
+        expr("min_by(vec_id, rank)").as("ann_top1"))
+      .join(hits, Seq("query_id"), "left")
+      .join(broadcast(exactTop1), Seq("query_id"))
+      .select(col("query_id"), col("n_results"),
+        (col("ann_top1") === col("exact_top1")).as("self_hit"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("recall_ok"),
+        col("exact_top1"), col("exact_top1_cos"))
+      .orderBy(col("query_id"))
+  }
+
+  /** q36 registered form: SRP-LSH held to ≥1-of-5 recall (8-bit
+    * signatures are coarse; the sharp invariants are self-hit + k rows). */
+  def annLshChecked(spark: SparkSession, dir: String): DataFrame =
+    annWitness(spark, dir, annLsh(spark, dir), minHits = 1)
+
+  /** q38 registered form: PQ-ADC held to ≥3-of-5 recall (observed 4-5). */
+  def annPqChecked(spark: SparkSession, dir: String): DataFrame =
+    annWitness(spark, dir, annPq(spark, dir), minHits = 3)
+
+  /** q39 registered form: IVFADC held to ≥2-of-5 recall (observed 3-5;
+    * cell-miss on top of q38's quantization loss). */
+  def annIvfPqChecked(spark: SparkSession, dir: String): DataFrame =
+    annWitness(spark, dir, annIvfPq(spark, dir), minHits = 2)
+
+  /** Shared witness oracle: brute-force exact top-1 per query (the same
+    * cross join + window DuckDB already verifies for q17), literal TRUE
+    * for every contract boolean, literal 5 for the row-count contract. */
+  val annWitnessOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 3),
+      |     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      |     scored AS (
+      |       SELECT q.query_id, c.vec_id,
+      |              list_cosine_similarity(qe, ce) AS cos,
+      |              row_number() OVER (PARTITION BY q.query_id
+      |                                 ORDER BY list_cosine_similarity(qe, ce) DESC, c.vec_id) AS rnk
+      |       FROM q CROSS JOIN c)
+      |SELECT query_id, CAST(5 AS BIGINT) AS n_results, TRUE AS self_hit,
+      |       TRUE AS recall_ok, vec_id AS exact_top1, round(cos, 6) AS exact_top1_cos
+      |FROM scored WHERE rnk = 1 ORDER BY query_id""".stripMargin
+
   // ---- ANN: MLlib LSH cross-check -------------------------------------------
   /** MLlib's `BucketedRandomProjectionLSH.approxSimilarityJoin` against the
     * exact label-blocked pairs of q34, per-label recall as a column
@@ -1589,10 +1661,10 @@ object PipelineQueries {
     "q33b_neardup_simhash_md5" -> ((s, d) => neardupSimhashPortable(s, d)),
     "q34_neardup_embedding" -> ((s, d) => neardupEmbedding(s, d)),
     "q35_ann_ivf" -> ((s, d) => annIvf(s, d)),
-    "q36_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "q36_ann_lsh" -> ((s, d) => annLshChecked(s, d)),
     "q36b_ann_srp_md5" -> ((s, d) => annSrpPortable(s, d)),
-    "q38_ann_pq" -> ((s, d) => annPq(s, d)),
-    "q39_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
+    "q38_ann_pq" -> ((s, d) => annPqChecked(s, d)),
+    "q39_ann_ivfpq" -> ((s, d) => annIvfPqChecked(s, d)),
     "q96_ann_hamming" -> ((s, d) => annHamming(s, d)),
     "q101_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
@@ -1614,6 +1686,11 @@ object PipelineQueries {
     "q32b_neardup_minhash_md5" -> neardupMinhashPortableOracle,
     "q33b_neardup_simhash_md5" -> neardupSimhashPortableOracle,
     "q36b_ann_srp_md5" -> annSrpPortableOracle,
+    // witness tier (q66 precedent): exact top-1 recomputed by DuckDB,
+    // contract booleans literal TRUE — an ANN regression flips them red
+    "q36_ann_lsh" -> annWitnessOracle,
+    "q38_ann_pq" -> annWitnessOracle,
+    "q39_ann_ivfpq" -> annWitnessOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
     "q35_ann_ivf" -> annIvfOracle,
     "q96_ann_hamming" -> annHammingOracle,

@@ -558,6 +558,67 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q83b registered form: BPE encode with DuckDB-recomputable witnesses --
+  /** The oracle tier for the BPE apply pass (q66/ANN-witness precedent):
+    * per doc, emit what DuckDB CAN recompute from `documents` — the
+    * split-based word count and the non-space character count — plus two
+    * booleans holding the engine-internal encode to its invariants:
+    * `pieces_ok` = n_words ≤ Σ n_pieces ≤ Σ word chars (each word
+    * tokenizes to between 1 and len(word) pieces), and `roundtrip_ok` =
+    * concatenating every word's pieces reproduces the word exactly (the
+    * merge table can segment, never rewrite). The oracle emits the exact
+    * counts and literal TRUEs, so a merge-table or encode regression is a
+    * bit-exact hash mismatch at the driver gate, not only a spec failure.
+    * Full token statistics stay in [[bpeEncode]] for BpeSpec. */
+  def bpeEncodeChecked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val trainWords = docs
+      .select(explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("word"))
+      .filter(length(col("word")) <= 20)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges: Seq[(String, String)] =
+      graft.text.Bpe.train(spark, trainWords, numMerges = 40)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    // original-case words for the oracle-recomputable char count; the
+    // encode itself runs on the lowercased form (the tokenizer's input)
+    val corpusWords = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
+      .withColumn("wlow", lower(col("word")))
+    val pieces = corpusWords.select(col("wlow")).distinct()
+      .as[String]
+      .map { w =>
+        val ps = graft.text.Bpe.applyMerges(w, merges)
+        (w, ps.length.toLong, ps.mkString == w)
+      }
+      .toDF("wlow", "n_pieces", "rt")
+    corpusWords.join(pieces, Seq("wlow"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_tokens"),
+        sum(length(col("word"))).as("n_chars_words"),
+        // lowercasing can change length for some Unicode (e.g. İ), so the
+        // upper piece bound uses the encoder's OWN input length
+        sum(length(col("wlow"))).as("n_chars_low"),
+        min(col("rt").cast("int")).as("rt_min"))
+      .select(col("doc_id"), col("n_words"), col("n_chars_words"),
+        (col("n_words") <= col("n_tokens") &&
+          col("n_tokens") <= col("n_chars_low")).as("pieces_ok"),
+        (col("rt_min") === 1).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeEncodeCheckedOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_words,
+      |  TRUE AS pieces_ok, TRUE AS roundtrip_ok
+      |FROM documents
+      |WHERE len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+      |ORDER BY doc_id""".stripMargin
+
   // --- q95: Gopher rule-based quality filter (Rae et al. 2021, App. A) -----
   /** The Gopher quality-rule battery — the canonical rule set a web-scale
     * pretraining corpus is screened with before any model-based scoring:
@@ -798,7 +859,7 @@ object TextQueries {
     "q58_lm_fluency" -> ((s, d) => lmFluency(s, d)),
     "q59_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q83_bpe_train" -> ((s, d) => bpeTrain(s, d)),
-    "q83b_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
+    "q83b_bpe_encode" -> ((s, d) => bpeEncodeChecked(s, d)),
     "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
     "q95_gopher_rules" -> ((s, d) => gopherRules(s, d)),
     "q98_token_budget" -> ((s, d) => tokenBudget(s, d)),
@@ -819,6 +880,9 @@ object TextQueries {
     // the sketch-first path confirms candidates with exact counts, so the
     // exact top-20 oracle applies verbatim — the sketch is the delta
     "q88_heavy_hitters_sketch" -> heavyHittersOracle,
+    // witness tier: split-based counts recomputed by DuckDB, encode
+    // invariants as literal-TRUE booleans (q66 precedent)
+    "q83b_bpe_encode" -> bpeEncodeCheckedOracle,
     "q95_gopher_rules" -> gopherRulesOracle,
     "q98_token_budget" -> tokenBudgetOracle,
     "q102_text_normalize" -> textNormalizeOracle

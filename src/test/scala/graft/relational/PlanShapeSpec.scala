@@ -109,8 +109,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered in:\n$p")
   }
 
+  // q38/q39 register through the witness wrapper (annWitness: exact-top-1
+  // compare over ≤15 ANN rows × 3 query rows — scale-irrelevant joins), so
+  // the scale guards target the PRODUCTION plans underneath directly.
   test("q38 PQ: ADC tables broadcast, map-side shortlist cap, zero sort-merge joins") {
-    val p = planOf("q38_ann_pq")
+    val p = graft.queries.PipelineQueries.annPq(spark, sfDir)
+      .queryExecution.executedPlan.toString
     // the per-query distance tables reach the scoring scan as a broadcast
     // cross join — if Catalyst/AQE ever de-broadcasts them the corpus
     // would shuffle against 3 rows
@@ -125,7 +129,8 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("q39 IVFADC: probes/tables broadcast; only the index BUILD join shuffles") {
-    val p = planOf("q39_ann_ivfpq")
+    val p = graft.queries.PipelineQueries.annIvfPq(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"), s"centroid/ADC tables not broadcast in:\n$p")
     // nprobe cell pruning and the 100-row shortlist both cap map-side
     assert("WindowGroupLimit [^\n]*\\b4, Partial".r.findFirstIn(p).isDefined,
