@@ -92,16 +92,27 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
-  // -0.0 and 0.0 are equal under SQL comparison (and under the shuffle
-  // writer, which normalizes -0.0), but NOT under Double/Float.compareTo —
-  // normalize before the boxed compare so a signed-zero key still matches
-  @inline private def normZero(a: Any): Any = a match {
-    case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
-    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
-    case x => x
+  // Comparator chosen ONCE from the static type, not per row — the merge
+  // compares twice per right-row advance, so a per-compare pattern match
+  // is pure loop overhead. Float/Double go through primitive compare with
+  // an equality short-circuit: primitive == treats -0.0 == 0.0 (SQL
+  // semantics — the composed q13 join and the shuffle writer agree),
+  // while NaN == NaN falls through to Double.compare, which orders NaN
+  // consistently (SQL's NaN = NaN is also true: compare yields 0 there).
+  private def cmpFor(dt: org.apache.spark.sql.types.DataType): (Any, Any) => Int = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    dt match {
+      case DoubleType => (a, b) => {
+        val x = a.asInstanceOf[Double]; val y = b.asInstanceOf[Double]
+        if (x == y) 0 else java.lang.Double.compare(x, y)
+      }
+      case FloatType => (a, b) => {
+        val x = a.asInstanceOf[Float]; val y = b.asInstanceOf[Float]
+        if (x == y) 0 else java.lang.Float.compare(x, y)
+      }
+      case _ => (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
   }
-  @inline private def cmp(a: Any, b: Any): Int =
-    normZero(a).asInstanceOf[Comparable[Any]].compareTo(normZero(b))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -112,6 +123,8 @@ case class AsOfJoinExec(
     val rt = BindReferences.bindReference(rightTime, rOut)
     val outAttrs = output
     val isOuter = outer
+    val keyCmp = cmpFor(leftKey.dataType)
+    val timeCmp = cmpFor(leftTime.dataType)
     // the projection's INPUT schema must declare the right side nullable
     // in outer mode, or generated code skips null checks on the all-null
     // row and reads zeros (caught by AsOfJoinPlanSpec's outer test)
@@ -141,14 +154,14 @@ case class AsOfJoinExec(
             val rtv = rt.eval(rHead)
             if (rkv == null || rtv == null) advanceRight()
             else {
-              val c = cmp(rkv, k)
+              val c = keyCmp(rkv, k)
               if (c < 0) { lastKey = null; lastMatch = null; advanceRight() }
-              else if (c == 0 && cmp(rtv, t) <= 0) {
+              else if (c == 0 && timeCmp(rtv, t) <= 0) {
                 lastKey = rkv; lastMatch = rHead; advanceRight()
               } else scanning = false
             }
           }
-          if (lastMatch != null && lastKey != null && cmp(lastKey, k) == 0)
+          if (lastMatch != null && lastKey != null && keyCmp(lastKey, k) == 0)
             Iterator.single(result(joined(l, lastMatch)))
           else if (isOuter) Iterator.single(result(joined(l, nullRight)))
           else Iterator.empty

@@ -352,6 +352,66 @@ object SourceQueries {
       |  CAST(len(list_filter(generate_series(1, n), i -> (i-1) % 16 = 0)) AS BIGINT) AS n_frames
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // --- q60g: WAV subformat coverage (PCM16 / PCM8 / IEEE float32) -----------
+  /** q60b's ingestion contract across the three wild-common WAV mono
+    * subformats: each doc is staged in the format `doc_id % 3` selects —
+    * PCM16, PCM8 (unsigned bytes), or IEEE float32 (normalized to the
+    * int16 grid) — and every one must decode back to the text's byte
+    * values EXACTLY (PCM8 stores them raw; float32 stores n/32768, exact
+    * in float). The oracle recomputes the same ord()-code arithmetic per
+    * doc plus the `encoding` label from doc_id % 3, so a subformat
+    * mis-decode (recentered PCM8, truncated float scale, chunk-walk pad
+    * bug) breaks the bit-exact match loudly. */
+  def wavSubformats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "wav3") { staging =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+          it.foreach { case (id, bytes) =>
+            val samples = (if (bytes == null) Array.empty[Byte] else bytes).map(b => b & 0xff)
+            val wav = (id % 3) match {
+              case 0 => Multimodal.encodeWavPcm16(samples)
+              case 1 => Multimodal.encodeWavPcm8(samples)
+              case _ => Multimodal.encodeWavFloat32(samples)
+            }
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.wav").toPath, wav)
+          }
+        }
+    }
+    val blobs = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+        col("content"))
+    Multimodal.extractFeatures(blobs)
+      .select(col("doc_id"),
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'pcm16' WHEN 1 THEN 'pcm8' " +
+          "ELSE 'float32' END").as("encoding"),
+        col("n_samples"), col("frame_checksum"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q60b's oracle arithmetic plus the doc_id-derived encoding label. */
+  val wavSubformatsOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, length(text) AS n,
+      |         list_transform(list_filter(string_split(text, ''), c -> c != ''),
+      |                        c -> CAST(ord(c) AS BIGINT)) AS codes
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'pcm16' WHEN 1 THEN 'pcm8'
+      |       ELSE 'float32' END AS encoding,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(generate_series(1, n), i -> (i-1) % 16 = 0),
+      |                     i -> codes[i])),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS frame_checksum,
+      |  CAST(len(list_filter(generate_series(1, n), i -> (i-1) % 16 = 0)) AS BIGINT) AS n_frames
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // --- q60c: real DOCX ingestion (O2 from genuine bytes, app.py:134-143) ----
   /** O2 closed from REAL bytes: each doc is materialized as a genuine
     * .docx (ZIP package + WordprocessingML, Docx.encode) whose paragraphs
@@ -859,6 +919,7 @@ object SourceQueries {
     "q60c_docx_roundtrip" -> ((s, d) => docxRoundtrip(s, d)),
     "q60d_pdf_roundtrip" -> ((s, d) => pdfRoundtrip(s, d)),
     "q60f_pdf_flate" -> ((s, d) => pdfFlateRoundtrip(s, d)),
+    "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
@@ -884,6 +945,8 @@ object SourceQueries {
     "q60d_pdf_roundtrip" -> pagesConcatOracle,
     // q60f: same extraction contract, FlateDecode-compressed staging
     "q60f_pdf_flate" -> pagesConcatOracle,
+    // q60g: q60b's arithmetic across three staged WAV subformats
+    "q60g_wav_subformats" -> wavSubformatsOracle,
     // q60e's decoded pixels equal the text bytes, so q60's full
     // pooled-bucket oracle applies verbatim — the PNG codec is the delta
     "q60e_png_roundtrip" -> multimodalDecodeOracle,

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The decode stage dispatches on the payload's magic bytes:
   *   - RIFF/WAVE payloads go through a REAL pure-JVM codec: chunk walk,
-  *     fmt validation (PCM, 16-bit), little-endian int16 sample decode —
-  *     the same shape as the reference's real parsers (PyMuPDF page text
-  *     at app.py:123-132, docx at app.py:134-143), implemented against
-  *     the public RIFF/WAVE layout with no native deps.
+  *     fmt validation, sample decode for the three wild-common mono
+  *     subformats — PCM16 (LE int16), PCM8 (unsigned bytes, the format's
+  *     own storage semantics), and IEEE float32 (normalized [−1,1],
+  *     scaled to the int16 grid) — the same shape as the reference's
+  *     real parsers (PyMuPDF page text at app.py:123-132, docx at
+  *     app.py:134-143), implemented against the public RIFF/WAVE layout
+  *     with no native deps.
   *   - PNG payloads go through the REAL pure-JVM image codec in [[Png]]:
   *     chunk walk with CRC verification, zlib inflate, five-filter
   *     scanline reconstruction — pixels come back as the sample stream.
@@ -80,18 +83,78 @@ object Multimodal {
     buf.array()
   }
 
+  /** Encode mono 8-bit PCM: WAV's 8-bit convention is UNSIGNED bytes
+    * (0-255), and the decoder returns exactly those values. Data chunks
+    * with odd length get the RIFF word-alignment pad byte. */
+  private[graft] def encodeWavPcm8(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + (dataLen & 1))
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // audio format: PCM
+      .putShort(1.toShort)            // channels: mono
+      .putInt(sampleRate)
+      .putInt(sampleRate)             // byte rate = rate * block align (1)
+      .putShort(1.toShort)            // block align (1 ch × 8 bit)
+      .putShort(8.toShort)            // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      require(s >= 0 && s <= 255, s"sample $s exceeds unsigned 8-bit")
+      buf.put(s.toByte)
+    }
+    buf.array()                       // trailing pad byte (if any) is 0
+  }
+
+  /** Encode mono IEEE-float32 (format 3): samples normalized to [−1,1)
+    * on the int16 grid (s / 32768). Division by a power of two is exact
+    * in float for any int16, so decode recovers the integer bit-exactly. */
+  private[graft] def encodeWavFloat32(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 4
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(3.toShort)            // audio format: IEEE float
+      .putShort(1.toShort)            // channels: mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 4)         // byte rate = rate * block align
+      .putShort(4.toShort)            // block align (1 ch × 32 bit)
+      .putShort(32.toShort)           // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      require(s >= Short.MinValue && s <= Short.MaxValue, s"sample $s exceeds int16 grid")
+      buf.putFloat(s / 32768.0f)
+    }
+    buf.array()
+  }
+
   /** Real WAV decode: walk the RIFF chunk list (ids are 4 ASCII bytes,
     * sizes little-endian, chunks even-padded — so a LIST/INFO chunk ahead
-    * of `data` is skipped, not tripped over), validate `fmt ` as 16-bit
-    * PCM mono, and decode the `data` chunk's little-endian int16 frames.
-    * Unsupported encodings fail LOUDLY — silently mis-decoded audio is a
-    * corpus poison no downstream filter can catch. */
-  private[graft] def decodeWavPcm16(bytes: Array[Byte]): Array[Int] = {
+    * of `data` is skipped, not tripped over), validate `fmt ` as one of
+    * the supported mono subformats, and decode the `data` chunk's frames:
+    *   - PCM16 → little-endian int16 values;
+    *   - PCM8  → the raw UNSIGNED byte values 0-255 (the 8-bit format's
+    *     own storage semantics — no silent recentering);
+    *   - IEEE float32 → values must lie in [−1, 1] and are scaled by
+    *     32768 then rounded to the int16 grid (exact for any float that
+    *     encodes n/32768).
+    * Anything else — stereo, PCM24, WAVE_FORMAT_EXTENSIBLE (0xFFFE),
+    * μ-law — fails LOUDLY: silently mis-decoded audio is a corpus poison
+    * no downstream filter can catch.
+    *
+    * The fmt chunk must precede data (the spec's canonical layout; both
+    * orders are tolerated by buffering until the walk ends). */
+  private[graft] def decodeWav(bytes: Array[Byte]): Array[Int] = {
     require(isWav(bytes), "not a RIFF/WAVE payload")
     var off = 12
-    var fmtOk = false
-    var samples: Array[Int] = null
-    while (off + 8 <= bytes.length && (samples == null || !fmtOk)) {
+    var fmt = -1                       // (audioFormat, bps) once validated
+    var bps = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (dataOff < 0 || fmt < 0)) {
       val id = tag(bytes, off)
       val size = le32(bytes, off + 4)
       // compare in Long: a corrupt size near Int.MaxValue would wrap
@@ -103,27 +166,41 @@ object Multimodal {
           require(size >= 16, s"corrupt WAV: fmt chunk size $size")
           val audioFormat = le16(bytes, off + 8)
           val channels = le16(bytes, off + 10)
-          val bps = le16(bytes, off + 22)
-          require(audioFormat == 1 && channels == 1 && bps == 16,
-            s"unsupported WAV encoding (format=$audioFormat ch=$channels bps=$bps); " +
-              "only 16-bit PCM mono is implemented")
-          fmtOk = true
+          val b = le16(bytes, off + 22)
+          require(channels == 1 &&
+            ((audioFormat == 1 && (b == 16 || b == 8)) || (audioFormat == 3 && b == 32)),
+            s"unsupported WAV encoding (format=$audioFormat ch=$channels bps=$b); " +
+              "only mono PCM16, PCM8, and IEEE float32 are implemented")
+          fmt = audioFormat; bps = b
         case "data" =>
-          samples = Array.tabulate(size / 2)(i => le16(bytes, off + 8 + 2 * i).toShort.toInt)
+          dataOff = off + 8; dataLen = size
         case _ => () // LIST, fact, cue … — skip
       }
       off += 8 + size + (size & 1) // chunks are word-aligned
     }
-    require(fmtOk, "corrupt WAV: no fmt chunk")
-    require(samples != null, "corrupt WAV: no data chunk")
-    samples
+    require(fmt > 0, "corrupt WAV: no fmt chunk")
+    require(dataOff >= 0, "corrupt WAV: no data chunk")
+    (fmt, bps) match {
+      case (1, 16) =>
+        Array.tabulate(dataLen / 2)(i => le16(bytes, dataOff + 2 * i).toShort.toInt)
+      case (1, 8) =>
+        Array.tabulate(dataLen)(i => bytes(dataOff + i) & 0xff)
+      case (3, 32) =>
+        Array.tabulate(dataLen / 4) { i =>
+          val f = java.lang.Float.intBitsToFloat(le32(bytes, dataOff + 4 * i))
+          require(!f.isNaN && f >= -1.0f && f <= 1.0f,
+            s"corrupt WAV: float sample $f outside [-1, 1]")
+          math.round(f * 32768.0f)
+        }
+      case _ => throw new IllegalStateException("unreachable: fmt validated above")
+    }
   }
 
   /** Decode dispatch: real WAV codec for RIFF/WAVE payloads, real PNG
     * codec for PNG payloads, opaque bytes-as-samples for formats without
     * an offline codec. */
   private[graft] def decodeSamples(bytes: Array[Byte]): Array[Int] =
-    if (isWav(bytes)) decodeWavPcm16(bytes)
+    if (isWav(bytes)) decodeWav(bytes)
     else if (Png.isPng(bytes)) Png.decodeToSamples(bytes)
     else bytes.map(b => b & 0xff)
 

@@ -65,9 +65,40 @@ class FormatsSpec extends SparkSuite {
     val samples = Array(0, 1, -1, 255, -255, 32767, -32768, 1000, -12345)
     val wav = Multimodal.encodeWavPcm16(samples, sampleRate = 44100)
     assert(Multimodal.isWav(wav))
-    assert(Multimodal.decodeWavPcm16(wav).toSeq === samples.toSeq)
+    assert(Multimodal.decodeWav(wav).toSeq === samples.toSeq)
     // empty sample stream is a legal (44-byte) WAV
-    assert(Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(Array.empty)).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.encodeWavPcm16(Array.empty)).isEmpty)
+  }
+
+  test("WAV codec: PCM8 and IEEE-float32 subformats round-trip; bad variants are loud") {
+    // PCM8 stores UNSIGNED bytes and decodes to the raw 0-255 values
+    val bytes8 = Array(0, 1, 127, 128, 200, 255)
+    assert(Multimodal.decodeWav(Multimodal.encodeWavPcm8(bytes8)).toSeq === bytes8.toSeq)
+    // odd-length data chunk carries the RIFF pad byte and still parses
+    val odd = Array(9, 10, 11)
+    assert(Multimodal.decodeWav(Multimodal.encodeWavPcm8(odd)).toSeq === odd.toSeq)
+    intercept[IllegalArgumentException](Multimodal.encodeWavPcm8(Array(256)))
+    intercept[IllegalArgumentException](Multimodal.encodeWavPcm8(Array(-1)))
+    // float32 normalizes to the int16 grid: n/32768 is exact in float,
+    // so the full int16 range round-trips bit-exactly
+    val ints = Array(0, 1, -1, 255, 32767, -32768, -12345)
+    assert(Multimodal.decodeWav(Multimodal.encodeWavFloat32(ints)).toSeq === ints.toSeq)
+    // a float sample outside [-1, 1] (or NaN) is corruption, not audio
+    val f = Multimodal.encodeWavFloat32(Array(100))
+    val buf = java.nio.ByteBuffer.wrap(f).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putFloat(44, 1.5f)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(f))
+    buf.putFloat(44, Float.NaN)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(f))
+    // WAVE_FORMAT_EXTENSIBLE (0xFFFE) must be rejected loudly
+    val ext = Multimodal.encodeWavPcm16(Array(1, 2, 3)).clone()
+    ext(20) = 0xFE.toByte; ext(21) = 0xFF.toByte
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWav(ext))
+    assert(e.getMessage.contains("unsupported WAV encoding"))
+    // PCM24 (bps=24) likewise
+    val p24 = Multimodal.encodeWavPcm16(Array(1, 2, 3)).clone()
+    p24(34) = 24
+    intercept[IllegalArgumentException](Multimodal.decodeWav(p24))
   }
 
   test("WAV codec: hand-built file with a LIST chunk before data parses; bad files are loud") {
@@ -81,15 +112,15 @@ class FormatsSpec extends SparkSuite {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + list.length + fmtAndData.length)
       .put("WAVE".getBytes("US-ASCII")).put(list).put(fmtAndData)
-    assert(Multimodal.decodeWavPcm16(buf.array()).toSeq === samples.toSeq)
+    assert(Multimodal.decodeWav(buf.array()).toSeq === samples.toSeq)
     // stereo fmt must be rejected loudly, never silently mis-decoded
     val stereo = clean.clone()
     stereo(22) = 2 // channels field inside fmt
-    val e = intercept[IllegalArgumentException](Multimodal.decodeWavPcm16(stereo))
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWav(stereo))
     assert(e.getMessage.contains("unsupported WAV encoding"))
     // truncated data chunk must be rejected
     val truncated = java.util.Arrays.copyOfRange(clean, 0, clean.length - 2)
-    intercept[IllegalArgumentException](Multimodal.decodeWavPcm16(truncated))
+    intercept[IllegalArgumentException](Multimodal.decodeWav(truncated))
     // non-WAV payloads take the opaque bytes-as-samples path
     assert(Multimodal.decodeSamples("plain text".getBytes("US-ASCII")).toSeq ===
       "plain text".getBytes("US-ASCII").map(_ & 0xff).toSeq)
