@@ -29,6 +29,17 @@ import org.apache.spark.sql.SparkSession
   * The snapshot is still written (the driver needs A record), but no
   * reader can mistake a contaminated one for a clean measurement.
   *
+  * Round-10 hardening, after the r9 guard was silently defeated by a
+  * cpus=8 snapshot overwriting the official one: (a) the committed
+  * BENCH_LOCAL.json is PINNED to the official config (cpus=32, sf0.1);
+  * any other config writes a per-config side file and never touches the
+  * official record; (b) when no comparable previous snapshot exists, the
+  * output carries `no_comparable_snapshot` with a reason slug and stderr
+  * shouts that the guard is disengaged — the guard now fails loud, never
+  * silent; (c) `variance_suspects` lists queries individually >2× off the
+  * previous snapshot, so a reader can tell a broad contention spread from
+  * a localized real regression at a glance.
+  *
   * Two output forms of the same results: BENCH_LOCAL.json carries the
   * FULL map (full query names, full precision) — the committed artifact
   * judges diff round-over-round — while the stdout line compacts the
@@ -48,6 +59,21 @@ object Bench {
   /** twice SCALING.md's documented ±12% box-variance band */
   private[graft] val varianceBand = 0.25
 
+  /** The driver's official bench config. Only runs at this config may
+    * write the committed BENCH_LOCAL.json — round 9's guard was defeated
+    * precisely because a cpus=8 snapshot overwrote the official one and
+    * the next cpus=32 run silently found nothing comparable. */
+  private[graft] val officialCpus = "32"
+  private[graft] val officialSfSuffix = "sf0.1"
+
+  private[graft] def snapshotFileName(sfDir: String, cpus: String): String =
+    if (cpus == officialCpus && sfDir.stripSuffix("/").endsWith(officialSfSuffix))
+      "BENCH_LOCAL.json"
+    else {
+      val sfName = sfDir.stripSuffix("/").split('/').last
+      s"BENCH_LOCAL_${sfName}_cpus$cpus.json" // per-config side file, not committed
+    }
+
   /** Some(ratio) when the common-query total deviates >±25% from the
     * previous committed snapshot — the r8 contamination (71.4 s vs 41.7 s
     * one commit earlier, ratio 1.71) is exactly what this catches. */
@@ -59,6 +85,20 @@ object Bench {
       else None
     }
   }
+
+  /** Per-query contamination annotation: queries whose median deviates
+    * more than 2× either way from the previous comparable snapshot. A
+    * broad suspect list means box contention; one or two suspects on
+    * touched code means a real localized regression — the r9 leg's totals
+    * hid exactly this distinction (q104 6.6 s vs 1.0 s real, 8 of the top
+    * 10 inflated). Input tuples are (name, nowSec, prevSec). */
+  private[graft] val suspectRatio = 2.0
+  private[graft] def varianceSuspects(common: Seq[(String, Double, Double)]): Seq[String] =
+    common.collect {
+      case (name, now, prev)
+          if prev > 0 && (now / prev > suspectRatio || now / prev < 1 / suspectRatio) =>
+        name
+    }
 
   private def run(cpus: String, sfDir: String, reps: Int)
       : (Double, Seq[(String, Option[Double])], Seq[String]) = {
@@ -106,18 +146,26 @@ object Bench {
 
   /** Extract the "queries" object of a prior BENCH_LOCAL.json line without
     * a JSON library dependency in this tiny main: the file is
-    * self-authored (same printer below), so the shape is fixed. */
-  private def parsePrevQueries(path: java.nio.file.Path, sfDir: String,
-                               cpus: String): Map[String, Double] = {
-    if (!java.nio.file.Files.exists(path)) return Map.empty
-    val s = java.nio.file.Files.readString(path)
+    * self-authored (same printer below), so the shape is fixed.
+    *
+    * Returns Left(reason) instead of a silent empty map when nothing
+    * comparable exists — round 9's contaminated leg stood precisely
+    * because a config-mismatched snapshot made this path return empty and
+    * the guard disengaged without a trace. Reasons are machine-stable
+    * slugs the output JSON carries verbatim. */
+  private[graft] def parsePrev(content: Option[String], sfDir: String,
+                               cpus: String): Either[String, Map[String, Double]] = {
+    val s = content match {
+      case None => return Left("no_previous_snapshot")
+      case Some(c) => c
+    }
     // only compare like-for-like: same SF dir and same thread count
-    if (!s.contains(s""""sf":"$sfDir"""") || !s.contains(s""""cpus":"$cpus"""))
-      return Map.empty
+    if (!s.contains(s""""sf":"$sfDir"""")) return Left("sf_mismatch")
+    if (!s.contains(s""""cpus":"$cpus"""")) return Left("cpus_mismatch")
     val start = s.indexOf("\"queries\":{")
-    if (start < 0) return Map.empty
+    if (start < 0) return Left("unparseable_snapshot")
     val body = s.substring(start + 11, s.indexOf('}', start))
-    body.split(",").toSeq.flatMap { kv =>
+    val parsed = body.split(",").toSeq.flatMap { kv =>
       kv.split(":") match {
         case Array(k, v) if v != "null" =>
           try Some(k.replace("\"", "") -> v.toDouble)
@@ -125,14 +173,21 @@ object Bench {
         case _ => None
       }
     }.toMap
+    if (parsed.isEmpty) Left("unparseable_snapshot") else Right(parsed)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val localPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
-    val prev = parsePrevQueries(localPath, sfDir, cpus)
+    // snapshot path is per-config: only the official config may touch the
+    // committed BENCH_LOCAL.json (see snapshotFileName)
+    val localPath = java.nio.file.Paths.get(snapshotFileName(sfDir, cpus))
+    val prevContent =
+      if (java.nio.file.Files.exists(localPath))
+        Some(java.nio.file.Files.readString(localPath))
+      else None
+    val prevOrReason = parsePrev(prevContent, sfDir, cpus)
     val (total, results, errors) = run(cpus, sfDir, reps)
     val extra =
       if (cpus != "4") {
@@ -144,22 +199,56 @@ object Bench {
         s""","local4_total":$t4,"local4_errors":$errs4"""
       } else ""
     // like-for-like ladder: subtotal over queries measured in BOTH this
-    // run and the previous committed BENCH_LOCAL.json
-    val common = results.collect {
-      case (name, Some(t)) if prev.contains(name) => (name, t, prev(name))
+    // run and the previous committed snapshot for THIS config. When no
+    // comparable snapshot exists the guard cannot engage — say so LOUDLY
+    // in both the JSON and stderr (silence here is how the r9 guard was
+    // defeated: a cpus=8 snapshot made `prev` empty and nobody noticed).
+    def noComparable(reason: String): String = {
+      System.err.println(
+        s"[bench] NO COMPARABLE SNAPSHOT ($reason): the round-over-round " +
+          s"variance guard is DISENGAGED for this run. Expected a previous " +
+          s"${localPath.getFileName} with sf=$sfDir cpus=$cpus. Treat this " +
+          "run's numbers as unguarded until a second run confirms them.")
+      s""","no_comparable_snapshot":{"reason":"$reason"}"""
     }
-    val commonExtra = if (common.nonEmpty) {
-      val now = common.map(_._2).sum
-      val before = common.map(_._3).sum
-      val alert = varianceAlert(now, before).fold("") { ratio =>
-        System.err.println(
-          f"[bench] VARIANCE ALERT: common-query total $now%.1f s vs previous " +
-            f"snapshot $before%.1f s (ratio $ratio%.2f) exceeds the ±${varianceBand * 100}%.0f%% " +
-            "band — likely box contention; re-run on a quiet box before committing")
-        f""","variance_alert":{"ratio":$ratio%.3f,"band":$varianceBand,"note":"exceeds box-variance band vs previous snapshot; re-run on a quiet box"}"""
-      }
-      s""","common_with_prev":{"n":${common.length},"total":$now,"prev_total":$before}$alert"""
-    } else ""
+    val commonExtra = prevOrReason match {
+      case Left(reason) => noComparable(reason)
+      case Right(prev) =>
+        val common = results.collect {
+          case (name, Some(t)) if prev.contains(name) => (name, t, prev(name))
+        }
+        if (common.isEmpty) noComparable("no_common_queries")
+        else {
+          val now = common.map(_._2).sum
+          val before = common.map(_._3).sum
+          val alert = varianceAlert(now, before).fold("") { ratio =>
+            val direction =
+              if (ratio > 1) "this run is likely box-contended"
+              else "the PREVIOUS snapshot was likely box-contended"
+            System.err.println(
+              f"[bench] VARIANCE ALERT: common-query total $now%.1f s vs previous " +
+                f"snapshot $before%.1f s (ratio $ratio%.2f) exceeds the ±${varianceBand * 100}%.0f%% " +
+                s"band — $direction; re-run on a quiet box before committing")
+            f""","variance_alert":{"ratio":$ratio%.3f,"band":$varianceBand,"note":"exceeds box-variance band vs previous snapshot; $direction"}"""
+          }
+          val suspects = varianceSuspects(common)
+          val suspectsJson =
+            if (suspects.isEmpty) ""
+            else {
+              System.err.println(
+                s"[bench] variance suspects (>2x vs previous snapshot): " +
+                  suspects.mkString(", ") +
+                  (if (suspects.length >= 5)
+                     " — broad spread suggests box contention, not regression"
+                   else " — localized; check the touched code"))
+              // capped sample keeps the compact stdout line inside the
+              // driver's 2000-char tail window even on a broad spread
+              val sample = suspects.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
+              s""","variance_suspects":{"n":${suspects.length},"sample":$sample}"""
+            }
+          s""","common_with_prev":{"n":${common.length},"total":$now,"prev_total":$before}$alert$suspectsJson"""
+        }
+    }
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jsonMap(entries: Seq[(String, Option[Double])], fmt: Double => String): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
