@@ -514,6 +514,77 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  // --- q83 registered form: BPE train with DuckDB-recomputable witnesses ---
+  /** Oracle tier for the BPE learner (q83b/q66/ANN-witness precedent):
+    * the 40 data-dependent argmax iterations are not one SQL query, but
+    * the merge table's INVARIANTS are, and the FIRST merge is fully
+    * recomputable from `documents` by any engine — it is simply the
+    * max-frequency adjacent character pair of the word-frequency table,
+    * before any merge exists to interact with. Per merge row we emit:
+    *
+    *   - `rank` 1..40 — row count pins merge count = requested;
+    *   - `support_noninc` — the chosen pair's support never increases
+    *     with rank (each occurrence of a later-created pair sits inside
+    *     an occurrence of an earlier merged symbol, so the argmax
+    *     sequence is non-increasing; a greedy-order regression flips
+    *     this to FALSE);
+    *   - `merged_ok` — merged = left||right with both sides non-empty;
+    *   - `len_ok` — merged length respects the 20-char training cap;
+    *   - `first_left`/`first_right`/`first_support` — the rank-1 merge
+    *     repeated on every row, which DuckDB recomputes INDEPENDENTLY
+    *     from raw text (split → adjacent char pairs → weighted argmax
+    *     with the same (-n, l, r) tie-break).
+    *
+    * A learner regression in iteration order, tie-breaking, pair
+    * counting, or the base symbolization now turns the DRIVER gate red
+    * (hash mismatch), not only BpeSpec. Full merge table stays in
+    * [[bpeTrain]] for BpeSpec's merge-by-merge reference comparison. */
+  def bpeTrainChecked(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merges = bpeTrain(spark, dir) // (rank, left, right, merged, support)
+    // ≤40-row frame: the unpartitioned lag window is bounded by numMerges
+    val byRank = Window.orderBy(col("rank"))
+    val firstRow = merges.orderBy(col("rank")).limit(1)
+      .select(col("left").as("first_left"), col("right").as("first_right"),
+        col("support").as("first_support"))
+    merges
+      .withColumn("support_noninc",
+        coalesce(col("support") <= lag(col("support"), 1).over(byRank), lit(true)))
+      .withColumn("merged_ok",
+        col("merged") === concat(col("left"), col("right")) &&
+          length(col("left")) > 0 && length(col("right")) > 0)
+      .withColumn("len_ok", length(col("merged")) <= 20)
+      .crossJoin(broadcast(firstRow))
+      .select(col("rank"), col("support_noninc"), col("merged_ok"), col("len_ok"),
+        col("first_left"), col("first_right"), col("first_support"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin: regenerate ranks 1..40, literal TRUE for the learner
+    * invariants, and an INDEPENDENT recompute of the first merge — the
+    * weighted argmax adjacent character pair of the ≤20-char lowercased
+    * word-frequency table, tie-broken (-n, l, r) exactly like the
+    * learner. Corpus is ASCII, so DuckDB's code-point substr and the
+    * JVM's char symbolization agree. */
+  val bpeTrainCheckedOracle: String =
+    """WITH words AS (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+      |    FROM documents)
+      |  WHERE length(w) <= 20 GROUP BY 1),
+      |idx AS (
+      |  SELECT word, freq, unnest(range(1, length(word))) AS i FROM words),
+      |top_pair AS (
+      |  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+      |         CAST(sum(freq) AS BIGINT) AS n
+      |  FROM idx GROUP BY 1, 2
+      |  ORDER BY n DESC, l ASC, r ASC LIMIT 1)
+      |SELECT CAST(t.i AS INT) AS rank,
+      |       TRUE AS support_noninc, TRUE AS merged_ok, TRUE AS len_ok,
+      |       p.l AS first_left, p.r AS first_right, p.n AS first_support
+      |FROM range(1, 41) AS t(i), top_pair AS p
+      |ORDER BY rank""".stripMargin
+
   // --- q83b: BPE tokenizer APPLY (encode the corpus) -----------------------
   /** The step after q83's training: tokenize the whole corpus with the
     * learned merge table and report per-doc token statistics — the
@@ -858,7 +929,7 @@ object TextQueries {
     "q44_tfidf" -> ((s, d) => tfidf(s, d)),
     "q58_lm_fluency" -> ((s, d) => lmFluency(s, d)),
     "q59_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
-    "q83_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+    "q83_bpe_train" -> ((s, d) => bpeTrainChecked(s, d)),
     "q83b_bpe_encode" -> ((s, d) => bpeEncodeChecked(s, d)),
     "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
     "q95_gopher_rules" -> ((s, d) => gopherRules(s, d)),
@@ -883,6 +954,8 @@ object TextQueries {
     // witness tier: split-based counts recomputed by DuckDB, encode
     // invariants as literal-TRUE booleans (q66 precedent)
     "q83b_bpe_encode" -> bpeEncodeCheckedOracle,
+    // witness tier: merge-table invariants + DuckDB-recomputed first merge
+    "q83_bpe_train" -> bpeTrainCheckedOracle,
     "q95_gopher_rules" -> gopherRulesOracle,
     "q98_token_budget" -> tokenBudgetOracle,
     "q102_text_normalize" -> textNormalizeOracle

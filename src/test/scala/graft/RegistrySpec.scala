@@ -9,15 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * here before the driver's correctness run does. */
 class RegistrySpec extends AnyFunSuite {
 
-  // q36/q38/q39/q83b were lifted to the witness-oracle tier in round 9
-  // (exact-recomputable columns + contract booleans, the q66 precedent) —
-  // only the queries whose OUTPUT VALUES are engine-internal remain here
+  // q36/q38/q39/q83b were lifted to the witness-oracle tier in round 9,
+  // q83 in round 10 (merge-table invariants + DuckDB-recomputed first
+  // merge) — only the queries whose OUTPUT VALUES are engine-internal
+  // remain here
   private val rowsOnly = Set(
     "q07_index_build",      // embedder output digests; embedder is unit-tested
     "q32_neardup_minhash",  // Murmur not in DuckDB; brute-force parity spec
     "q33_neardup_simhash",  // same
-    "q37_ann_mllib",        // MLlib LSH cross-check, recall column spec'd
-    "q83_bpe_train")        // 40 data-dependent argmax iterations, not one SQL query; BpeSpec pins vs single-node reference
+    "q37_ann_mllib")        // MLlib LSH cross-check, recall column spec'd
 
   test("every query has an oracle or a documented rows-only justification") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
