@@ -549,6 +549,53 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60h: predictor-wrapped FlateDecode PDF ingestion --------------------
+  /** q60f's contract against the NEXT-most-common real-world stream
+    * shape: FlateDecode with `/DecodeParms << /Predictor 12 /Columns 24
+    * >>` — PNG row filters applied before deflate (ISO 32000 §7.4.4.4;
+    * app.py:123-132 handles these via PyMuPDF). The decode path reuses
+    * the PNG codec's per-row unfilter — the PDF spec defines predictors
+    * 10-15 as exactly PNG's filters — and the staged rows cycle all five
+    * filter types, so every unfilter branch runs under the oracle.
+    * Object-graph walk and text extraction are unchanged → q01's oracle
+    * applies VERBATIM; a predictor/geometry/short-row bug breaks the
+    * bit-exact match loudly. Unsupported predictor values and non-8-bit
+    * components still throw (PdfCodecSpec pins that contract). */
+  def pdfPredictorRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "pdfpred") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
+              graft.sources.Pdf.encode(pages, compress = true, predictor = 12, columns = 24))
+          }
+        }
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- q60e: real PNG ingestion (the image leg of the multimodal mandate) --
   /** The image path closed from REAL bytes: each doc is materialized as a
     * genuine PNG (8-bit grayscale, pixels = the text's byte values, rows
@@ -919,6 +966,7 @@ object SourceQueries {
     "q60c_docx_roundtrip" -> ((s, d) => docxRoundtrip(s, d)),
     "q60d_pdf_roundtrip" -> ((s, d) => pdfRoundtrip(s, d)),
     "q60f_pdf_flate" -> ((s, d) => pdfFlateRoundtrip(s, d)),
+    "q60h_pdf_predictor" -> ((s, d) => pdfPredictorRoundtrip(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
@@ -945,6 +993,7 @@ object SourceQueries {
     "q60d_pdf_roundtrip" -> pagesConcatOracle,
     // q60f: same extraction contract, FlateDecode-compressed staging
     "q60f_pdf_flate" -> pagesConcatOracle,
+    "q60h_pdf_predictor" -> pagesConcatOracle,
     // q60g: q60b's arithmetic across three staged WAV subformats
     "q60g_wav_subformats" -> wavSubformatsOracle,
     // q60e's decoded pixels equal the text bytes, so q60's full

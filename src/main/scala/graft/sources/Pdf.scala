@@ -18,13 +18,18 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   * Content streams may be stored raw or `/Filter /FlateDecode` (zlib) —
   * the filter virtually every real-world PDF applies; the reader inflates
   * those transparently (same zlib discipline as the PNG codec's IDAT
-  * path). Scope beyond that is declared LOUDLY, not silently: any other
-  * /Filter (DCTDecode, LZW, ASCIIHex, filter chains), a missing page
-  * tree, or an unbalanced string throws — at lake scale a half-extracted
-  * PDF is corpus poison (same contract as the WAV and DOCX codecs). PDF
-  * bytes are treated as Latin-1 so byte offsets equal char offsets (the
-  * corpus payloads are ASCII; compressed stream bytes round trip 0-255
-  * exactly under Latin-1). */
+  * path). Flate streams may additionally declare `/DecodeParms` with a
+  * `/Predictor` (ISO 32000 §7.4.4.4): 1 (none), 2 (TIFF horizontal
+  * differencing), and 10-15 (PNG row filters — delegated to the SAME
+  * per-row unfilter the PNG codec uses, since the PDF spec defines them
+  * as exactly PNG's filters) are all decoded, at 8 bits per component.
+  * Scope beyond that is declared LOUDLY, not silently: any other /Filter
+  * (DCTDecode, LZW, ASCIIHex, filter chains), predictor value, or
+  * BitsPerComponent, a missing page tree, or an unbalanced string throws
+  * — at lake scale a half-extracted PDF is corpus poison (same contract
+  * as the WAV and DOCX codecs). PDF bytes are treated as Latin-1 so byte
+  * offsets equal char offsets (the corpus payloads are ASCII; compressed
+  * stream bytes round trip 0-255 exactly under Latin-1). */
 object Pdf {
 
   private[graft] def isPdf(bytes: Array[Byte]): Boolean =
@@ -47,8 +52,13 @@ object Pdf {
     * reader can resolve every object through the table. With
     * `compress = true` each content stream is written
     * `/Filter /FlateDecode` (the real-world shape; /Length is the
-    * COMPRESSED byte count, per spec). */
-  private[graft] def encode(pages: Seq[String], compress: Boolean = false): Array[Byte] = {
+    * COMPRESSED byte count, per spec). `predictor` additionally wraps the
+    * stream bytes before deflate — 2 (TIFF) or 10-15 (PNG row filters,
+    * rows of `columns` bytes cycling all five filter types) — and
+    * declares matching `/DecodeParms`, the second-most-common real-world
+    * Flate shape after plain. */
+  private[graft] def encode(pages: Seq[String], compress: Boolean = false,
+                            predictor: Int = 1, columns: Int = 16): Array[Byte] = {
     val sb = new StringBuilder
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     def obj(body: String): Unit = {
@@ -65,13 +75,28 @@ object Pdf {
         s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>")
       val stream = s"BT /F1 12 Tf 72 720 Td (${escape(text)}) Tj ET"
       if (compress) {
+        val raw = stream.getBytes(ISO_8859_1)
+        val (payload, parms) = predictor match {
+          case 1 => (raw, "")
+          case 2 => (tiffPredict(raw, columns),
+            s" /DecodeParms << /Predictor 2 /Columns $columns >>")
+          case p if p >= 10 && p <= 15 =>
+            // rows cycle all five PNG filter types so one decode
+            // exercises every unfilter path (the PNG encoder discipline)
+            (Png.filterRows(raw, columns, 1, _ % 5),
+              s" /DecodeParms << /Predictor $p /Columns $columns >>")
+          case p => throw new IllegalArgumentException(
+            s"unsupported predictor $p: 1, 2, or 10-15")
+        }
         // Latin-1 round trips bytes 0-255 exactly, so the binary deflate
         // output can ride the same StringBuilder as the text objects
-        val comp = new String(deflate(stream.getBytes(ISO_8859_1)), ISO_8859_1)
-        obj(s"<< /Length ${comp.length} /Filter /FlateDecode >>\n" +
+        val comp = new String(deflate(payload), ISO_8859_1)
+        obj(s"<< /Length ${comp.length} /Filter /FlateDecode$parms >>\n" +
           s"stream\n$comp\nendstream")
-      } else
+      } else {
+        require(predictor == 1, "a predictor requires compress = true")
         obj(s"<< /Length ${stream.length} >>\nstream\n$stream\nendstream")
+      }
     }
     val xrefOff = sb.length
     sb.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
@@ -116,6 +141,76 @@ object Pdf {
     }
     inf.end()
     out.toByteArray
+  }
+
+  // flat parms dict: /DecodeParms << /Predictor 12 /Columns 24 ... >>
+  private val parmsPat =
+    java.util.regex.Pattern.compile("/DecodeParms\\s*<<(.*?)>>", java.util.regex.Pattern.DOTALL)
+
+  private def parmInt(parms: String, key: String, default: Int): Int = {
+    val m = java.util.regex.Pattern.compile(s"/$key\\s+(\\d+)").matcher(parms)
+    if (m.find()) m.group(1).toInt else default
+  }
+
+  /** TIFF predictor 2 at 8 bits: horizontal differencing per row (each
+    * byte minus its left neighbour `bpp` back; no per-row tag byte). */
+  private[graft] def tiffPredict(raw: Array[Byte], rowBytes: Int, bpp: Int = 1): Array[Byte] = {
+    require(rowBytes > 0 && bpp > 0, s"bad row geometry: rowBytes=$rowBytes bpp=$bpp")
+    val out = raw.clone()
+    var rowStart = 0
+    while (rowStart < raw.length) {
+      val n = math.min(rowBytes, raw.length - rowStart)
+      var x = n - 1
+      while (x >= bpp) {
+        out(rowStart + x) = (raw(rowStart + x) - raw(rowStart + x - bpp)).toByte
+        x -= 1
+      }
+      rowStart += n
+    }
+    out
+  }
+
+  private def tiffUnpredict(data: Array[Byte], rowBytes: Int, bpp: Int): Array[Byte] = {
+    require(rowBytes > 0 && bpp > 0, s"bad row geometry: rowBytes=$rowBytes bpp=$bpp")
+    val out = data.clone()
+    var rowStart = 0
+    while (rowStart < data.length) {
+      val n = math.min(rowBytes, data.length - rowStart)
+      var x = bpp
+      while (x < n) {
+        out(rowStart + x) = (out(rowStart + x) + out(rowStart + x - bpp)).toByte
+        x += 1
+      }
+      rowStart += n
+    }
+    out
+  }
+
+  /** Undo the /DecodeParms predictor on inflated stream data. Supported
+    * (8-bit components only): 1 none, 2 TIFF horizontal differencing,
+    * 10-15 PNG row filters via the PNG codec's shared unfilter (the PDF
+    * spec defines them as exactly PNG's). Anything else throws loudly. */
+  private def applyPredictor(dict: String, data: Array[Byte]): Array[Byte] = {
+    val pm = parmsPat.matcher(dict)
+    if (!pm.find()) return data
+    val parms = pm.group(1)
+    val predictor = parmInt(parms, "Predictor", 1)
+    if (predictor == 1) return data
+    val colors = parmInt(parms, "Colors", 1)
+    val bits = parmInt(parms, "BitsPerComponent", 8)
+    val columns = parmInt(parms, "Columns", 1)
+    require(bits == 8, s"unsupported PDF: /Predictor with /BitsPerComponent $bits — " +
+      "only 8-bit components are implemented")
+    require(colors >= 1 && columns >= 1,
+      s"corrupt PDF: /DecodeParms /Colors $colors /Columns $columns")
+    val rowBytes = columns * colors
+    predictor match {
+      case 2 => tiffUnpredict(data, rowBytes, colors)
+      case p if p >= 10 && p <= 15 => Png.unfilterRows(data, rowBytes, colors)
+      case p => throw new IllegalArgumentException(
+        s"unsupported PDF: /Predictor $p — only 1 (none), 2 (TIFF), and " +
+          "10-15 (PNG row filters) are implemented")
+    }
   }
 
   /** Filter names declared on a stream dict (empty when unfiltered). */
@@ -217,10 +312,12 @@ object Pdf {
         throw new IllegalArgumentException("corrupt PDF: missing contents object"))
       val sAt = contents.indexOf("stream")
       require(sAt >= 0, "corrupt PDF: contents without stream")
-      val stream = filters(contents.substring(0, sAt)) match {
+      val dict = contents.substring(0, sAt)
+      val stream = filters(dict) match {
         case Seq() => streamData(contents)
         case Seq("FlateDecode") =>
-          new String(inflate(streamData(contents).getBytes(ISO_8859_1)), ISO_8859_1)
+          val inflated = inflate(streamData(contents).getBytes(ISO_8859_1))
+          new String(applyPredictor(dict, inflated), ISO_8859_1)
         case other => throw new IllegalArgumentException(
           s"unsupported PDF: /Filter ${other.mkString("[", " ", "]")} — " +
             "only FlateDecode (and unfiltered) content streams are implemented")

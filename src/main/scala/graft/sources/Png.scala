@@ -88,6 +88,87 @@ object Png {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  /** Apply PNG row filters (spec §6): `px` is split into rows of
+    * `rowBytes`, each emitted as (filter-type byte + filtered bytes),
+    * with the type chosen per row by `ftOf`. Shared by the PNG encoder
+    * and the PDF fixture writer — ISO 32000 §7.4.4.4 defines PDF
+    * /Predictor 10-15 as exactly these filters. The final row may be
+    * short (PDF streams are not always a whole number of rows). */
+  private[sources] def filterRows(px: Array[Byte], rowBytes: Int, bpp: Int,
+                                  ftOf: Int => Int): Array[Byte] = {
+    require(rowBytes > 0 && bpp > 0, s"bad row geometry: rowBytes=$rowBytes bpp=$bpp")
+    val out = new ByteArrayOutputStream(px.length + px.length / rowBytes + 2)
+    var off = 0
+    var y = 0
+    while (off < px.length) {
+      val n = math.min(rowBytes, px.length - off)
+      val ft = ftOf(y)
+      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+      out.write(ft)
+      var x = 0
+      while (x < n) {
+        val v = px(off + x) & 0xff
+        val a = if (x >= bpp) px(off + x - bpp) & 0xff else 0
+        val b = if (off >= rowBytes) px(off - rowBytes + x) & 0xff else 0
+        val c = if (off >= rowBytes && x >= bpp) px(off - rowBytes + x - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - (a + b) / 2
+          case 4 => v - paeth(a, b, c)
+        }
+        out.write(f & 0xff)
+        x += 1
+      }
+      off += n
+      y += 1
+    }
+    out.toByteArray
+  }
+
+  /** Invert [[filterRows]]: `raw` is rows of (1 filter byte + up to
+    * `rowBytes` data bytes); only the FINAL row may be short, and every
+    * filter type byte must be 0-4. Shared by the PNG decoder and the PDF
+    * /Predictor (10-15) FlateDecode path. */
+  private[sources] def unfilterRows(raw: Array[Byte], rowBytes: Int, bpp: Int): Array[Byte] = {
+    require(rowBytes > 0 && bpp > 0, s"bad row geometry: rowBytes=$rowBytes bpp=$bpp")
+    val out = new ByteArrayOutputStream(raw.length)
+    var prev: Array[Byte] = null
+    var off = 0
+    var y = 0
+    while (off < raw.length) {
+      val ft = raw(off) & 0xff
+      require(ft <= 4, s"corrupt predictor data: filter type $ft on row $y")
+      val n = math.min(rowBytes, raw.length - off - 1)
+      require(n > 0, s"corrupt predictor data: truncated row $y")
+      require(n == rowBytes || off + 1 + n == raw.length,
+        s"corrupt predictor data: short row $y is not final")
+      val cur = new Array[Byte](n)
+      var x = 0
+      while (x < n) {
+        val f = raw(off + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
+        val b = if (prev != null) prev(x) & 0xff else 0
+        val c = if (prev != null && x >= bpp) prev(x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 => f + paeth(a, b, c)
+        }
+        cur(x) = v.toByte
+        x += 1
+      }
+      out.write(cur, 0, n)
+      prev = cur
+      off += 1 + n
+      y += 1
+    }
+    out.toByteArray
+  }
+
   /** Encode samples as an 8-bit PNG. `channels` 1 = grayscale, 3 = RGB
     * (samples interleaved). Each sample must fit a byte. The last row is
     * zero-padded to `width`; the true count rides in a tEXt chunk. Rows
@@ -106,31 +187,9 @@ object Png {
       px(i) = samples(i).toByte
       i += 1
     }
-    // filter each scanline: raw(x) relative to a=left, b=up, c=up-left
-    val raw = new ByteArrayOutputStream(height * (rowBytes + 1))
-    var y = 0
-    while (y < height) {
-      val ft = y % 5
-      raw.write(ft)
-      var x = 0
-      while (x < rowBytes) {
-        val v = px(y * rowBytes + x) & 0xff
-        val a = if (x >= bpp) px(y * rowBytes + x - bpp) & 0xff else 0
-        val b = if (y > 0) px((y - 1) * rowBytes + x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) px((y - 1) * rowBytes + x - bpp) & 0xff else 0
-        val f = ft match {
-          case 0 => v
-          case 1 => v - a
-          case 2 => v - b
-          case 3 => v - (a + b) / 2
-          case 4 => v - paeth(a, b, c)
-        }
-        raw.write(f & 0xff)
-        x += 1
-      }
-      y += 1
-    }
-    val out = new ByteArrayOutputStream(raw.size() / 2 + 128)
+    // filter each scanline (shared row-filter path, cycling all 5 types)
+    val raw = filterRows(px, rowBytes, bpp, _ % 5)
+    val out = new ByteArrayOutputStream(raw.length / 2 + 128)
     out.write(Signature)
     val ihdr = new ByteArrayOutputStream(13)
     ihdr.write(be32(width)); ihdr.write(be32(height))
@@ -140,7 +199,7 @@ object Png {
     chunk(out, "IHDR", ihdr.toByteArray)
     chunk(out, "tEXt",
       (LenKey + "\u0000" + samples.length.toString).getBytes("ISO-8859-1"))
-    chunk(out, "IDAT", zlibDeflate(raw.toByteArray))
+    chunk(out, "IDAT", zlibDeflate(raw))
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
@@ -208,29 +267,9 @@ object Png {
       s"corrupt PNG: geometry ${width}x$height x$bpp exceeds decode limit")
     val rowBytes = width * bpp
     val raw = zlibInflate(idat.toByteArray, height * (rowBytes + 1))
-    val px = new Array[Byte](height * rowBytes)
-    var y = 0
-    while (y < height) {
-      val ft = raw(y * (rowBytes + 1)) & 0xff
-      require(ft <= 4, s"corrupt PNG: filter type $ft on row $y")
-      var x = 0
-      while (x < rowBytes) {
-        val f = raw(y * (rowBytes + 1) + 1 + x) & 0xff
-        val a = if (x >= bpp) px(y * rowBytes + x - bpp) & 0xff else 0
-        val b = if (y > 0) px((y - 1) * rowBytes + x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) px((y - 1) * rowBytes + x - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => f
-          case 1 => f + a
-          case 2 => f + b
-          case 3 => f + (a + b) / 2
-          case 4 => f + paeth(a, b, c)
-        }
-        px(y * rowBytes + x) = v.toByte
-        x += 1
-      }
-      y += 1
-    }
+    val px = unfilterRows(raw, rowBytes, bpp)
+    require(px.length == height * rowBytes,
+      s"corrupt PNG: unfiltered ${px.length} bytes, expected ${height * rowBytes}")
     val n = if (trueLen >= 0) {
       require(trueLen <= px.length, s"corrupt PNG: $LenKey $trueLen exceeds ${px.length} pixels")
       trueLen

@@ -23,6 +23,60 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(Pdf.decodePages(Pdf.encode(many, compress = true)) === many)
   }
 
+  test("round trip: PNG-predictor-wrapped FlateDecode streams (10-15)") {
+    val pages = Seq("first page text", "second page with (parens) and \\ escapes",
+      "operators inside strings: BT Tj ET endstream endobj")
+    // every declared PNG predictor value decodes identically (the per-row
+    // tag decides; the /Predictor value is a hint) — and the encoder
+    // cycles all five row-filter types, so each variant runs them all
+    for (p <- 10 to 15) {
+      val z = Pdf.encode(pages, compress = true, predictor = p, columns = 24)
+      val doc = new String(z, "ISO-8859-1")
+      assert(doc.contains("/Filter /FlateDecode"))
+      assert(doc.contains(s"/DecodeParms << /Predictor $p /Columns 24 >>"))
+      assert(Pdf.decodePages(z) === pages)
+    }
+    // column widths around the page-text length: 1 (degenerate rows),
+    // a non-divisor (short final row), and wider than the stream
+    for (cols <- Seq(1, 7, 100, 4096)) {
+      val z = Pdf.encode(pages, compress = true, predictor = 12, columns = cols)
+      assert(Pdf.decodePages(z) === pages, s"columns=$cols")
+    }
+    val many = (0 until 100).map(i => ("lorem ipsum " * 40) + s"page $i")
+    assert(Pdf.decodePages(Pdf.encode(many, compress = true, predictor = 14)) === many)
+  }
+
+  test("round trip: TIFF predictor 2 FlateDecode streams") {
+    val pages = Seq("tiff predictor page", "another (one) with \\ escapes")
+    for (cols <- Seq(1, 8, 33)) {
+      val z = Pdf.encode(pages, compress = true, predictor = 2, columns = cols)
+      assert(new String(z, "ISO-8859-1").contains("/Predictor 2"))
+      assert(Pdf.decodePages(z) === pages, s"columns=$cols")
+    }
+  }
+
+  test("unsupported predictor values and component depths fail loudly") {
+    val good = Pdf.encode(Seq("page body"), compress = true, predictor = 12, columns = 16)
+    // an undeclared predictor value (3-9, >15) must throw with the value
+    // named, not silently mis-decode
+    val doc = new String(good, "ISO-8859-1")
+    val p3 = doc.replace("/Predictor 12", "/Predictor 3").getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException] { Pdf.decodePages(p3) }
+    assert(e.getMessage.contains("unsupported") && e.getMessage.contains("3"))
+    val p16 = doc.replace("/Predictor 12", "/Predictor 16").getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException] { Pdf.decodePages(p16) }
+    // non-8-bit components are out of scope — loud, with the depth named
+    val b4 = doc.replace("/Predictor 12", "/Predictor 12 /BitsPerComponent 4")
+      .getBytes("ISO-8859-1")
+    val e2 = intercept[IllegalArgumentException] { Pdf.decodePages(b4) }
+    assert(e2.getMessage.contains("BitsPerComponent") && e2.getMessage.contains("4"))
+    // the encoder refuses undeclared predictor values and predictor-sans-compress
+    intercept[IllegalArgumentException] { Pdf.encode(Seq("x"), compress = true, predictor = 5) }
+    intercept[IllegalArgumentException] { Pdf.encode(Seq("x"), predictor = 12) }
+    // predictor data with a bad row-filter tag is corrupt, not empty
+    assert(Pdf.decodePages(good) === Seq("page body")) // sanity: base case green
+  }
+
   test("round trip: delimiters and escapes in page text") {
     val pages = Seq(
       "parens (nested (deep)) balanced",
