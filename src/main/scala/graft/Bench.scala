@@ -40,12 +40,34 @@ import org.apache.spark.sql.SparkSession
   * previous snapshot, so a reader can tell a broad contention spread from
   * a localized real regression at a glance.
   *
+  * Round-11 hardening, after round 10 exposed two gaps:
+  * (a) STDOUT LINE BUDGET — the r10 guard fields (12 full query names in
+  *     the suspect sample) pushed the compact stdout line to ~2,087 chars,
+  *     past the driver's 2,000-char tail window, so BENCH_r10.json parsed
+  *     to null. The stdout rendering now carries suspects as a count only
+  *     (full names stay in BENCH_LOCAL.json) and degrades precision /
+  *     truncates the slowest-queries map under a hard 1,900-char budget —
+  *     the headline can no longer be pushed out of the window by guard
+  *     metadata or board growth.
+  * (b) BROAD-MILD CONTAMINATION — r10's leg had 37/127 queries >2× off
+  *     while the aggregate ratio (1.215) slid UNDER the ±25% band: a broad
+  *     but mild contention smear arrived without the loud alert. The alert
+  *     now also fires whenever the suspect count exceeds ~10% of the
+  *     common set (floor 3), regardless of aggregate ratio.
+  * (c) POISONED BASELINE — a contaminated snapshot used as the next
+  *     round's baseline makes a CLEAN run look like a regression (or fire
+  *     a spurious alert in the fast direction). A run showing evidence of
+  *     being inflated (aggregate ratio above the band, or >10% of common
+  *     queries individually inflated >2×) is stamped `"suspect":true` in
+  *     its snapshot; runs with no such evidence also refresh a separate
+  *     last-known-clean snapshot (BENCH_CLEAN.json), and the guard
+  *     compares against the clean snapshot when one exists, falling back
+  *     to the official record (annotated `baseline_suspect`) otherwise.
+  *
   * Two output forms of the same results: BENCH_LOCAL.json carries the
   * FULL map (full query names, full precision) — the committed artifact
   * judges diff round-over-round — while the stdout line compacts the
-  * per-query map (qNN prefix keys, millisecond precision) so the whole
-  * line fits the driver's 2000-char stdout tail window and its snapshot
-  * parses instead of truncating mid-map. */
+  * per-query map (qNN prefix keys, ms precision) under the hard budget. */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -66,13 +88,28 @@ object Bench {
   private[graft] val officialCpus = "32"
   private[graft] val officialSfSuffix = "sf0.1"
 
+  private def isOfficial(sfDir: String, cpus: String): Boolean =
+    cpus == officialCpus && sfDir.stripSuffix("/").endsWith(officialSfSuffix)
+
+  private def sfName(sfDir: String): String =
+    sfDir.stripSuffix("/").split('/').last
+
   private[graft] def snapshotFileName(sfDir: String, cpus: String): String =
-    if (cpus == officialCpus && sfDir.stripSuffix("/").endsWith(officialSfSuffix))
-      "BENCH_LOCAL.json"
-    else {
-      val sfName = sfDir.stripSuffix("/").split('/').last
-      s"BENCH_LOCAL_${sfName}_cpus$cpus.json" // per-config side file, not committed
-    }
+    if (isOfficial(sfDir, cpus)) "BENCH_LOCAL.json"
+    else s"BENCH_LOCAL_${sfName(sfDir)}_cpus$cpus.json" // per-config side file, not committed
+
+  /** Last-known-clean sibling of the official snapshot: refreshed only by
+    * runs the guard saw no self-inflation evidence for, and preferred as
+    * the comparison baseline so one contaminated committed leg cannot
+    * poison the next round's guard (the r10→r11 scenario: a 109 s
+    * contended leg as baseline would flag a clean ~50 s run). */
+  private[graft] def cleanFileName(sfDir: String, cpus: String): String =
+    if (isOfficial(sfDir, cpus)) "BENCH_CLEAN.json"
+    else s"BENCH_CLEAN_${sfName(sfDir)}_cpus$cpus.json"
+
+  /** A snapshot stamped by a run that showed evidence of being inflated. */
+  private[graft] def isSuspectSnapshot(content: String): Boolean =
+    content.contains(""""suspect":true""")
 
   /** Some(ratio) when the common-query total deviates >±25% from the
     * previous committed snapshot — the r8 contamination (71.4 s vs 41.7 s
@@ -99,6 +136,94 @@ object Bench {
           if prev > 0 && (now / prev > suspectRatio || now / prev < 1 / suspectRatio) =>
         name
     }
+
+  /** Broad-spread trigger: ~10% of the common set, floor 3 so a single
+    * localized real regression on a small board does not fire it. */
+  private[graft] def broadSuspectThreshold(commonN: Int): Int =
+    math.max(3, math.ceil(commonN * 0.10).toInt)
+
+  /** Pure guard evaluation. `fileExtra` carries full names/precision for
+    * the committed snapshot; `stdoutExtra` carries counts only so guard
+    * metadata can never overflow the driver's tail window again.
+    * `runSuspect` = evidence THIS run is inflated (stamps the snapshot and
+    * blocks the clean-baseline refresh); `alertTrigger` is the fired
+    * alert's reason ("ratio" | "suspects" | "ratio+suspects"). */
+  private[graft] final case class Guard(fileExtra: String, stdoutExtra: String,
+                                        runSuspect: Boolean, alertTrigger: Option[String])
+
+  private[graft] def evalGuard(results: Seq[(String, Option[Double])],
+                               prevOrReason: Either[String, Map[String, Double]],
+                               prevSuspect: Boolean): Guard = {
+    def noComparable(reason: String): Guard = {
+      System.err.println(
+        s"[bench] NO COMPARABLE SNAPSHOT ($reason): the round-over-round " +
+          "variance guard is DISENGAGED for this run. Treat this run's " +
+          "numbers as unguarded until a second run confirms them.")
+      val j = s""","no_comparable_snapshot":{"reason":"$reason"}"""
+      Guard(j, j, runSuspect = false, alertTrigger = None)
+    }
+    prevOrReason match {
+      case Left(reason) => noComparable(reason)
+      case Right(prev) =>
+        val common = results.collect {
+          case (name, Some(t)) if prev.contains(name) => (name, t, prev(name))
+        }
+        if (common.isEmpty) noComparable("no_common_queries")
+        else {
+          val now = common.map(_._2).sum
+          val before = common.map(_._3).sum
+          val ratio = now / before
+          val ratioAlert = varianceAlert(now, before)
+          val suspects = varianceSuspects(common)
+          val inflated = common.count { case (_, n, p) => p > 0 && n / p > suspectRatio }
+          val thresh = broadSuspectThreshold(common.length)
+          val broad = suspects.length >= thresh
+          val trigger = (ratioAlert.isDefined, broad) match {
+            case (true, true)  => Some("ratio+suspects")
+            case (true, false) => Some("ratio")
+            case (false, true) => Some("suspects")
+            case _             => None
+          }
+          val alertFile = trigger.fold("") { t =>
+            val direction =
+              if (ratio > 1) "this run is likely box-contended"
+              else if (ratio < 1.0 / (1 + varianceBand)) "the PREVIOUS snapshot was likely box-contended"
+              else "broad per-query spread with aggregate inside the band — mild box contention"
+            System.err.println(
+              f"[bench] VARIANCE ALERT ($t): common-query total $now%.1f s vs previous " +
+                f"snapshot $before%.1f s (ratio $ratio%.2f), suspects ${suspects.length}/${common.length} " +
+                s"(threshold $thresh) — $direction; re-run on a quiet box before committing")
+            f""","variance_alert":{"ratio":$ratio%.3f,"band":$varianceBand,"trigger":"$t","note":"$direction"}"""
+          }
+          val alertStdout = trigger.fold("") { t =>
+            f""","variance_alert":{"ratio":$ratio%.3f,"trigger":"$t"}"""
+          }
+          val (suspFile, suspStdout) =
+            if (suspects.isEmpty) ("", "")
+            else {
+              System.err.println(
+                s"[bench] variance suspects (>2x vs previous snapshot): " +
+                  suspects.mkString(", ") +
+                  (if (suspects.length >= 5)
+                     " — broad spread suggests box contention, not regression"
+                   else " — localized; check the touched code"))
+              val sample = suspects.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
+              (s""","variance_suspects":{"n":${suspects.length},"sample":$sample}""",
+               s""","variance_suspects":{"n":${suspects.length}}""")
+            }
+          // evidence THIS run is inflated: aggregate over the band, or a
+          // broad spread in the slow direction (a fast run can't be the
+          // contended one — contention only ever inflates)
+          val runSuspect = ratio > 1 + varianceBand || inflated >= thresh
+          val suspectJson = if (runSuspect) s""","suspect":true""" else ""
+          val baselineJson = if (prevSuspect) s""","baseline_suspect":true""" else ""
+          def common_(extraAlert: String, extraSusp: String) =
+            s""","common_with_prev":{"n":${common.length},"total":$now,"prev_total":$before}$extraAlert$extraSusp$suspectJson$baselineJson"""
+          Guard(common_(alertFile, suspFile), common_(alertStdout, suspStdout),
+                runSuspect, trigger)
+        }
+    }
+  }
 
   private def run(cpus: String, sfDir: String, reps: Int)
       : (Double, Seq[(String, Option[Double])], Seq[String]) = {
@@ -176,6 +301,60 @@ object Bench {
     if (parsed.isEmpty) Left("unparseable_snapshot") else Right(parsed)
   }
 
+  /** Hard stdout budget: the driver captures the LAST 2,000 chars of
+    * stdout, so a longer line loses its head — the headline total — which
+    * is exactly how BENCH_r10.json ended up `parsed: null`. 100 chars of
+    * margin absorbs shell/driver framing. */
+  private[graft] val stdoutBudget = 1900
+
+  private def jsonArr(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** Render the compact stdout line under `stdoutBudget`, degrading
+    * gracefully: ms precision → centisecond precision → keep only the
+    * slowest N query entries (`queries_omitted` says how many were cut —
+    * the full map always lives in the committed BENCH_LOCAL.json). The
+    * headline `{"metric":"total",...}` head is sacred at every level. */
+  private[graft] def renderStdout(total: Double,
+                                  results: Seq[(String, Option[Double])],
+                                  errors: Seq[String],
+                                  sfDir: String, cpus: String, reps: Int,
+                                  guardStdoutExtra: String,
+                                  local4: Option[(Double, Seq[String])]): String = {
+    def shortKey(n: String) = n.takeWhile(_ != '_')
+    val useShort = results.map(r => shortKey(r._1)).distinct.length == results.length
+    def fmt(t: Double, dp: Int): String = {
+      val bd = BigDecimal(t).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      bd.bigDecimal.stripTrailingZeros.toPlainString
+    }
+    def render(dp: Int, keep: Int): String = {
+      val kept =
+        if (keep >= results.length) results
+        else {
+          // keep the slowest entries — the informative ones; the rest are
+          // recoverable from the committed snapshot
+          val slowest = results.flatMap { case (k, v) => v.map(k -> _) }
+            .sortBy(-_._2).take(keep).map(_._1).toSet
+          results.filter { case (k, v) => slowest(k) || v.isEmpty }
+        }
+      val omitted = results.length - kept.length
+      val omittedJson = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      val qs = kept.map { case (k, v) =>
+        "\"" + (if (useShort) shortKey(k) else k) + "\":" + v.fold("null")(fmt(_, dp))
+      }.mkString("{", ",", "}")
+      val l4 = local4.fold("") { case (t4, e4) =>
+        val ej = if (e4.isEmpty) "" else s""","local4_errors":${jsonArr(e4)}"""
+        s""","local4_total":${fmt(t4, dp)}$ej"""
+      }
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","errors":${jsonArr(errors)},""" +
+        s""""sf":"$sfDir","cpus":"$cpus","reps":$reps$guardStdoutExtra$l4$omittedJson,"queries":$qs}"""
+    }
+    val attempts = Seq((3, Int.MaxValue), (2, Int.MaxValue), (2, 100), (2, 60), (2, 30))
+    attempts.iterator.map { case (dp, k) => render(dp, k) }
+      .find(_.length <= stdoutBudget)
+      .getOrElse(render(2, 10))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -183,89 +362,49 @@ object Bench {
     // snapshot path is per-config: only the official config may touch the
     // committed BENCH_LOCAL.json (see snapshotFileName)
     val localPath = java.nio.file.Paths.get(snapshotFileName(sfDir, cpus))
-    val prevContent =
-      if (java.nio.file.Files.exists(localPath))
-        Some(java.nio.file.Files.readString(localPath))
-      else None
+    val cleanPath = java.nio.file.Paths.get(cleanFileName(sfDir, cpus))
+    def readIf(p: java.nio.file.Path): Option[String] =
+      if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p)) else None
+    val officialContent = readIf(localPath)
+    val cleanContent = readIf(cleanPath)
+    // prefer the last known-clean snapshot as the baseline; fall back to
+    // the official record (possibly suspect-stamped) when no clean exists
+    val (prevContent, prevIsClean) = cleanContent match {
+      case Some(c) if parsePrev(Some(c), sfDir, cpus).isRight => (Some(c): Option[String], true)
+      case _ => (officialContent, false)
+    }
+    val prevSuspect = !prevIsClean && prevContent.exists(isSuspectSnapshot)
+    if (prevSuspect)
+      System.err.println(
+        "[bench] baseline snapshot is stamped suspect (contaminated leg) and " +
+          "no clean snapshot exists — ratios vs it are unreliable; a clean " +
+          "run will re-seed BENCH_CLEAN.json")
     val prevOrReason = parsePrev(prevContent, sfDir, cpus)
     val (total, results, errors) = run(cpus, sfDir, reps)
-    val extra =
+    val local4 =
       if (cpus != "4") {
         // the local[4] leg is the BASELINE.md pass bar: its errors must
         // surface too, or a crash-only-under-4-threads would silently
         // shrink local4_total into a phantom speedup
         val (t4, _, e4) = run("4", sfDir, reps)
-        val errs4 = e4.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","local4_total":$t4,"local4_errors":$errs4"""
-      } else ""
-    // like-for-like ladder: subtotal over queries measured in BOTH this
-    // run and the previous committed snapshot for THIS config. When no
-    // comparable snapshot exists the guard cannot engage — say so LOUDLY
-    // in both the JSON and stderr (silence here is how the r9 guard was
-    // defeated: a cpus=8 snapshot made `prev` empty and nobody noticed).
-    def noComparable(reason: String): String = {
-      System.err.println(
-        s"[bench] NO COMPARABLE SNAPSHOT ($reason): the round-over-round " +
-          s"variance guard is DISENGAGED for this run. Expected a previous " +
-          s"${localPath.getFileName} with sf=$sfDir cpus=$cpus. Treat this " +
-          "run's numbers as unguarded until a second run confirms them.")
-      s""","no_comparable_snapshot":{"reason":"$reason"}"""
-    }
-    val commonExtra = prevOrReason match {
-      case Left(reason) => noComparable(reason)
-      case Right(prev) =>
-        val common = results.collect {
-          case (name, Some(t)) if prev.contains(name) => (name, t, prev(name))
-        }
-        if (common.isEmpty) noComparable("no_common_queries")
-        else {
-          val now = common.map(_._2).sum
-          val before = common.map(_._3).sum
-          val alert = varianceAlert(now, before).fold("") { ratio =>
-            val direction =
-              if (ratio > 1) "this run is likely box-contended"
-              else "the PREVIOUS snapshot was likely box-contended"
-            System.err.println(
-              f"[bench] VARIANCE ALERT: common-query total $now%.1f s vs previous " +
-                f"snapshot $before%.1f s (ratio $ratio%.2f) exceeds the ±${varianceBand * 100}%.0f%% " +
-                s"band — $direction; re-run on a quiet box before committing")
-            f""","variance_alert":{"ratio":$ratio%.3f,"band":$varianceBand,"note":"exceeds box-variance band vs previous snapshot; $direction"}"""
-          }
-          val suspects = varianceSuspects(common)
-          val suspectsJson =
-            if (suspects.isEmpty) ""
-            else {
-              System.err.println(
-                s"[bench] variance suspects (>2x vs previous snapshot): " +
-                  suspects.mkString(", ") +
-                  (if (suspects.length >= 5)
-                     " — broad spread suggests box contention, not regression"
-                   else " — localized; check the touched code"))
-              // capped sample keeps the compact stdout line inside the
-              // driver's 2000-char tail window even on a broad spread
-              val sample = suspects.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
-              s""","variance_suspects":{"n":${suspects.length},"sample":$sample}"""
-            }
-          s""","common_with_prev":{"n":${common.length},"total":$now,"prev_total":$before}$alert$suspectsJson"""
-        }
-    }
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def jsonMap(entries: Seq[(String, Option[Double])], fmt: Double => String): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
-        .mkString("{", ",", "}")
-    def tail(qsJson: String) =
-      s""","errors":$errs,"sf":"$sfDir","cpus":"$cpus","reps":$reps$commonExtra$extra,"queries":$qsJson}"""
-    def head(v: Double) = s"""{"metric":"total","value":$v,"unit":"sec""""
+        Some((t4, e4))
+      } else None
+    val guard = evalGuard(results, prevOrReason, prevSuspect)
     // committed artifact: full names, full precision
-    val fileLine = head(total) + tail(jsonMap(results, _.toString))
-    try java.nio.file.Files.writeString(localPath, fileLine + "\n")
-    catch { case _: Throwable => () } // read-only cwd must not kill the bench
-    // stdout: qNN-prefix keys + ms precision, sized for the driver's
-    // 2000-char tail capture (falls back to full names on prefix clash)
-    def shortKey(n: String) = n.takeWhile(_ != '_')
-    val useShort = results.map(r => shortKey(r._1)).distinct.length == results.length
-    def ms(t: Double) = BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val compact = results.map { case (k, v) => (if (useShort) shortKey(k) else k) -> v }
-    println(head(ms(total).toDouble) + tail(jsonMap(compact, ms)))
+    val fileQs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+      .mkString("{", ",", "}")
+    val fileL4 = local4.fold("") { case (t4, e4) =>
+      s""","local4_total":$t4,"local4_errors":${jsonArr(e4)}"""
+    }
+    val fileLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":${jsonArr(errors)},""" +
+        s""""sf":"$sfDir","cpus":"$cpus","reps":$reps${guard.fileExtra}$fileL4,"queries":$fileQs}"""
+    try {
+      java.nio.file.Files.writeString(localPath, fileLine + "\n")
+      // a run with no self-inflation evidence becomes the new clean baseline
+      if (!guard.runSuspect) java.nio.file.Files.writeString(cleanPath, fileLine + "\n")
+    } catch { case _: Throwable => () } // read-only cwd must not kill the bench
+    println(renderStdout(total, results, errors, sfDir, cpus, reps,
+      guard.stdoutExtra, local4))
   }
 }

@@ -65,6 +65,119 @@ class BenchGuardSpec extends AnyFunSuite {
       == "BENCH_LOCAL_sf0.01_cpus32.json")
   }
 
+  // --- round-11 hardening: line budget, broad-mild trigger, clean baseline
+
+  test("broad-mild contamination fires the alert even with aggregate in band") {
+    // the r10 shape: many queries >2x off, aggregate ratio ~1.02 (inside
+    // the ±25% band). 40 common queries, threshold = max(3, ceil(4)) = 4;
+    // 6 inflated 2.2x but each tiny, so the total barely moves.
+    val quiet = (1 to 34).map(i => (f"q$i%03d_quiet", 1.0, 1.0))
+    val smeared = (35 to 40).map(i => (f"q$i%03d_smeared", 0.22, 0.10))
+    val common = quiet ++ smeared
+    val now = common.map(_._2).sum
+    val before = common.map(_._3).sum
+    // aggregate is inside the band — the old ratio-only guard stays quiet
+    assert(Bench.varianceAlert(now, before).isEmpty)
+    val prev = common.map { case (n, _, p) => n -> p }.toMap
+    val results = common.map { case (n, t, _) => n -> Some(t) }
+    val g = Bench.evalGuard(results, Right(prev), prevSuspect = false)
+    assert(g.alertTrigger == Some("suspects"))
+    assert(g.fileExtra.contains(""""variance_alert""""))
+    assert(g.fileExtra.contains(""""trigger":"suspects""""))
+    // broad slow-direction spread also stamps the run suspect
+    assert(g.runSuspect)
+    assert(g.fileExtra.contains(""""suspect":true"""))
+  }
+
+  test("a localized real regression (1-2 suspects) does not fire the broad trigger") {
+    val common = Seq(
+      ("q104_inverted_index", 6.63, 0.98), // one real-looking spike
+      ("q91_line_dedup", 0.82, 0.79),
+      ("q31_neardup_jaccard", 1.05, 0.97),
+      ("q38_ann_pq", 1.85, 1.80),
+      ("q39_ann_ivfpq", 3.30, 3.32),
+      ("q30_dedup_exact", 0.50, 0.49),
+      ("q83_bpe_train", 0.71, 0.70)
+    )
+    val prev = common.map { case (n, _, p) => n -> p }.toMap
+    val results = common.map { case (n, t, _) => n -> Some(t) }
+    val g = Bench.evalGuard(results, Right(prev), prevSuspect = false)
+    // 1 suspect < threshold max(3, 1) — suspects listed but no alert
+    // (aggregate 14.86 vs 9.05 = 1.64 DOES trip the ratio leg, correctly)
+    assert(g.alertTrigger.exists(_.startsWith("ratio")))
+    assert(!g.alertTrigger.contains("suspects"))
+  }
+
+  test("stdout line stays under the driver's 2000-char window on a 150-query board with every guard field populated") {
+    // synthetic 150-query board, full-length names, broad suspect spread,
+    // variance alert, errors, local4 leg — the worst case that overflowed
+    // in round 10 (2,087 chars with only 128 queries)
+    val names = (1 to 150).map(i => f"q$i%03d_synthetic_operator_name_$i%03d")
+    val results: Seq[(String, Option[Double])] =
+      names.map(n => n -> Some(1.234567891)) :+ ("q999_crashy_query" -> None)
+    val prev = names.map(_ -> 0.5).toMap // every query 2.47x off -> 150 suspects
+    val g = Bench.evalGuard(results, Right(prev), prevSuspect = true)
+    assert(g.alertTrigger.isDefined)
+    assert(g.stdoutExtra.contains(""""variance_suspects":{"n":150}"""))
+    // stdout guard extra never carries the full-name sample
+    assert(!g.stdoutExtra.contains("synthetic_operator_name"))
+    assert(g.fileExtra.contains("synthetic_operator_name")) // file keeps it
+    val line = Bench.renderStdout(185.19, results, Seq("q999_crashy_query"),
+      "/root/testdata/sf0.1", "32", 3, g.stdoutExtra,
+      Some((50.28, Seq.empty)))
+    assert(line.length <= 2000, s"stdout line is ${line.length} chars")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""variance_alert""""))
+    assert(line.endsWith("}"))
+  }
+
+  test("renderStdout with a 128-query board needs no truncation") {
+    val names = (1 to 128).map(i => f"q$i%03d_operator")
+    val results: Seq[(String, Option[Double])] = names.map(n => n -> Some(0.294))
+    val line = Bench.renderStdout(37.6, results, Seq.empty,
+      "/root/testdata/sf0.1", "32", 3, "", Some((50.28, Seq.empty)))
+    assert(line.length <= Bench.stdoutBudget)
+    assert(!line.contains("queries_omitted"))
+    // all 128 short keys present
+    assert((1 to 128).forall(i => line.contains(f""""q$i%03d":""")))
+  }
+
+  test("clean-baseline file naming mirrors the official pinning") {
+    assert(Bench.cleanFileName(sf, "32") == "BENCH_CLEAN.json")
+    assert(Bench.cleanFileName(sf, "8") == "BENCH_CLEAN_sf0.1_cpus8.json")
+    assert(Bench.cleanFileName("/root/testdata/sf0.01", "32")
+      == "BENCH_CLEAN_sf0.01_cpus32.json")
+  }
+
+  test("suspect stamp round-trips: a stamped snapshot is detected, a clean one is not") {
+    assert(Bench.isSuspectSnapshot("""{"value":109.4,"suspect":true,"queries":{}}"""))
+    assert(!Bench.isSuspectSnapshot(snapshot(sf, "32")))
+    // a comparison against a suspect baseline is annotated, not trusted
+    val results = Seq("q1_a" -> Some(1.5), "q2_b" -> Some(2.0))
+    val prev = Map("q1_a" -> 1.5, "q2_b" -> 2.0)
+    val g = Bench.evalGuard(results, Right(prev), prevSuspect = true)
+    assert(g.fileExtra.contains(""""baseline_suspect":true"""))
+    assert(g.stdoutExtra.contains(""""baseline_suspect":true"""))
+    // identical timings vs baseline: no alert, run is clean
+    assert(g.alertTrigger.isEmpty)
+    assert(!g.runSuspect)
+  }
+
+  test("a clean faster run vs a contaminated baseline alerts but is NOT stamped suspect") {
+    // the r10->r11 scenario: baseline 109 s contaminated, clean run ~50 s.
+    // Most queries look 2x+ FASTER -> deflated suspects, ratio ~0.46.
+    val names = (1 to 20).map(i => f"q$i%03d_op")
+    val results: Seq[(String, Option[Double])] = names.map(n => n -> Some(0.5))
+    val prev = names.map(_ -> 1.1).toMap
+    val g = Bench.evalGuard(results, Right(prev), prevSuspect = true)
+    assert(g.alertTrigger.isDefined) // loud, as it should be
+    // but deflation is never evidence THIS run is contended: no suspect
+    // stamp (baseline_suspect is annotated, which must not look like one)
+    assert(!g.runSuspect)
+    assert(!Bench.isSuspectSnapshot(g.fileExtra))
+    assert(g.fileExtra.contains(""""baseline_suspect":true"""))
+  }
+
   test("variance_suspects flags a synthetic per-query spike, not band noise") {
     val common = Seq(
       ("q104_inverted_index", 6.63, 0.98), // the r9 contamination shape: 6.8x
