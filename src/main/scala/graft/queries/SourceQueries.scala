@@ -596,6 +596,63 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60i: filter-chain / LZWDecode PDF ingestion -------------------------
+  /** q60f's contract against the remaining real-world lossless stream
+    * shapes (ISO 32000 §7.4; app.py:123-132 handles all of them via
+    * PyMuPDF): docs cycle four encodings by doc_id — `/LZWDecode`
+    * (TIFF-convention LZW, pre-2000 PDFs), `[/ASCIIHexDecode
+    * /FlateDecode]` and `[/ASCII85Decode /FlateDecode]` (the 7-bit-safe
+    * transport chains), and LZW wrapped in a TIFF predictor — so every
+    * new decode path (LZW code widths/EarlyChange, hex/85 transport
+    * stripping, chain ordering, predictor-over-LZW) runs under the same
+    * bit-exact oracle as q60d/q60f/q60h. Object-graph walk and text
+    * extraction are unchanged → q01's oracle applies VERBATIM; a bit-
+    * packing, table-reset, or chain-order bug breaks the match loudly.
+    * Unsupported filters and chain shapes still throw (PdfCodecSpec). */
+  def pdfFilterChainRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "pdfchain") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            val bytes = (id % 4) match {
+              case 0 => graft.sources.Pdf.encode(pages, compress = true,
+                filterChain = Seq("LZWDecode"))
+              case 1 => graft.sources.Pdf.encode(pages, compress = true,
+                filterChain = Seq("ASCIIHexDecode", "FlateDecode"))
+              case 2 => graft.sources.Pdf.encode(pages, compress = true,
+                filterChain = Seq("ASCII85Decode", "FlateDecode"))
+              case _ => graft.sources.Pdf.encode(pages, compress = true,
+                predictor = 2, columns = 24, filterChain = Seq("LZWDecode"))
+            }
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
+          }
+        }
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- q60e: real PNG ingestion (the image leg of the multimodal mandate) --
   /** The image path closed from REAL bytes: each doc is materialized as a
     * genuine PNG (8-bit grayscale, pixels = the text's byte values, rows
@@ -967,6 +1024,7 @@ object SourceQueries {
     "q60d_pdf_roundtrip" -> ((s, d) => pdfRoundtrip(s, d)),
     "q60f_pdf_flate" -> ((s, d) => pdfFlateRoundtrip(s, d)),
     "q60h_pdf_predictor" -> ((s, d) => pdfPredictorRoundtrip(s, d)),
+    "q60i_pdf_filter_chains" -> ((s, d) => pdfFilterChainRoundtrip(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
@@ -994,6 +1052,8 @@ object SourceQueries {
     // q60f: same extraction contract, FlateDecode-compressed staging
     "q60f_pdf_flate" -> pagesConcatOracle,
     "q60h_pdf_predictor" -> pagesConcatOracle,
+    // q60i: same extraction contract over LZW / ASCII-transport chains
+    "q60i_pdf_filter_chains" -> pagesConcatOracle,
     // q60g: q60b's arithmetic across three staged WAV subformats
     "q60g_wav_subformats" -> wavSubformatsOracle,
     // q60e's decoded pixels equal the text bytes, so q60's full

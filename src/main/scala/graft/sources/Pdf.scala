@@ -15,21 +15,28 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   * with full PDF string-escape handling: \\( \\) \\\\ \\n octal codes,
   * line continuations).
   *
-  * Content streams may be stored raw or `/Filter /FlateDecode` (zlib) —
-  * the filter virtually every real-world PDF applies; the reader inflates
-  * those transparently (same zlib discipline as the PNG codec's IDAT
-  * path). Flate streams may additionally declare `/DecodeParms` with a
-  * `/Predictor` (ISO 32000 §7.4.4.4): 1 (none), 2 (TIFF horizontal
+  * Content streams may be stored raw or filtered. Supported filters
+  * (ISO 32000 §7.4): `/FlateDecode` (zlib — the filter virtually every
+  * real-world PDF applies; same inflate discipline as the PNG codec's
+  * IDAT path), `/LZWDecode` (TIFF-convention LZW: 9→12-bit codes packed
+  * MSB-first, 256 clear / 257 EOD, `/EarlyChange` honored — common in
+  * pre-2000 PDFs and some generators), the ASCII transport filters
+  * `/ASCIIHexDecode` and `/ASCII85Decode` standalone, and 2-element
+  * chains of an ASCII transport filter followed by a compression filter
+  * (`[/ASCII85Decode /FlateDecode]` et al — the classic 7-bit-safe
+  * shape). Flate/LZW streams may additionally declare `/DecodeParms`
+  * with a `/Predictor` (§7.4.4.4): 1 (none), 2 (TIFF horizontal
   * differencing), and 10-15 (PNG row filters — delegated to the SAME
   * per-row unfilter the PNG codec uses, since the PDF spec defines them
   * as exactly PNG's filters) are all decoded, at 8 bits per component.
   * Scope beyond that is declared LOUDLY, not silently: any other /Filter
-  * (DCTDecode, LZW, ASCIIHex, filter chains), predictor value, or
-  * BitsPerComponent, a missing page tree, or an unbalanced string throws
-  * — at lake scale a half-extracted PDF is corpus poison (same contract
-  * as the WAV and DOCX codecs). PDF bytes are treated as Latin-1 so byte
-  * offsets equal char offsets (the corpus payloads are ASCII; compressed
-  * stream bytes round trip 0-255 exactly under Latin-1). */
+  * (DCTDecode, JBIG2, RunLength, crypt filters), chain shape, predictor
+  * value, or BitsPerComponent, a non-flat /DecodeParms, a missing page
+  * tree, or an unbalanced string throws — at lake scale a half-extracted
+  * PDF is corpus poison (same contract as the WAV and DOCX codecs). PDF
+  * bytes are treated as Latin-1 so byte offsets equal char offsets (the
+  * corpus payloads are ASCII; compressed stream bytes round trip 0-255
+  * exactly under Latin-1). */
 object Pdf {
 
   private[graft] def isPdf(bytes: Array[Byte]): Boolean =
@@ -56,9 +63,26 @@ object Pdf {
     * stream bytes before deflate — 2 (TIFF) or 10-15 (PNG row filters,
     * rows of `columns` bytes cycling all five filter types) — and
     * declares matching `/DecodeParms`, the second-most-common real-world
-    * Flate shape after plain. */
+    * Flate shape after plain. `filterChain` picks the stream encoding:
+    * a single compression filter (`FlateDecode` default, or `LZWDecode`)
+    * optionally preceded by one ASCII transport filter (`ASCIIHexDecode`
+    * / `ASCII85Decode`) — written as a `/Filter [ ... ]` array in the
+    * decoder's application order, per ISO 32000 §7.4.1. A predictor
+    * requires a single-filter chain so the flat /DecodeParms dict
+    * unambiguously belongs to the compression filter. */
   private[graft] def encode(pages: Seq[String], compress: Boolean = false,
-                            predictor: Int = 1, columns: Int = 16): Array[Byte] = {
+                            predictor: Int = 1, columns: Int = 16,
+                            filterChain: Seq[String] = Seq("FlateDecode")): Array[Byte] = {
+    require(filterChain.nonEmpty && Set("FlateDecode", "LZWDecode").contains(filterChain.last),
+      s"unsupported filter chain ${filterChain.mkString("[", " ", "]")}: " +
+        "must end in FlateDecode or LZWDecode")
+    require(filterChain.init.isEmpty ||
+      (filterChain.length == 2 &&
+        Set("ASCIIHexDecode", "ASCII85Decode").contains(filterChain.head)),
+      s"unsupported filter chain ${filterChain.mkString("[", " ", "]")}: " +
+        "only a single ASCIIHex/ASCII85 transport prefix is supported")
+    require(predictor == 1 || filterChain.length == 1,
+      "a predictor requires a single-filter chain (flat /DecodeParms)")
     val sb = new StringBuilder
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     def obj(body: String): Unit = {
@@ -88,10 +112,22 @@ object Pdf {
           case p => throw new IllegalArgumentException(
             s"unsupported predictor $p: 1, 2, or 10-15")
         }
-        // Latin-1 round trips bytes 0-255 exactly, so the binary deflate
+        val compressed = filterChain.last match {
+          case "FlateDecode" => deflate(payload)
+          case "LZWDecode"   => lzwEncode(payload)
+        }
+        val wrapped = filterChain.init match {
+          case Seq()                 => compressed
+          case Seq("ASCIIHexDecode") => asciiHexEncode(compressed)
+          case Seq("ASCII85Decode")  => ascii85Encode(compressed)
+        }
+        val filterDecl =
+          if (filterChain.length == 1) s"/Filter /${filterChain.head}"
+          else filterChain.map("/" + _).mkString("/Filter [ ", " ", " ]")
+        // Latin-1 round trips bytes 0-255 exactly, so the binary stream
         // output can ride the same StringBuilder as the text objects
-        val comp = new String(deflate(payload), ISO_8859_1)
-        obj(s"<< /Length ${comp.length} /Filter /FlateDecode$parms >>\n" +
+        val comp = new String(wrapped, ISO_8859_1)
+        obj(s"<< /Length ${comp.length} $filterDecl$parms >>\n" +
           s"stream\n$comp\nendstream")
       } else {
         require(predictor == 1, "a predictor requires compress = true")
@@ -140,6 +176,190 @@ object Pdf {
       out.write(buf, 0, got)
     }
     inf.end()
+    out.toByteArray
+  }
+
+  // --- LZWDecode (ISO 32000 §7.4.4.2: TIFF-convention LZW) --------------
+
+  /** PDF LZW: 9→12-bit codes packed MSB-first; 256 = clear-table, 257 =
+    * EOD, first dictionary slot 258. With /EarlyChange 1 (the default)
+    * the code width grows one slot early. The encoder emits a leading
+    * clear, resets the table when it would overflow slot 4095, and grows
+    * its write width one slot LATER than the decoder grows its read
+    * width — the decoder's table add for code i happens one code behind
+    * the encoder's (the classic TIFF-LZW off-by-one; getting it wrong
+    * desynchronizes every code after slot 510). */
+  private[graft] def lzwEncode(raw: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    var bitBuf = 0L; var nBits = 0; var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; nBits += width
+      while (nBits >= 8) { out.write(((bitBuf >> (nBits - 8)) & 0xFF).toInt); nBits -= 8 }
+    }
+    // sequences keyed as (prefixCode << 8 | nextByte) — every table entry
+    // is a known prefix plus one byte, so the key space is exact
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    var next = 258
+    put(256)
+    var w = -1
+    raw.foreach { b =>
+      val k = b & 0xFF
+      if (w < 0) w = k
+      else {
+        val key = (w << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) w = hit
+        else {
+          put(w)
+          if (next + earlyChange >= 4096) { // table full: clear and restart
+            put(256); dict.clear(); next = 258; width = 9
+          } else {
+            dict.put(key, next); next += 1
+            // encoder grows when next EXCEEDS 2^width (one slot after the
+            // decoder, whose adds lag one code behind)
+            if (next + earlyChange > (1 << width) && width < 12) width += 1
+          }
+          w = k
+        }
+      }
+    }
+    if (w >= 0) put(w)
+    put(257)
+    if (nBits > 0) out.write(((bitBuf << (8 - nBits)) & 0xFF).toInt) // zero-pad tail
+    out.toByteArray
+  }
+
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 + 64)
+    val entries = new Array[Array[Byte]](4096)
+    var next = 258; var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L; var nBits = 0; var i = 0
+    var sawEod = false
+    def readCode(): Int = {
+      while (nBits < width) {
+        require(i < data.length, "corrupt PDF: LZW stream ended without EOD")
+        bitBuf = (bitBuf << 8) | (data(i) & 0xFF); nBits += 8; i += 1
+      }
+      val c = ((bitBuf >> (nBits - width)) & ((1L << width) - 1)).toInt
+      nBits -= width
+      c
+    }
+    while (!sawEod) {
+      val c = readCode()
+      if (c == 256) {
+        java.util.Arrays.fill(entries.asInstanceOf[Array[AnyRef]], null)
+        next = 258; width = 9; prev = null
+      } else if (c == 257) sawEod = true
+      else {
+        val cur: Array[Byte] =
+          if (c < 256) Array(c.toByte)
+          else if (c == next && prev != null) prev :+ prev(0) // KwKwK
+          else {
+            require(c >= 258 && c < next && entries(c) != null,
+              s"corrupt PDF: LZW code $c references an unassigned table slot")
+            entries(c)
+          }
+        out.write(cur, 0, cur.length)
+        if (prev != null && next + earlyChange < 4096) {
+          entries(next) = prev :+ cur(0); next += 1
+          // decoder grows when next REACHES 2^width — one slot before the
+          // encoder (see lzwEncode)
+          if (next + earlyChange >= (1 << width) && width < 12) width += 1
+        }
+        prev = cur
+      }
+    }
+    out.toByteArray
+  }
+
+  // --- ASCII transport filters (ISO 32000 §7.4.2, §7.4.3) ---------------
+
+  private[graft] def asciiHexEncode(raw: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(raw.length * 2 + 1)
+    raw.foreach(b => sb.append(f"${b & 0xFF}%02X"))
+    sb.append('>')
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 8)
+    var hi = -1
+    var done = false
+    var i = 0
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xFF).toChar
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c == '>') { done = true; -1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0) -1
+        else throw new IllegalArgumentException(
+          s"corrupt PDF: ASCIIHexDecode met non-hex character '$c'")
+      if (d >= 0) { if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 } }
+      i += 1
+    }
+    require(done, "corrupt PDF: ASCIIHexDecode stream without '>' EOD")
+    if (hi >= 0) out.write(hi * 16) // odd final digit: low nibble is 0 (spec)
+    out.toByteArray
+  }
+
+  private[graft] def ascii85Encode(raw: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(raw.length * 5 / 4 + 8)
+    var i = 0
+    while (i < raw.length) {
+      val n = math.min(4, raw.length - i)
+      var group = 0L
+      (0 until 4).foreach(j => group = (group << 8) | (if (j < n) raw(i + j) & 0xFF else 0))
+      if (n == 4 && group == 0) sb.append('z') // full zero group shorthand
+      else {
+        val digits = new Array[Char](5)
+        var g = group
+        (4 to 0 by -1).foreach { j => digits(j) = ('!' + (g % 85)).toChar; g /= 85 }
+        (0 until n + 1).foreach(j => sb.append(digits(j))) // partial: n+1 digits
+      }
+      i += n
+    }
+    sb.append("~>")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 8)
+    val group = new Array[Int](5)
+    var n = 0
+    var done = false
+    var i = 0
+    def flush(digits: Int): Unit = {
+      require(digits != 1, "corrupt PDF: ASCII85Decode group of a single digit")
+      // pad with 'u' (84) to 5 digits, emit digits-1 bytes (spec rule)
+      (digits until 5).foreach(group(_) = 84)
+      var v = 0L
+      group.foreach(d => v = v * 85 + d)
+      require(v <= 0xFFFFFFFFL, "corrupt PDF: ASCII85Decode group exceeds 2^32")
+      (0 until digits - 1).foreach(j => out.write(((v >> (24 - 8 * j)) & 0xFF).toInt))
+      n = 0
+    }
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xFF).toChar
+      if (c == 'z') {
+        require(n == 0, "corrupt PDF: ASCII85Decode 'z' inside a group")
+        (0 until 4).foreach(_ => out.write(0))
+      } else if (c == '~') {
+        require(i + 1 < data.length && (data(i + 1) & 0xFF).toChar == '>',
+          "corrupt PDF: ASCII85Decode '~' without '>' EOD")
+        if (n > 0) flush(n)
+        done = true
+      } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0) ()
+      else if (c >= '!' && c <= 'u') {
+        group(n) = c - '!'; n += 1
+        if (n == 5) flush(5)
+      } else throw new IllegalArgumentException(
+        s"corrupt PDF: ASCII85Decode met out-of-range character '$c'")
+      i += 1
+    }
+    require(done, "corrupt PDF: ASCII85Decode stream without '~>' EOD")
     out.toByteArray
   }
 
@@ -192,7 +412,14 @@ object Pdf {
     * spec defines them as exactly PNG's). Anything else throws loudly. */
   private def applyPredictor(dict: String, data: Array[Byte]): Array[Byte] = {
     val pm = parmsPat.matcher(dict)
-    if (!pm.find()) return data
+    if (!pm.find()) {
+      // /DecodeParms present but not a flat dict (e.g. a per-filter parms
+      // ARRAY): decoding without it would silently mis-decode — throw
+      require(!dict.contains("/DecodeParms"),
+        "unsupported PDF: /DecodeParms is not a flat dictionary " +
+          "(per-filter parms arrays are not implemented)")
+      return data
+    }
     val parms = pm.group(1)
     val predictor = parmInt(parms, "Predictor", 1)
     if (predictor == 1) return data
@@ -211,6 +438,44 @@ object Pdf {
         s"unsupported PDF: /Predictor $p — only 1 (none), 2 (TIFF), and " +
           "10-15 (PNG row filters) are implemented")
     }
+  }
+
+  /** Apply a stream dict's declared /Filter pipeline to its raw data, in
+    * declaration order (ISO 32000 §7.4.1: the array lists filters in the
+    * order needed to DECODE). Supported shapes: no filter; a single
+    * ASCIIHexDecode / ASCII85Decode / FlateDecode / LZWDecode; or a
+    * 2-element chain of one ASCII transport filter then one compression
+    * filter. /DecodeParms (predictor, LZW /EarlyChange) applies to the
+    * compression filter. Anything else throws loudly — a silently
+    * half-decoded stream is corpus poison. */
+  private def decodeStream(dict: String, raw: String): String = {
+    val names = filters(dict)
+    if (names.isEmpty) return raw
+    val compression = Set("FlateDecode", "LZWDecode")
+    val transport = Set("ASCIIHexDecode", "ASCII85Decode")
+    val chainOk = names match {
+      case Seq(single) => compression(single) || transport(single)
+      case Seq(pre, last) => transport(pre) && compression(last)
+      case _ => false
+    }
+    if (!chainOk) throw new IllegalArgumentException(
+      s"unsupported PDF: /Filter ${names.mkString("[", " ", "]")} — supported: " +
+        "unfiltered, ASCIIHexDecode, ASCII85Decode, FlateDecode, LZWDecode, " +
+        "or one ASCII transport filter followed by one compression filter")
+    var data = raw.getBytes(ISO_8859_1)
+    names.foreach {
+      case "ASCIIHexDecode" => data = asciiHexDecode(data)
+      case "ASCII85Decode"  => data = ascii85Decode(data)
+      case "FlateDecode"    => data = applyPredictor(dict, inflate(data))
+      case "LZWDecode"      => data = applyPredictor(dict, lzwDecode(data, lzwEarlyChange(dict)))
+    }
+    new String(data, ISO_8859_1)
+  }
+
+  /** LZW /EarlyChange from /DecodeParms (default 1 per ISO 32000 Table 8). */
+  private def lzwEarlyChange(dict: String): Int = {
+    val pm = parmsPat.matcher(dict)
+    if (pm.find()) parmInt(pm.group(1), "EarlyChange", 1) else 1
   }
 
   /** Filter names declared on a stream dict (empty when unfiltered). */
@@ -313,15 +578,7 @@ object Pdf {
       val sAt = contents.indexOf("stream")
       require(sAt >= 0, "corrupt PDF: contents without stream")
       val dict = contents.substring(0, sAt)
-      val stream = filters(dict) match {
-        case Seq() => streamData(contents)
-        case Seq("FlateDecode") =>
-          val inflated = inflate(streamData(contents).getBytes(ISO_8859_1))
-          new String(applyPredictor(dict, inflated), ISO_8859_1)
-        case other => throw new IllegalArgumentException(
-          s"unsupported PDF: /Filter ${other.mkString("[", " ", "]")} — " +
-            "only FlateDecode (and unfiltered) content streams are implemented")
-      }
+      val stream = decodeStream(dict, streamData(contents))
       extractText(stream)
     }
   }

@@ -108,19 +108,24 @@ class PdfCodecSpec extends AnyFunSuite {
     }
     val good = Pdf.encode(Seq("some genuine page content here"))
     intercept[Exception] { Pdf.decodePages(good.take(good.length / 2)) }
-    // filters other than FlateDecode are out of scope — must throw with
-    // the filter named, not silently return empty text
-    val lzw = new String(good, "ISO-8859-1")
-      .replace("<< /Length", "<< /Filter /LZWDecode /Length")
+    // filters outside the declared surface must throw with the filter
+    // named, not silently return empty text
+    val dct = new String(good, "ISO-8859-1")
+      .replace("<< /Length", "<< /Filter /DCTDecode /Length")
       .getBytes("ISO-8859-1")
-    val e = intercept[IllegalArgumentException] { Pdf.decodePages(lzw) }
-    assert(e.getMessage.contains("unsupported") && e.getMessage.contains("LZWDecode"))
-    // filter CHAINS are also out of scope
+    val e = intercept[IllegalArgumentException] { Pdf.decodePages(dct) }
+    assert(e.getMessage.contains("unsupported") && e.getMessage.contains("DCTDecode"))
+    // chain in the WRONG order (compression before transport) is unsupported
     val chain = new String(good, "ISO-8859-1")
-      .replace("<< /Length", "<< /Filter [ /ASCIIHexDecode /FlateDecode ] /Length")
+      .replace("<< /Length", "<< /Filter [ /FlateDecode /ASCIIHexDecode ] /Length")
       .getBytes("ISO-8859-1")
     val e2 = intercept[IllegalArgumentException] { Pdf.decodePages(chain) }
     assert(e2.getMessage.contains("unsupported"))
+    // a raw stream MISLABELED as a supported filter is corrupt, not text
+    val hexChain = new String(good, "ISO-8859-1")
+      .replace("<< /Length", "<< /Filter [ /ASCIIHexDecode /FlateDecode ] /Length")
+      .getBytes("ISO-8859-1")
+    intercept[Exception] { Pdf.decodePages(hexChain) }
     // a stream LABELED FlateDecode whose bytes aren't zlib is corrupt, not
     // silently empty
     val mislabeled = new String(good, "ISO-8859-1")
@@ -130,6 +135,156 @@ class PdfCodecSpec extends AnyFunSuite {
     // truncated compressed stream fails the inflate loudly
     val z = Pdf.encode(Seq("a page body that deflate makes binary" * 5), compress = true)
     intercept[Exception] { Pdf.decodePages(z.take(z.length - 40)) }
+  }
+
+  // --- round-11 filters: LZWDecode, ASCII transports, chains -------------
+
+  test("LZW: byte-exact vectors pin MSB-first packing and code numbering") {
+    // hand-derived from ISO 32000 §7.4.4.2's algorithm (9-bit codes,
+    // MSB-first, 256 = clear, 257 = EOD): "AB" emits codes
+    // 256,65,66,257 → bits 100000000 001000001 001000010 100000001
+    assert(Pdf.lzwEncode("AB".getBytes("ISO-8859-1")).toSeq ===
+      Seq(0x80, 0x10, 0x48, 0x50, 0x10).map(_.toByte))
+    // the spec's own sample input (decimal bytes 45 45 45 65 45 45 45 66)
+    // emits codes 256,45,258,65,258,45,66,257 — the 258s exercise a
+    // mid-stream dictionary hit
+    val sample = Array[Byte](45, 45, 45, 65, 45, 45, 45, 66)
+    val enc = Pdf.lzwEncode(sample)
+    assert(enc.toSeq ===
+      Seq(0x80, 0x0B, 0x60, 0x44, 0x18, 0x10, 0xB4, 0x85, 0x01).map(_.toByte))
+    assert(Pdf.lzwDecode(enc).toSeq === sample.toSeq)
+  }
+
+  test("LZW: round trips including KwKwK, width growth, and table reset") {
+    def rt(raw: Array[Byte], early: Int = 1): Unit =
+      assert(Pdf.lzwDecode(Pdf.lzwEncode(raw, early), early).toSeq === raw.toSeq,
+        s"len=${raw.length} early=$early")
+    rt(Array.empty[Byte])
+    rt(Array[Byte](65))
+    rt(Array[Byte](65, 65, 65)) // the KwKwK special case (code == next)
+    rt("to be or not to be, that is the question".getBytes("ISO-8859-1"))
+    // every byte value round trips (sign handling)
+    rt((0 until 256).map(_.toByte).toArray)
+    // deterministic pseudo-random bytes over a small alphabet: the
+    // dictionary crosses the 511/1023/2047 width boundaries AND the
+    // 4095 table reset (≈80 KB input ⇒ thousands of entries)
+    var seed = 12345L
+    val big = Array.fill(80000) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 7 + 'a').toByte
+    }
+    rt(big)
+    rt(big, early = 0) // EarlyChange 0 shifts every width boundary by one
+    // highly compressible input (long runs) hits deep dictionary chains
+    rt(("x" * 5000 + "yz" * 2500).getBytes("ISO-8859-1"))
+  }
+
+  test("LZW: corrupt streams fail loudly") {
+    // truncated mid-stream: no EOD
+    val enc = Pdf.lzwEncode("some reasonable content here".getBytes("ISO-8859-1"))
+    intercept[IllegalArgumentException] { Pdf.lzwDecode(enc.take(enc.length - 3)) }
+    // a code referencing an unassigned slot: craft 9-bit codes
+    // 256 (clear), 300 (never assigned) → 100000000 100101100 ...
+    val bad = Array(0x80.toByte, 0x4B.toByte, 0x00.toByte)
+    intercept[IllegalArgumentException] { Pdf.lzwDecode(bad) }
+  }
+
+  test("ASCIIHex: vectors, whitespace, odd digit, and loud failures") {
+    val raw = "Hello\u00ff !".getBytes("ISO-8859-1")
+    val enc = Pdf.asciiHexEncode(raw)
+    assert(new String(enc, "ISO-8859-1") === "48656C6C6FFF2021>")
+    assert(Pdf.asciiHexDecode(enc).toSeq === raw.toSeq)
+    // whitespace is ignored, lowercase accepted, odd digit pads zero nibble
+    assert(Pdf.asciiHexDecode("48 65\n6c\t6C 6f >".getBytes("ISO-8859-1")).toSeq ===
+      "Hello".getBytes("ISO-8859-1").toSeq)
+    assert(Pdf.asciiHexDecode("417>".getBytes("ISO-8859-1")).toSeq ===
+      Seq[Byte](0x41, 0x70))
+    // missing EOD and non-hex characters are corrupt, not best-effort
+    intercept[IllegalArgumentException] { Pdf.asciiHexDecode("4142".getBytes("ISO-8859-1")) }
+    intercept[IllegalArgumentException] { Pdf.asciiHexDecode("4G>".getBytes("ISO-8859-1")) }
+  }
+
+  test("ASCII85: vectors, z shorthand, partial groups, and loud failures") {
+    // the classic vector: "Man " encodes to 9jqo^ (value 1298230816)
+    assert(new String(Pdf.ascii85Encode("Man ".getBytes("ISO-8859-1")), "ISO-8859-1")
+      === "9jqo^~>")
+    assert(Pdf.ascii85Decode("9jqo^~>".getBytes("ISO-8859-1")).toSeq ===
+      "Man ".getBytes("ISO-8859-1").toSeq)
+    // an all-zero group is the single character z
+    assert(new String(Pdf.ascii85Encode(Array[Byte](0, 0, 0, 0)), "ISO-8859-1") === "z~>")
+    assert(Pdf.ascii85Decode("z~>".getBytes("ISO-8859-1")).toSeq === Seq[Byte](0, 0, 0, 0))
+    // partial final groups (1-3 bytes) round trip at every length
+    for (n <- 0 to 11) {
+      val raw = (1 to n).map(i => (i * 37).toByte).toArray
+      assert(Pdf.ascii85Decode(Pdf.ascii85Encode(raw)).toSeq === raw.toSeq, s"n=$n")
+    }
+    // every byte value round trips; whitespace inside groups is ignored
+    val all = (0 until 256).map(_.toByte).toArray
+    assert(Pdf.ascii85Decode(Pdf.ascii85Encode(all)).toSeq === all.toSeq)
+    val spaced = new String(Pdf.ascii85Encode(all), "ISO-8859-1").grouped(10)
+      .mkString("\n").getBytes("ISO-8859-1")
+    assert(Pdf.ascii85Decode(spaced).toSeq === all.toSeq)
+    // corrupt shapes: missing ~>, out-of-range char, z inside a group,
+    // single-digit group, and a value past 2^32 (s8W-! is the max+1 shape)
+    intercept[IllegalArgumentException] { Pdf.ascii85Decode("9jqo^".getBytes("ISO-8859-1")) }
+    intercept[IllegalArgumentException] { Pdf.ascii85Decode("9jv^~>".getBytes("ISO-8859-1")) }
+    intercept[IllegalArgumentException] { Pdf.ascii85Decode("9z~>".getBytes("ISO-8859-1")) }
+    intercept[IllegalArgumentException] { Pdf.ascii85Decode("9~>".getBytes("ISO-8859-1")) }
+    intercept[IllegalArgumentException] { Pdf.ascii85Decode("uuuuu~>".getBytes("ISO-8859-1")) }
+  }
+
+  test("round trip: LZWDecode content streams, with and without predictors") {
+    val pages = Seq("first page text", "second page with (parens) and \\ escapes",
+      "operators inside strings: BT Tj ET endstream endobj")
+    val z = Pdf.encode(pages, compress = true, filterChain = Seq("LZWDecode"))
+    assert(new String(z, "ISO-8859-1").contains("/Filter /LZWDecode"))
+    assert(Pdf.decodePages(z) === pages)
+    // predictors compose with LZW exactly as with Flate
+    for (p <- Seq(2, 12)) {
+      val zp = Pdf.encode(pages, compress = true, predictor = p, columns = 24,
+        filterChain = Seq("LZWDecode"))
+      assert(new String(zp, "ISO-8859-1").contains(s"/Predictor $p"))
+      assert(Pdf.decodePages(zp) === pages, s"predictor=$p")
+    }
+    val many = (0 until 60).map(i => ("lorem ipsum " * 40) + s"page $i")
+    assert(Pdf.decodePages(Pdf.encode(many, compress = true,
+      filterChain = Seq("LZWDecode"))) === many)
+  }
+
+  test("round trip: ASCII transport chains over both compression filters") {
+    val pages = Seq("first page text", "second (with) delimiters \\ inside",
+      "binary-ish content: éèê accents")
+    for {
+      pre <- Seq("ASCIIHexDecode", "ASCII85Decode")
+      comp <- Seq("FlateDecode", "LZWDecode")
+    } {
+      val chain = Seq(pre, comp)
+      val z = Pdf.encode(pages, compress = true, filterChain = chain)
+      val doc = new String(z, "ISO-8859-1")
+      assert(doc.contains(s"/Filter [ /$pre /$comp ]"), chain.toString)
+      assert(Pdf.decodePages(z) === pages, chain.toString)
+    }
+    // the encoder refuses shapes the decoder would reject
+    intercept[IllegalArgumentException] {
+      Pdf.encode(pages, compress = true, filterChain = Seq("FlateDecode", "ASCIIHexDecode"))
+    }
+    intercept[IllegalArgumentException] {
+      Pdf.encode(pages, compress = true, filterChain = Seq("RunLengthDecode"))
+    }
+    intercept[IllegalArgumentException] {
+      Pdf.encode(pages, compress = true, predictor = 12,
+        filterChain = Seq("ASCIIHexDecode", "FlateDecode"))
+    }
+  }
+
+  test("non-flat /DecodeParms (per-filter arrays) fail loudly") {
+    val good = Pdf.encode(Seq("page body"), compress = true)
+    val doc = new String(good, "ISO-8859-1")
+    val arr = doc.replace("/Filter /FlateDecode",
+      "/Filter /FlateDecode /DecodeParms [ null << /Predictor 2 >> ]")
+      .getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException] { Pdf.decodePages(arr) }
+    assert(e.getMessage.contains("DecodeParms"))
   }
 
   test("encode is deterministic and xref offsets resolve") {
