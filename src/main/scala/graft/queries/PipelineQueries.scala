@@ -588,12 +588,31 @@ object PipelineQueries {
     * to its max-cosine centroid cell (broadcast NL over the tiny codebook);
     * queries search ONLY their own cell — the classic recall/throughput
     * trade, oracle-checked because the cell assignment is deterministic. */
+  /** Coarse centroid seeds for the IVF-family queries (q35/q39/q77/q92):
+    * every `stride`-th vector with stride = max(100, ceil(n/256)) —
+    * identical to the original every-100th-vector rule for corpora up to
+    * 25.6k vectors (every committed small-SF oracle artifact and spec is
+    * bit-unchanged), but capping the codebook at ~256 centroids beyond
+    * that. Under the unbounded rule K grows as n/100, so the broadcast
+    * assignment (n·K dot products) silently turns O(n²/100): the sf100
+    * rung measured q35 SUPERLINEAR (3.5 s at 32k vectors → 25.1 s at
+    * 80k) from exactly this. A bounded K keeps assignment linear while
+    * cells grow with the corpus — the production IVF trade (fix K, tune
+    * nprobe). Every oracle mirrors the same integer arithmetic
+    * (`greatest(100, (count(*) + 255) // 256)`). */
+  private def centroidSeeds(e: DataFrame): DataFrame = {
+    val n = e.agg(count(lit(1)).as("n_total"))
+    e.crossJoin(broadcast(n))
+      .filter(col("vec_id") % greatest(lit(100L), expr("(n_total + 255) div 256")) === 0)
+      .drop("n_total")
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
       .cache()
-    val centroids = e.filter(col("vec_id") % 100 === 0)
+    val centroids = centroidSeeds(e)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
     // assignment: argmax over the broadcast codebook as a max_by hash agg
     // (ties → lower cent_id, same selection as the oracle's row_number).
@@ -622,7 +641,8 @@ object PipelineQueries {
 
   val annIvfOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      |           WHERE vec_id % (SELECT greatest(100, (count(*) + 255) // 256) FROM e) = 0),
       |  assigned AS (
       |    SELECT vec_id, v, cent_id AS cell FROM (
       |      SELECT e.vec_id, e.v, cent.cent_id,
@@ -733,7 +753,7 @@ object PipelineQueries {
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
       .cache()
-    val centroids = e.filter(col("vec_id") % 100 === 0)
+    val centroids = centroidSeeds(e)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("ccos", VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
@@ -763,7 +783,8 @@ object PipelineQueries {
 
   val semDedupOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      |           WHERE vec_id % (SELECT greatest(100, (count(*) + 255) // 256) FROM e) = 0),
       |  assigned AS (
       |    SELECT vec_id, v, cent_id AS cell FROM (
       |      SELECT e.vec_id, e.v, cent.cent_id,
@@ -994,9 +1015,9 @@ object PipelineQueries {
       .select(col("vec_id"),
         VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
       .cache()
-    // coarse codebook: every 100th vector, same as q35 — unit vectors so
+    // coarse codebook: bounded-stride seeds, same as q35 — unit vectors so
     // cosine is a bare dot against the broadcast centroid table
-    val centroids = e.filter(col("vec_id") % 100 === 0)
+    val centroids = centroidSeeds(e)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("cdot", VectorFns.dot(col("v"), col("cv")))
@@ -1621,7 +1642,7 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
-    val centroids = e.filter(col("vec_id") % 100 === 0)
+    val centroids = centroidSeeds(e)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("ccos", VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
@@ -1644,7 +1665,8 @@ object PipelineQueries {
 
   val clusterTopicsOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      |           WHERE vec_id % (SELECT greatest(100, (count(*) + 255) // 256) FROM e) = 0),
       |  assigned AS (
       |    SELECT vec_id AS doc_id, cent_id AS cell FROM (
       |      SELECT e.vec_id, cent.cent_id,

@@ -52,7 +52,10 @@ class IvfPqSpec extends SparkSuite {
       .select(col("vec_id"),
         graft.functions.VectorFns.l2Normalize(
           graft.functions.VectorFns.asDouble(col("embedding"))).as("v"))
-    val centroids = e.filter(col("vec_id") % 100 === 0)
+    // same bounded-stride arithmetic as PipelineQueries.centroidSeeds
+    val nTotal = e.count()
+    val stride = math.max(100L, (nTotal + 255L) / 256L)
+    val centroids = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy("query_id").orderBy(desc("cdot"), asc("cent_id"))
