@@ -10,6 +10,7 @@ after the testdata tables, and compares: column names, row count, and values
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -38,6 +39,14 @@ def canon(rows, cols):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # big-rung robustness: let DuckDB spill to disk instead of dying on a
+    # hard OOM when an oracle's intermediate state exceeds RAM (first hit:
+    # the composed as-of join's pair stream at the sf100 rung's 10M
+    # events). Insertion order is irrelevant here — rows are sorted before
+    # comparison — and dropping it shrinks blocking-operator memory.
+    os.makedirs(f"{out_dir}/duck_tmp", exist_ok=True)
+    con.execute(f"SET temp_directory='{out_dir}/duck_tmp'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
