@@ -653,6 +653,53 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60j: PDF 1.5 object-stream / xref-stream ingestion ------------------
+  /** The PDF 1.5+ packing every modern generator writes (ISO 32000
+    * §7.5.7-§7.5.8; app.py:123-132 reads it via PyMuPDF): catalog, page
+    * tree, and page dicts live INSIDE a compressed `/Type /ObjStm`
+    * object stream — invisible to a reader that only walks top-level
+    * objects — and the classic xref table is replaced by a binary
+    * `/Type /XRef` cross-reference stream (PNG-Up predictor rows). Docs
+    * alternate predictor-wrapped and plain xref streams by id. The
+    * object-graph walk resumes once ObjStm members are expanded, so
+    * q01's oracle applies VERBATIM; a header/offset/expansion bug loses
+    * pages and breaks the bit-exact match loudly (PdfCodecSpec
+    * additionally validates the emitted xref stream entry-by-entry). */
+  def pdfObjStmRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "pdfobjstm") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
+              graft.sources.Pdf.encodeObjStm(pages, xrefPredictor = id % 2 == 0))
+          }
+        }
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- q60e: real PNG ingestion (the image leg of the multimodal mandate) --
   /** The image path closed from REAL bytes: each doc is materialized as a
     * genuine PNG (8-bit grayscale, pixels = the text's byte values, rows
@@ -1025,6 +1072,7 @@ object SourceQueries {
     "q60f_pdf_flate" -> ((s, d) => pdfFlateRoundtrip(s, d)),
     "q60h_pdf_predictor" -> ((s, d) => pdfPredictorRoundtrip(s, d)),
     "q60i_pdf_filter_chains" -> ((s, d) => pdfFilterChainRoundtrip(s, d)),
+    "q60j_pdf_objstm" -> ((s, d) => pdfObjStmRoundtrip(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
@@ -1054,6 +1102,8 @@ object SourceQueries {
     "q60h_pdf_predictor" -> pagesConcatOracle,
     // q60i: same extraction contract over LZW / ASCII-transport chains
     "q60i_pdf_filter_chains" -> pagesConcatOracle,
+    // q60j: same contract over ObjStm-packed PDF 1.5 documents
+    "q60j_pdf_objstm" -> pagesConcatOracle,
     // q60g: q60b's arithmetic across three staged WAV subformats
     "q60g_wav_subformats" -> wavSubformatsOracle,
     // q60e's decoded pixels equal the text bytes, so q60's full

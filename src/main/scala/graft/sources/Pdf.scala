@@ -29,14 +29,21 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   * differencing), and 10-15 (PNG row filters — delegated to the SAME
   * per-row unfilter the PNG codec uses, since the PDF spec defines them
   * as exactly PNG's filters) are all decoded, at 8 bits per component.
+  * The PDF 1.5+ packing is supported too: `/Type /ObjStm` object
+  * streams are expanded into the object map (member bodies located via
+  * the /N pair header and /First), and the writer can emit the full
+  * modern shape — objects in an ObjStm plus a binary `/Type /XRef`
+  * cross-reference STREAM (`/W [ 1 4 2 ]` rows, PNG-Up predictor) in
+  * place of the classic xref table (§7.5.7-§7.5.8).
+  *
   * Scope beyond that is declared LOUDLY, not silently: any other /Filter
   * (DCTDecode, JBIG2, RunLength, crypt filters), chain shape, predictor
-  * value, or BitsPerComponent, a non-flat /DecodeParms, a missing page
-  * tree, or an unbalanced string throws — at lake scale a half-extracted
-  * PDF is corpus poison (same contract as the WAV and DOCX codecs). PDF
-  * bytes are treated as Latin-1 so byte offsets equal char offsets (the
-  * corpus payloads are ASCII; compressed stream bytes round trip 0-255
-  * exactly under Latin-1). */
+  * value, or BitsPerComponent, a non-flat /DecodeParms, a malformed
+  * ObjStm header, a missing page tree, or an unbalanced string throws —
+  * at lake scale a half-extracted PDF is corpus poison (same contract
+  * as the WAV and DOCX codecs). PDF bytes are treated as Latin-1 so
+  * byte offsets equal char offsets (the corpus payloads are ASCII;
+  * compressed stream bytes round trip 0-255 exactly under Latin-1). */
 object Pdf {
 
   private[graft] def isPdf(bytes: Array[Byte]): Boolean =
@@ -138,6 +145,84 @@ object Pdf {
     sb.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
     offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
     sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** PDF 1.5+ shape (ISO 32000 §7.5.7-§7.5.8): non-stream objects packed
+    * into a `/Type /ObjStm` object stream, and the cross-reference TABLE
+    * replaced by a `/Type /XRef` cross-reference STREAM — binary
+    * `/W [ 1 4 2 ]` rows, PNG-Up predictor-wrapped when `xrefPredictor`
+    * (the shape modern generators write; reuses the same §7.4.4.4
+    * predictor machinery as content streams). Stream objects may not
+    * live inside an ObjStm, so content streams stay top-level
+    * (FlateDecode). Object layout: 1 = the ObjStm; embedded in it:
+    * 2 catalog, 3 page tree, 4 font, 5..4+P page dicts; top-level
+    * 5+P..4+2P content streams; 5+2P = the XRef stream, whose dict
+    * carries /Root (there is no `trailer` keyword in this shape). */
+  private[graft] def encodeObjStm(pages: Seq[String],
+                                  xrefPredictor: Boolean = true): Array[Byte] = {
+    val P = pages.length
+    require(P > 0, "encodeObjStm: at least one page")
+    val embedded: Seq[(Int, String)] =
+      Seq(
+        2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+        3 -> (s"<< /Type /Pages /Kids [ ${(0 until P).map(i => s"${5 + i} 0 R").mkString(" ")} ] " +
+          s"/Count $P >>"),
+        4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+        (0 until P).map { i =>
+          (5 + i) -> (s"<< /Type /Page /Parent 3 0 R /MediaBox [ 0 0 612 792 ] " +
+            s"/Resources << /Font << /F1 4 0 R >> >> /Contents ${5 + P + i} 0 R >>")
+        }
+    val bodies = embedded.map(_._2 + "\n")
+    val offs = bodies.scanLeft(0)(_ + _.length).init
+    val header = embedded.map(_._1).zip(offs)
+      .map { case (id, o) => s"$id $o" }.mkString("", " ", "\n")
+    val first = header.length
+    val objStmComp = new String(deflate((header + bodies.mkString).getBytes(ISO_8859_1)), ISO_8859_1)
+
+    val sb = new StringBuilder
+    val topOffsets = scala.collection.mutable.Map[Int, Int]()
+    def obj(id: Int, body: String): Unit = {
+      topOffsets(id) = sb.length
+      sb.append(s"$id 0 obj\n").append(body).append("\nendobj\n")
+    }
+    sb.append("%PDF-1.5\n")
+    obj(1, s"<< /Type /ObjStm /N ${embedded.length} /First $first " +
+      s"/Length ${objStmComp.length} /Filter /FlateDecode >>\nstream\n$objStmComp\nendstream")
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val stream = s"BT /F1 12 Tf 72 720 Td (${escape(text)}) Tj ET"
+      val c = new String(deflate(stream.getBytes(ISO_8859_1)), ISO_8859_1)
+      obj(5 + P + i,
+        s"<< /Length ${c.length} /Filter /FlateDecode >>\nstream\n$c\nendstream")
+    }
+    val xrefId = 5 + 2 * P
+    val size = xrefId + 1
+    val xrefOff = sb.length
+    // /W [ 1 4 2 ]: 7-byte rows — type, 4-byte BE field2, 2-byte BE field3
+    val rows = new Array[Byte](size * 7)
+    def row(id: Int, tpe: Int, f2: Long, f3: Int): Unit = {
+      val b = id * 7
+      rows(b) = tpe.toByte
+      rows(b + 1) = ((f2 >> 24) & 0xFF).toByte; rows(b + 2) = ((f2 >> 16) & 0xFF).toByte
+      rows(b + 3) = ((f2 >> 8) & 0xFF).toByte; rows(b + 4) = (f2 & 0xFF).toByte
+      rows(b + 5) = ((f3 >> 8) & 0xFF).toByte; rows(b + 6) = (f3 & 0xFF).toByte
+    }
+    row(0, 0, 0L, 0xFFFF)                       // the free-list head
+    row(1, 1, topOffsets(1).toLong, 0)          // the ObjStm itself
+    embedded.map(_._1).zipWithIndex.foreach { case (id, j) =>
+      row(id, 2, 1L, j)                         // type 2: (objstm 1, index j)
+    }
+    (0 until P).foreach(i => row(5 + P + i, 1, topOffsets(5 + P + i).toLong, 0))
+    row(xrefId, 1, xrefOff.toLong, 0)
+    val (xrefData, xrefParms) =
+      if (xrefPredictor)
+        (Png.filterRows(rows, 7, 1, _ => 2), // PNG Up — predictor 12's classic shape
+          " /DecodeParms << /Predictor 12 /Columns 7 >>")
+      else (rows, "")
+    val xrefComp = new String(deflate(xrefData), ISO_8859_1)
+    obj(xrefId, s"<< /Type /XRef /Size $size /W [ 1 4 2 ] /Root 2 0 R " +
+      s"/Length ${xrefComp.length} /Filter /FlateDecode$xrefParms >>\nstream\n$xrefComp\nendstream")
     sb.append(s"startxref\n$xrefOff\n%%EOF\n")
     sb.toString.getBytes(ISO_8859_1)
   }
@@ -542,6 +627,54 @@ object Pdf {
     body.substring(ds, de)
   }
 
+  private def dictInt(dict: String, key: String): Int = {
+    val m = java.util.regex.Pattern.compile(s"/$key\\s+(\\d+)").matcher(dict)
+    require(m.find(), s"corrupt PDF: stream dict missing /$key")
+    m.group(1).toInt
+  }
+
+  private val objStmPat = java.util.regex.Pattern.compile("/Type\\s*/ObjStm\\b")
+
+  /** Expand `/Type /ObjStm` members into the object map (ISO 32000
+    * §7.5.7 — the PDF 1.5+ packing PyMuPDF reads transparently,
+    * app.py:123-132): the decoded stream begins with N whitespace-
+    * separated (objnum, offset) integer pairs, offsets relative to
+    * /First; member bodies follow. Stream objects cannot nest inside an
+    * ObjStm, so one pass suffices. Malformed headers, out-of-range
+    * offsets, and member ids colliding with top-level objects all throw
+    * — a silently half-expanded document would lose pages. */
+  private def expandObjectStreams(objs: Map[Int, String]): Map[Int, String] = {
+    val members = Map.newBuilder[Int, String]
+    objs.foreach { case (_, body) =>
+      val sAt = body.indexOf("stream")
+      val dict = if (sAt >= 0) body.substring(0, sAt) else body
+      if (objStmPat.matcher(dict).find()) {
+        require(sAt >= 0, "corrupt PDF: ObjStm without stream data")
+        val n = dictInt(dict, "N")
+        val first = dictInt(dict, "First")
+        val data = decodeStream(dict, streamData(body))
+        require(first <= data.length, "corrupt PDF: ObjStm /First beyond stream end")
+        val header = data.substring(0, first).trim
+        val nums = if (header.isEmpty) Array.empty[String] else header.split("\\s+")
+        require(nums.length == 2 * n,
+          s"corrupt PDF: ObjStm header carries ${nums.length} integers, expected ${2 * n}")
+        val pairs = nums.grouped(2).map(a => (a(0).toInt, a(1).toInt)).toArray
+        pairs.zipWithIndex.foreach { case ((id, off), j) =>
+          val start = first + off
+          val end = if (j + 1 < pairs.length) first + pairs(j + 1)._2 else data.length
+          require(start <= end && end <= data.length,
+            s"corrupt PDF: ObjStm member $id offset out of range")
+          members += id -> data.substring(start, end)
+        }
+      }
+    }
+    val m = members.result()
+    val clash = m.keySet.intersect(objs.keySet)
+    require(clash.isEmpty,
+      s"corrupt PDF: ObjStm member ids collide with top-level objects: ${clash.take(3)}")
+    objs ++ m
+  }
+
   private def ref(body: String, key: String): Int = {
     val at = body.indexOf(key)
     require(at >= 0, s"PDF object missing $key")
@@ -554,7 +687,7 @@ object Pdf {
   private[graft] def decodePages(bytes: Array[Byte]): Seq[String] = {
     require(isPdf(bytes), "not a PDF (missing %PDF- header)")
     val doc = new String(bytes, ISO_8859_1)
-    val objs = objects(doc)
+    val objs = expandObjectStreams(objects(doc))
     val rootAt = doc.lastIndexOf("/Root")
     require(rootAt >= 0, "corrupt PDF: trailer has no /Root")
     val catalog = objs(ref(doc.substring(rootAt), "/Root"))

@@ -287,6 +287,90 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DecodeParms"))
   }
 
+  // --- PDF 1.5+: object streams + cross-reference streams ----------------
+
+  test("round trip: ObjStm-packed documents (PDF 1.5 shape)") {
+    val pages = Seq("first page text", "second (with) delimiters \\ inside",
+      "operators inside strings: BT Tj ET endstream endobj")
+    for (pred <- Seq(true, false)) {
+      val z = Pdf.encodeObjStm(pages, xrefPredictor = pred)
+      val doc = new String(z, "ISO-8859-1")
+      assert(doc.startsWith("%PDF-1.5"))
+      assert(doc.contains("/Type /ObjStm"))
+      assert(doc.contains("/Type /XRef"))
+      assert(!doc.contains("trailer")) // the classic table is really gone
+      assert(Pdf.decodePages(z) === pages, s"xrefPredictor=$pred")
+    }
+    assert(Pdf.decodePages(Pdf.encodeObjStm(Seq("only"))) === Seq("only"))
+    val many = (0 until 120).map(i => s"page $i body with some text")
+    assert(Pdf.decodePages(Pdf.encodeObjStm(many)) === many)
+  }
+
+  test("the emitted cross-reference stream is a faithful binary index") {
+    // decode the XRef stream independently (inflate + PNG-Up unfilter at
+    // 7-byte rows) and check every entry against the actual document:
+    // type-1 rows must point at "<id> 0 obj", type-2 rows must name the
+    // ObjStm and the member's index within it
+    val pages = Seq("alpha", "beta", "gamma")
+    val z = Pdf.encodeObjStm(pages, xrefPredictor = true)
+    val doc = new String(z, "ISO-8859-1")
+    val startAt = doc.lastIndexOf("startxref\n")
+    val xrefOff = doc.substring(startAt + 10, doc.indexOf('\n', startAt + 10)).trim.toInt
+    val xrefId = 5 + 2 * pages.length
+    assert(doc.startsWith(s"$xrefId 0 obj", xrefOff), "startxref points at the XRef stream")
+    val dictStart = doc.indexOf("<<", xrefOff)
+    val streamKw = doc.indexOf("stream", dictStart)
+    val dict = doc.substring(dictStart, streamKw)
+    assert(dict.contains("/W [ 1 4 2 ]") && dict.contains("/Root 2 0 R"))
+    val size = "/Size (\\d+)".r.findFirstMatchIn(dict).get.group(1).toInt
+    val len = "/Length (\\d+)".r.findFirstMatchIn(dict).get.group(1).toInt
+    var ds = streamKw + "stream".length
+    if (doc(ds) == '\r') ds += 1
+    if (doc(ds) == '\n') ds += 1
+    val comp = doc.substring(ds, ds + len).getBytes("ISO-8859-1")
+    val inf = new java.util.zip.Inflater
+    inf.setInput(comp)
+    val buf = new Array[Byte](size * 8 * 2 + 64)
+    var got = 0
+    while (!inf.finished()) got += inf.inflate(buf, got, buf.length - got)
+    inf.end()
+    val rows = Png.unfilterRows(java.util.Arrays.copyOf(buf, got), 7, 1)
+    assert(rows.length === size * 7)
+    def be(b: Array[Byte], at: Int, n: Int): Long =
+      (0 until n).foldLeft(0L)((acc, i) => (acc << 8) | (b(at + i) & 0xFF))
+    for (id <- 0 until size) {
+      val t = rows(id * 7) & 0xFF
+      val f2 = be(rows, id * 7 + 1, 4)
+      val f3 = be(rows, id * 7 + 5, 2).toInt
+      if (id == 0) assert(t === 0)
+      else if (t == 1) assert(doc.startsWith(s"$id 0 obj", f2.toInt),
+        s"xref type-1 entry $id points at '${doc.substring(f2.toInt, f2.toInt + 10)}'")
+      else {
+        assert(t === 2)
+        assert(f2 === 1L, s"member $id names ObjStm ${f2}")
+        assert(f3 === id - 2, s"member $id at index $f3") // 2 catalog is member 0
+      }
+    }
+  }
+
+  test("corrupt ObjStm shapes fail loudly") {
+    val good = Pdf.encodeObjStm(Seq("page body", "another"))
+    val doc = new String(good, "ISO-8859-1")
+    // header pair count disagreeing with /N
+    val badN = doc.replaceFirst("/Type /ObjStm /N 5", "/Type /ObjStm /N 6")
+      .getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException] { Pdf.decodePages(badN) }
+    assert(e.getMessage.contains("ObjStm"))
+    // /First beyond the decoded stream
+    val badFirst = doc.replaceFirst("/First (\\d+)", "/First 99999").getBytes("ISO-8859-1")
+    intercept[IllegalArgumentException] { Pdf.decodePages(badFirst) }
+    // a missing /N is a named loud failure, not a silent skip
+    val noN = doc.replaceFirst("/Type /ObjStm /N \\d+", "/Type /ObjStm")
+      .getBytes("ISO-8859-1")
+    val e2 = intercept[IllegalArgumentException] { Pdf.decodePages(noN) }
+    assert(e2.getMessage.contains("/N"))
+  }
+
   test("encode is deterministic and xref offsets resolve") {
     val pages = Seq("alpha", "beta")
     val a = Pdf.encode(pages)
