@@ -700,6 +700,78 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60k: tar / tar.gz bundle ingestion ----------------------------------
+  /** The container shape corpora ship in at scale: docs are bundled into
+    * 16 multi-file `.tar` archives (odd bundles gzip'd to `.tar.gz`),
+    * one blob per bundle — so the lake holds thousands of multi-MB blobs
+    * instead of billions of small files, and one task decodes one bundle
+    * (the file-per-task discipline of the rest of the codec family;
+    * replaces the reference's per-file loop at `app.py:160-202`). The
+    * decode path exercises the REAL ustar grammar (checksums, block
+    * padding, end-of-archive marker, gzip transport detection): bundle
+    * membership comes from the CONTAINER path and entry ids from entry
+    * NAMES, so a mis-bundled, mis-named, dropped, or duplicated entry
+    * breaks the bit-exact oracle loudly. */
+  def tarBundleRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBundles = 16
+    val blobRoot = stagedBlobs(dir, "tar") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), (col("doc_id") % nBundles).as("bundle"))
+        // one shuffle co-locates each bundle's members in one task —
+        // exactly how a 1000-executor run would write 100k bundles
+        .repartition(nBundles, col("bundle"))
+        .as[(Long, String, Long)]
+        .foreachPartition { it: Iterator[(Long, String, Long)] =>
+          it.toSeq.groupBy(_._3).foreach { case (b, rows) =>
+            val entries = rows.sortBy(_._1).map { case (id, text, _) =>
+              (f"docs/doc_$id%06d.txt",
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            val tar = graft.sources.Tar.encode(entries)
+            val (bytes, ext) =
+              if (b % 2 == 1) (graft.sources.Tar.gzip(tar), "tar.gz") else (tar, "tar")
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"bundle_$b%02d.$ext").toPath, bytes)
+          }
+        }
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "bundle_(\\d+)\\.tar", 1).cast("long").as("bundle_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (bundleId, raw) =>
+        val tar = if (graft.sources.Tar.isGzip(raw)) graft.sources.Tar.gunzip(raw) else raw
+        graft.sources.Tar.decode(tar).map { case (name, data) =>
+          require(name.startsWith("docs/doc_") && name.endsWith(".txt"),
+            s"tar bundle: unexpected entry '$name'")
+          (name.stripPrefix("docs/doc_").stripSuffix(".txt").toLong, bundleId,
+            new String(data, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF("doc_id", "bundle_id", "doc_text")
+    val perBundle = org.apache.spark.sql.expressions.Window.partitionBy(col("bundle_id"))
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("bundle_id"),
+        count(lit(1)).over(perBundle).as("n_entries"),
+        (col("doc_text") === col("text")).as("roundtrip_ok"),
+        length(col("doc_text")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tarBundleOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 16 AS bundle_id, text
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id, bundle_id,
+      |       count(*) OVER (PARTITION BY bundle_id) AS n_entries,
+      |       true AS roundtrip_ok,
+      |       CAST(length(text) AS BIGINT) AS n_chars
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // --- q60e: real PNG ingestion (the image leg of the multimodal mandate) --
   /** The image path closed from REAL bytes: each doc is materialized as a
     * genuine PNG (8-bit grayscale, pixels = the text's byte values, rows
@@ -1073,6 +1145,7 @@ object SourceQueries {
     "q60h_pdf_predictor" -> ((s, d) => pdfPredictorRoundtrip(s, d)),
     "q60i_pdf_filter_chains" -> ((s, d) => pdfFilterChainRoundtrip(s, d)),
     "q60j_pdf_objstm" -> ((s, d) => pdfObjStmRoundtrip(s, d)),
+    "q60k_tar_bundles" -> ((s, d) => tarBundleRoundtrip(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
@@ -1104,6 +1177,9 @@ object SourceQueries {
     "q60i_pdf_filter_chains" -> pagesConcatOracle,
     // q60j: same contract over ObjStm-packed PDF 1.5 documents
     "q60j_pdf_objstm" -> pagesConcatOracle,
+    // q60k: bundle membership + per-bundle counts are pure doc_id
+    // arithmetic, so the oracle predicts the container layout exactly
+    "q60k_tar_bundles" -> tarBundleOracle,
     // q60g: q60b's arithmetic across three staged WAV subformats
     "q60g_wav_subformats" -> wavSubformatsOracle,
     // q60e's decoded pixels equal the text bytes, so q60's full
