@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
       NfcNormalizeExpr.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderExpr].getName, "graft_zorder"),
+      ZOrderExpr.sqlBuilder))
     // whole-operator tier: the merge-based as-of join (plans/AsOfJoinPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer-rule tier: collapse idempotent nested NFC applications

@@ -322,6 +322,115 @@ object OlapQueries {
       |  NOT (max(user_id) < 40 OR min(user_id) > 50) AS scanned_u40_50
       |FROM zed GROUP BY 1 ORDER BY tile""".stripMargin
 
+  // --- q105: linear-vs-zorder file-skipping differential ---------------------
+  /** q84 emits one layout's manifest; this query measures the VALUE of
+    * z-ordering — the same fact rows laid out two ways at the SAME
+    * 64-file granularity (sorted by `l_partkey` alone vs by the Morton
+    * key from [[graft.functions.ZOrderExpr]] over 256-bucket-normalized
+    * dims), then a box workload evaluated against each layout's per-file
+    * min/max footer ranges. Output: per layout, the files skipped for a
+    * partkey box, a suppkey box, and the 2-D box, plus rows scanned for
+    * the lead-column box and the 2-D box. The shape of the answer the
+    * oracle pins: linear wins the lead-column-only box but prunes
+    * NOTHING on the other dim; z-order prunes both dims and wins the
+    * 2-D box — the differential that makes a 100 TB table worth
+    * rewriting in z-order, quantified in rows.
+    *
+    * 100 TB shape: bucket ids, the z-key, file ids and box bounds are
+    * exact integer arithmetic over one broadcast min/max row — no
+    * global sort anywhere; the result is two bounded aggregations. The
+    * z-key is the codegen `graft_zorder` expression; the oracle
+    * recomputes the interleave bit-by-bit with a 31-term list sum — a
+    * fully independent arithmetic path. */
+  def layoutSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val stats = li.agg(
+      min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+      min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+    // normalize both dims to 256 equi-width buckets so the two layouts
+    // slice the SAME granularity (64 files each: linear = 4 adjacent
+    // a-buckets per file; zorder = one 32x32 block of the (a,b) grid —
+    // the 16-bit Morton key's top 6 bits)
+    val filed = li.crossJoin(broadcast(stats))
+      .withColumn("a", expr("(pk - min_pk) * 256L div (max_pk - min_pk + 1)"))
+      .withColumn("b", expr("(sk - min_sk) * 256L div (max_sk - min_sk + 1)"))
+      .withColumn("zkey", graft.functions.ZOrderExpr.zOrderKey(
+        col("a").cast("int"), col("b").cast("int")))
+      .withColumn("file_lin", expr("a div 4"))
+      .withColumn("file_z", expr("zkey div 1024"))
+      .withColumn("lo_pk", expr("min_pk + (max_pk - min_pk + 1) * 10 div 100"))
+      .withColumn("hi_pk", expr("min_pk + (max_pk - min_pk + 1) * 20 div 100"))
+      .withColumn("lo_sk", expr("min_sk + (max_sk - min_sk + 1) * 10 div 100"))
+      .withColumn("hi_sk", expr("min_sk + (max_sk - min_sk + 1) * 20 div 100"))
+    val both = filed.select(lit("linear").as("layout"), col("file_lin").as("file"),
+        col("pk"), col("sk"), col("lo_pk"), col("hi_pk"), col("lo_sk"), col("hi_sk"))
+      .unionAll(filed.select(lit("zorder").as("layout"), col("file_z").as("file"),
+        col("pk"), col("sk"), col("lo_pk"), col("hi_pk"), col("lo_sk"), col("hi_sk")))
+    val manifest = both.groupBy(col("layout"), col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pk")).as("fmin_pk"), max(col("pk")).as("fmax_pk"),
+        min(col("sk")).as("fmin_sk"), max(col("sk")).as("fmax_sk"),
+        min(col("lo_pk")).as("lo_pk"), min(col("hi_pk")).as("hi_pk"),
+        min(col("lo_sk")).as("lo_sk"), min(col("hi_sk")).as("hi_sk"))
+      .withColumn("skip_pk", col("fmax_pk") < col("lo_pk") || col("fmin_pk") > col("hi_pk"))
+      .withColumn("skip_sk", col("fmax_sk") < col("lo_sk") || col("fmin_sk") > col("hi_sk"))
+    manifest.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("skip_pk"), 1L).otherwise(0L)).as("files_skipped_pk"),
+        sum(when(col("skip_sk"), 1L).otherwise(0L)).as("files_skipped_sk"),
+        sum(when(col("skip_pk") || col("skip_sk"), 1L).otherwise(0L)).as("files_skipped_box"),
+        sum(when(!col("skip_pk"), col("n_rows")).otherwise(0L)).as("rows_scanned_pk_box"),
+        sum(when(!(col("skip_pk") || col("skip_sk")), col("n_rows")).otherwise(0L))
+          .as("rows_scanned_box"))
+      .orderBy(col("layout"))
+  }
+
+  val layoutSkippingOracle: String =
+    """WITH li AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |  s AS (SELECT min(pk) AS min_pk, max(pk) AS max_pk,
+      |               min(sk) AS min_sk, max(sk) AS max_sk FROM li),
+      |  bucketed AS (
+      |    SELECT pk, sk,
+      |      (pk - min_pk) * 256 // (max_pk - min_pk + 1) AS a,
+      |      (sk - min_sk) * 256 // (max_sk - min_sk + 1) AS b,
+      |      min_pk + (max_pk - min_pk + 1) * 10 // 100 AS lo_pk,
+      |      min_pk + (max_pk - min_pk + 1) * 20 // 100 AS hi_pk,
+      |      min_sk + (max_sk - min_sk + 1) * 10 // 100 AS lo_sk,
+      |      min_sk + (max_sk - min_sk + 1) * 20 // 100 AS hi_sk
+      |    FROM li CROSS JOIN s),
+      |  filed AS (
+      |    SELECT pk, sk, lo_pk, hi_pk, lo_sk, hi_sk,
+      |      a // 4 AS file_lin,
+      |      CAST(list_sum(list_transform(range(0, 31), i ->
+      |        ((a >> i) & 1) * (1::BIGINT << (2*i)) +
+      |        ((b >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS BIGINT) // 1024 AS file_z
+      |    FROM bucketed),
+      |  u AS (
+      |    SELECT 'linear' AS layout, file_lin AS file, pk, sk, lo_pk, hi_pk, lo_sk, hi_sk FROM filed
+      |    UNION ALL
+      |    SELECT 'zorder', file_z, pk, sk, lo_pk, hi_pk, lo_sk, hi_sk FROM filed),
+      |  manifest AS (
+      |    SELECT layout, file, count(*) AS n_rows,
+      |      min(pk) AS fmin_pk, max(pk) AS fmax_pk,
+      |      min(sk) AS fmin_sk, max(sk) AS fmax_sk,
+      |      min(lo_pk) AS lo_pk, min(hi_pk) AS hi_pk,
+      |      min(lo_sk) AS lo_sk, min(hi_sk) AS hi_sk
+      |    FROM u GROUP BY 1, 2),
+      |  flagged AS (
+      |    SELECT layout, n_rows,
+      |      (fmax_pk < lo_pk OR fmin_pk > hi_pk) AS skip_pk,
+      |      (fmax_sk < lo_sk OR fmin_sk > hi_sk) AS skip_sk
+      |    FROM manifest)
+      |SELECT layout, count(*) AS n_files,
+      |  CAST(sum(CASE WHEN skip_pk THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped_pk,
+      |  CAST(sum(CASE WHEN skip_sk THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped_sk,
+      |  CAST(sum(CASE WHEN skip_pk OR skip_sk THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped_box,
+      |  CAST(sum(CASE WHEN NOT skip_pk THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_pk_box,
+      |  CAST(sum(CASE WHEN NOT (skip_pk OR skip_sk) THEN n_rows ELSE 0 END) AS BIGINT)
+      |    AS rows_scanned_box
+      |FROM flagged GROUP BY layout ORDER BY layout""".stripMargin
+
   // --- q85: ordered funnel analysis -----------------------------------------
   /** The product-analytics staple: how many users progress through
     * view → click → signup → purchase IN ORDER, each step strictly after
@@ -535,6 +644,7 @@ object OlapQueries {
     "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
     "q68_approx_quantiles" -> ((s, d) => approxQuantilesChecked(s, d)),
     "q84_zorder_layout" -> ((s, d) => zorderLayout(s, d)),
+    "q105_layout_skipping" -> ((s, d) => layoutSkipping(s, d)),
     "q85_funnel" -> ((s, d) => funnel(s, d)),
     "q103_drift_psi" -> ((s, d) => driftPsi(s, d)),
     "q61_range_bracket" -> ((s, d) => rangeBracket(s, d)),
@@ -546,6 +656,7 @@ object OlapQueries {
   def oracles: Map[String, String] = Map(
     "q68_approx_quantiles" -> approxQuantilesCheckedOracle,
     "q84_zorder_layout" -> zorderLayoutOracle,
+    "q105_layout_skipping" -> layoutSkippingOracle,
     "q85_funnel" -> funnelOracle,
     "q103_drift_psi" -> driftPsiOracle,
     "q65_window_funcs" -> windowFuncsOracle,
