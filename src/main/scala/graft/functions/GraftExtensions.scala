@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderExpr].getName, "graft_zorder"),
       ZOrderExpr.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
+      KmvSketchAgg.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_pair"),
+      new ExpressionInfo(classOf[KmvPairExpr].getName, "graft_kmv_pair"),
+      KmvPairExpr.sqlBuilder))
     // whole-operator tier: the merge-based as-of join (plans/AsOfJoinPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer-rule tier: collapse idempotent nested NFC applications
