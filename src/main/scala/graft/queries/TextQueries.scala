@@ -917,6 +917,52 @@ object TextQueries {
       |       CAST(length(norm) AS BIGINT) AS n_norm, norm AS norm_text
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // --- q107: mojibake (double-encoding) repair -------------------------------
+  /** The ftfy-class fixup every web-corpus pipeline runs before
+    * anything else (C4/CCNet): text that went UTF-8 → decoded-as-cp1252
+    * somewhere upstream ("é" → "Ã©"), sometimes twice. The reference's
+    * bare latin-1 fallback (`app.py:145-158`) SHIPS this corruption;
+    * [[graft.text.Mojibake]] reverses it with a deterministic
+    * round-trip rule (sloppy-cp1252 re-encode + strict-UTF-8 decode,
+    * accept only strictly-shorter — no false positives on clean text).
+    *
+    * Fixture in-query (q102 precedent): clean = doc text + a suffix
+    * covering 2-byte, 3-byte, sloppy-0x81 and € sequences; corruption
+    * depth alternates 1/2 by doc_id. The repair runs executor-side over
+    * the corrupted column (map-only, embarrassingly parallel — the
+    * 100 TB shape is one scan, no shuffle); the oracle reconstructs the
+    * EXPECTED CLEAN TEXT verbatim in DuckDB, so an off-by-one in any
+    * byte table, the round counter, or the termination rule breaks the
+    * bit-exact match loudly. */
+  def mojibakeRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val suffix = " café → ☃ Łódź 10€"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val clean = text + suffix
+        val depth = 1 + (id % 2).toInt
+        val bad = graft.text.Mojibake.corrupt(clean, depth)
+        val (repaired, rounds) = graft.text.Mojibake.repair(bad)
+        (id, rounds, repaired == clean, repaired.length.toLong, repaired)
+      }
+      .toDF("doc_id", "rounds_fixed", "repaired_ok", "n_chars", "repaired_text")
+      .orderBy(col("doc_id"))
+  }
+
+  val mojibakeRepairOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    text || ' caf' || chr(233) || ' ' || chr(8594) || ' ' || chr(9731) ||
+      |    ' ' || chr(321) || chr(243) || 'd' || chr(378) || ' 10' || chr(8364) AS clean
+      |  FROM documents)
+      |SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS rounds_fixed,
+      |       TRUE AS repaired_ok,
+      |       CAST(length(clean) AS BIGINT) AS n_chars,
+      |       clean AS repaired_text
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // --- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition" -> ((s, d) => repetition(s, d)),
@@ -934,7 +980,8 @@ object TextQueries {
     "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
     "q95_gopher_rules" -> ((s, d) => gopherRules(s, d)),
     "q98_token_budget" -> ((s, d) => tokenBudget(s, d)),
-    "q102_text_normalize" -> ((s, d) => textNormalize(s, d))
+    "q102_text_normalize" -> ((s, d) => textNormalize(s, d)),
+    "q107_mojibake_repair" -> ((s, d) => mojibakeRepair(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -958,6 +1005,9 @@ object TextQueries {
     "q83_bpe_train" -> bpeTrainCheckedOracle,
     "q95_gopher_rules" -> gopherRulesOracle,
     "q98_token_budget" -> tokenBudgetOracle,
-    "q102_text_normalize" -> textNormalizeOracle
+    "q102_text_normalize" -> textNormalizeOracle,
+    // q107: the oracle rebuilds the expected clean text verbatim — the
+    // whole repair path is under the string-level bit-exact gate
+    "q107_mojibake_repair" -> mojibakeRepairOracle
   )
 }
