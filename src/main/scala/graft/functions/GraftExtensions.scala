@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kmv_pair"),
       new ExpressionInfo(classOf[KmvPairExpr].getName, "graft_kmv_pair"),
       KmvPairExpr.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimateExpr].getName, "graft_kmv_estimate"),
+      KmvEstimateExpr.sqlBuilder))
     // whole-operator tier: the merge-based as-of join (plans/AsOfJoinPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer-rule tier: collapse idempotent nested NFC applications

@@ -138,6 +138,49 @@ object KmvSketchAgg {
     else (k - 1).toDouble * Long.MaxValue.toDouble / hashes(k - 1).toDouble
 }
 
+/** `kmv_estimate(sketch)` → DOUBLE: the single-sketch cardinality read
+  * path. Exact (= the stored distinct count) below k, the Beyer 2007
+  * estimator at or past it. Eval-only (CodegenFallback) — one row per
+  * GROUP, never per input row. The streaming significance (q108):
+  * Structured Streaming rejects `count(DISTINCT)` outright, and holding
+  * the exact distinct set as state is unbounded; the sketch is the
+  * mergeable bounded state that makes windowed distinct counting
+  * streamable at all. */
+case class KmvEstimateExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_estimate requires a BINARY sketch, got ${t.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(blob: Any): Any = {
+    val (k, hashes) = KmvSketchAgg.decode(blob.asInstanceOf[Array[Byte]])
+    KmvSketchAgg.estimate(k, hashes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KmvEstimateExpr =
+    copy(child = newChild)
+}
+
+object KmvEstimateExpr {
+  def kmvEstimate(c: Column): Column =
+    Bridge.column(KmvEstimateExpr(Bridge.expression(c)))
+
+  val sqlBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"graft_kmv_estimate takes exactly 1 argument, got ${exprs.length}")
+    KmvEstimateExpr(exprs.head)
+  }
+}
+
 /** `kmv_pair(sketch_a, sketch_b)` → `STRUCT<est_a, est_b, est_union,
   * est_jaccard, est_intersection>` (all DOUBLE): the set-algebra read
   * path over two [[KmvSketchAgg]] blobs built with the SAME k. The

@@ -242,7 +242,25 @@ object StreamQueries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY window_start_us, c_mktsegment""".stripMargin
 
+  // --- q108: windowed distinct users via KMV sketch state --------------------
+  /** Batch form of [[EventStreams.windowedDistinct]] — the streaming
+    * distinct-cardinality pattern (count(DISTINCT) is rejected by
+    * Structured Streaming; the sketch is the bounded mergeable state
+    * that replaces it). k=4096 exceeds every (window, type) user
+    * cardinality at all test SFs, so the estimate is EXACT and the
+    * DuckDB count(DISTINCT) oracle checks the full sketch path
+    * bit-for-bit; stream≡batch asserted in StreamingSpec. */
+  def windowedDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.windowedDistinct(Tables.events(spark, dir))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  val windowedDistinctUsersOracle: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+      |  event_type, count(DISTINCT user_id) AS distinct_users
+      |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_stream_distinct_kmv" -> ((s, d) => windowedDistinctUsers(s, d)),
     "q57_stream_enrich" -> ((s, d) => streamEnrich(s, d)),
     "q56_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q55_interval_join" -> ((s, d) => intervalJoin(s, d)),
@@ -255,6 +273,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q108_stream_distinct_kmv" -> windowedDistinctUsersOracle,
     "q57_stream_enrich" -> streamEnrichOracle,
     "q56_stream_dedup" -> streamDedupOracle,
     "q55_interval_join" -> intervalJoinOracle,

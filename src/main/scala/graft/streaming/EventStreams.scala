@@ -120,4 +120,24 @@ object EventStreams {
       .select(unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  /** Windowed DISTINCT-user counting via the KMV sketch (S2 × §2.8).
+    * Structured Streaming rejects `count(DISTINCT x)` in an aggregation
+    * outright (and holding exact distinct sets as window state is
+    * unbounded); the mergeable sketch IS the streamable form — ≤ k
+    * longs of state per (window, type) group, identical batch/stream.
+    * With k above the group cardinality the sketch is the exact
+    * distinct set and the estimate is exact — q108 runs that regime so
+    * the whole path (codegen hash → imperative-buffer partial agg →
+    * merge → estimate read) sits under the DuckDB count(DISTINCT)
+    * oracle; the estimation regime is spec'd in KmvSketchSpec. */
+  def windowedDistinct(events: DataFrame, k: Int = 4096): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(xxhash64(col("user_id")), k).as("sk"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"),
+        graft.functions.KmvEstimateExpr.kmvEstimate(col("sk"))
+          .cast("long").as("distinct_users"))
 }

@@ -84,6 +84,18 @@ class KmvSketchSpec extends SparkSuite {
     assert(rows(0).getDouble(2) === 0.0) // evens and odds are disjoint
   }
 
+  test("plan shape: imperative-buffer agg runs partial before the exchange") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(v => (v % 7, v)).toDF("g", "v")
+      .groupBy(col("g")).agg(kmvSketch(xxhash64(col("v")), 64).as("sk"))
+    val plan = df.queryExecution.executedPlan.toString
+    // ObjectHashAggregate twice (partial + final) around one shuffle: map
+    // tasks reduce to <=k longs per group BEFORE the exchange — the
+    // mergeable-summaries contract the 100 TB story depends on
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(800))
+    assert(plan.contains("Exchange hashpartitioning"), plan.take(800))
+  }
+
   test("loud failure: mismatched k sketches refuse to pair") {
     import spark.implicits._
     val df = (1L to 100L).toDF("v")

@@ -27,6 +27,25 @@ class StreamingSpec extends SparkSuite {
     Ev(ts(2), 2L, "signup", 5.0),
     Ev(ts(130), 2L, "purchase", 7.0))
 
+  test("S2 windowed distinct via KMV sketch: stream equals batch, count is exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 3 appears twice in hour 1 for the same type — distinct must dedup
+    val dup = rows ++ Seq(Ev(ts(7), 3L, "error", 1.0), Ev(ts(9), 3L, "error", 2.0))
+    val mem = MemoryStream[Ev]
+    mem.addData(dup: _*)
+    val q = EventStreams.windowedDistinct(mem.toDF())
+      .writeStream.format("memory").queryName("wdist").outputMode(OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wdist").orderBy("window_start_us", "event_type").collect().toSeq
+    val batch = EventStreams.windowedDistinct(dup.toDF())
+      .orderBy("window_start_us", "event_type").collect().toSeq
+    assert(streamed === batch)
+    // hour-1 'error': users 1 and 3 (3 twice) -> exactly 2
+    val h1err = batch.filter(r => r.getString(1) == "error" && r.getLong(0) == 1704067200000000L)
+    assert(h1err.map(_.getLong(2)) === Seq(2L))
+  }
+
   test("S2 tumbling: stream (complete mode) equals batch on same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
