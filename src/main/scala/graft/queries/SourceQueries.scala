@@ -772,6 +772,80 @@ object SourceQueries {
       |       CAST(length(text) AS BIGINT) AS n_chars
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // --- q60l: HTML text extraction (the WET-conversion step) -----------------
+  /** The dominant real-world ingestion shape the reference never
+    * handles: web pages. Each doc is staged as a genuine HTML file
+    * (head with title/style/script to be DROPPED, an h1, a
+    * special-chars paragraph exercising entity decode, one `<p>` per
+    * 10-token window — `Html.encodePage`), read back via `binaryFile`,
+    * and extracted with the deterministic-lenience contract of
+    * [[graft.sources.Html]] (the Common Crawl WET step). The oracle
+    * reconstructs the expected text VERBATIM from `documents` — heading
+    * line + constant entity-bearing line + q02c's paragraph windows —
+    * so tag skipping, subtree dropping, entity decoding and the
+    * whitespace discipline are all under the string-level bit-exact
+    * gate. File-per-task like the rest of the codec family. */
+  def htmlExtractRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val constPara = "R&D <ok> \"q\" 10<20 done"
+    val blobRoot = stagedBlobs(dir, "html") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, (size(toks) - 1) div 10), i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))")
+          .as("paras"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, paras) =>
+            val page = graft.sources.Html.encodePage(
+              s"Title $id", s"Doc $id", constPara +: paras)
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.html").toPath,
+              page.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+    }
+    spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.html", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val extracted = graft.sources.Html.extractText(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        (id, extracted)
+      }
+      .toDF("doc_id", "extracted")
+      .select(col("doc_id"),
+        size(split(col("extracted"), "\n")).cast("bigint").as("n_lines"),
+        length(col("extracted")).cast("bigint").as("n_chars"),
+        col("extracted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val htmlExtractOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |  FROM documents WHERE length(text) > 0),
+      |  p AS (
+      |    SELECT doc_id, i AS para_no,
+      |           array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS para
+      |    FROM (SELECT doc_id, toks, unnest(generate_series(0, (len(toks)-1)//10)) AS i
+      |          FROM t)),
+      |  agg AS (
+      |    SELECT doc_id, string_agg(para, chr(10) ORDER BY para_no) AS body
+      |    FROM p GROUP BY doc_id),
+      |  ex AS (
+      |    SELECT doc_id,
+      |      'Doc ' || doc_id || chr(10) ||
+      |      'R&D <ok> "q" 10<20 done' || chr(10) || body AS extracted
+      |    FROM agg)
+      |SELECT doc_id,
+      |       CAST(len(string_split(extracted, chr(10))) AS BIGINT) AS n_lines,
+      |       CAST(length(extracted) AS BIGINT) AS n_chars, extracted
+      |FROM ex ORDER BY doc_id""".stripMargin
+
   // --- q60e: real PNG ingestion (the image leg of the multimodal mandate) --
   /** The image path closed from REAL bytes: each doc is materialized as a
     * genuine PNG (8-bit grayscale, pixels = the text's byte values, rows
@@ -1146,6 +1220,7 @@ object SourceQueries {
     "q60i_pdf_filter_chains" -> ((s, d) => pdfFilterChainRoundtrip(s, d)),
     "q60j_pdf_objstm" -> ((s, d) => pdfObjStmRoundtrip(s, d)),
     "q60k_tar_bundles" -> ((s, d) => tarBundleRoundtrip(s, d)),
+    "q60l_html_extract" -> ((s, d) => htmlExtractRoundtrip(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
@@ -1180,6 +1255,8 @@ object SourceQueries {
     // q60k: bundle membership + per-bundle counts are pure doc_id
     // arithmetic, so the oracle predicts the container layout exactly
     "q60k_tar_bundles" -> tarBundleOracle,
+    // q60l: the oracle rebuilds the expected extraction verbatim
+    "q60l_html_extract" -> htmlExtractOracle,
     // q60g: q60b's arithmetic across three staged WAV subformats
     "q60g_wav_subformats" -> wavSubformatsOracle,
     // q60e's decoded pixels equal the text bytes, so q60's full
