@@ -1160,6 +1160,66 @@ object SourceQueries {
     * block-splittable; file-level parallelism is the real contract),
     * record decode streaming within the task. The 16-shard staging keeps
     * that file-per-task structure at test scale. */
+  // --- q109: the WARC→WET pipeline composed end-to-end ----------------------
+  /** The actual Common Crawl conversion job, composed from this
+    * library's own codecs: crawl shards are WARC files whose `response`
+    * records carry raw HTML (staged here as genuine multi-record shards
+    * of `Html.encodePage` pages, 16 docs per shard, doc identity in
+    * WARC-Target-URI), and the job reads each shard file-per-task,
+    * walks the strict WARC grammar, extracts visible text from the HTML
+    * payload with the deterministic-lenience contract — producing
+    * exactly the WET rows a pretraining ingest consumes. Output schema
+    * and oracle are q60l's VERBATIM: the composition adds the container
+    * hop, and any interaction bug between the two codecs (payload
+    * byte-length vs string handling, record framing around markup)
+    * breaks the string-level bit-exact match loudly. */
+  def wetPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val date = "2024-01-01T00:00:00Z"
+    val constPara = "R&D <ok> \"q\" 10<20 done"
+    val blobRoot = stagedBlobs(dir, "warchtml") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+        .select(pmod(col("doc_id"), lit(16L)).as("bucket"), col("doc_id"), expr(
+          "transform(sequence(0, (size(toks) - 1) div 10), i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))")
+          .as("paras"))
+        .groupBy(col("bucket"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("paras")))).as("docs"))
+        .as[(Long, Seq[(Long, Seq[String])])]
+        .foreachPartition { it: Iterator[(Long, Seq[(Long, Seq[String])])] =>
+          it.foreach { case (bucket, docs) =>
+            val records = docs.map { case (id, paras) =>
+              graft.sources.Warc.Record("response", s"<urn:graft:resp/$id>",
+                s"urn:graft:doc/$id", date,
+                graft.sources.Html.encodePage(s"Title $id", s"Doc $id", constPara +: paras)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"crawl_$bucket%02d.warc").toPath,
+              graft.sources.Warc.encode(records))
+          }
+        }
+    }
+    spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        graft.sources.Warc.decode(bytes)
+          .filter(_.warcType == "response")
+          .map { r =>
+            (r.targetUri.stripPrefix("urn:graft:doc/").toLong,
+              graft.sources.Html.extractText(
+                new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
+          }
+      }
+      .toDF("doc_id", "extracted")
+      .select(col("doc_id"),
+        size(split(col("extracted"), "\n")).cast("bigint").as("n_lines"),
+        length(col("extracted")).cast("bigint").as("n_chars"),
+        col("extracted"))
+      .orderBy(col("doc_id"))
+  }
+
   def warcIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val date = "2024-01-01T00:00:00Z"
@@ -1221,6 +1281,7 @@ object SourceQueries {
     "q60j_pdf_objstm" -> ((s, d) => pdfObjStmRoundtrip(s, d)),
     "q60k_tar_bundles" -> ((s, d) => tarBundleRoundtrip(s, d)),
     "q60l_html_extract" -> ((s, d) => htmlExtractRoundtrip(s, d)),
+    "q109_wet_pipeline" -> ((s, d) => wetPipeline(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
@@ -1257,6 +1318,9 @@ object SourceQueries {
     "q60k_tar_bundles" -> tarBundleOracle,
     // q60l: the oracle rebuilds the expected extraction verbatim
     "q60l_html_extract" -> htmlExtractOracle,
+    // q109: the composed WARC→WET job reproduces q60l's contract exactly —
+    // the container hop is the delta under test
+    "q109_wet_pipeline" -> htmlExtractOracle,
     // q60g: q60b's arithmetic across three staged WAV subformats
     "q60g_wav_subformats" -> wavSubformatsOracle,
     // q60e's decoded pixels equal the text bytes, so q60's full

@@ -237,6 +237,88 @@ object TextQueries {
       |FROM bg JOIN model USING (bg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- q110: CCNet perplexity-bucket curation --------------------------------
+  /** CCNet's signature move (Wenzek et al. 2020): split each language's
+    * corpus into head/middle/tail thirds by LM quality and keep
+    * head+middle — the filter that produced the CCNet/RedPajama-v1 web
+    * corpora. Quality is q58's integer micro-prob fluency score (higher
+    * = more corpus-typical; CCNet's lower-perplexity-is-better,
+    * monotonically re-expressed).
+    *
+    * Scale shape — deliberately NOT `ntile(3) OVER (PARTITION BY
+    * lang ORDER BY score)`: that window sorts each language's ENTIRE
+    * corpus in one task chain. Instead the tercile THRESHOLDS come from
+    * a cumulative count over per-(lang, score) groups — a relation
+    * bounded by distinct score values (≤ 10⁶ by construction, integers
+    * in [0, 1e6]), not by corpus rows — and bucket assignment is then a
+    * map-only comparison against the broadcast 2-threshold row per
+    * lang. Same trick as q98's distributed prefix sum. Threshold
+    * semantics are CCNet's own: a score group that straddles a third
+    * boundary lands wholly in the better bucket (ties never split), so
+    * bucket sizes are ≥ n/3 exactly when ties cross the cut — all
+    * integer arithmetic, bit-exact cross-engine. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmFluency(spark, dir)
+      .select(col("doc_id"), col("avg_micro_p"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val perScore = scored.groupBy(col("lang"), col("avg_micro_p"))
+      .agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(desc("avg_micro_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perScore.withColumn("cum", sum(col("c")).over(wTop))
+    val nPerLang = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val thresholds = cum.join(nPerLang, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("cum") >= expr("(n + 2) div 3"), col("avg_micro_p"))).as("t1"),
+        max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("avg_micro_p"))).as("t2"))
+    scored.join(broadcast(thresholds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_micro_p"),
+        when(col("avg_micro_p") >= col("t1"), "head")
+          .when(col("avg_micro_p") >= col("t2"), "middle")
+          .otherwise("tail").as("ccnet_bucket"),
+        (col("avg_micro_p") >= col("t2")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ccnetBucketsOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |         list_transform(list_filter(string_split(text, ''), c -> c != ''),
+      |                        c -> ord(c)) AS codes
+      |  FROM documents WHERE length(text) >= 2),
+      |bg AS (SELECT doc_id, lang, codes[i] * 256 + codes[i + 1] AS bg
+      |       FROM d, unnest(generate_series(1, len(codes) - 1)) AS t(i)),
+      |bgc AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY bg),
+      |pfx AS (SELECT bg // 256 AS pfx, sum(n_bg) AS n_pfx FROM bgc GROUP BY 1),
+      |model AS (SELECT bg, n_bg * 1000000 // n_pfx AS p_micro
+      |          FROM bgc JOIN pfx ON bgc.bg // 256 = pfx.pfx),
+      |scored AS (
+      |  SELECT doc_id, any_value(lang) AS lang,
+      |         CAST(sum(p_micro) // count(*) AS BIGINT) AS avg_micro_p
+      |  FROM bg JOIN model USING (bg) GROUP BY doc_id),
+      |per_score AS (
+      |  SELECT lang, avg_micro_p, count(*) AS c FROM scored GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, avg_micro_p,
+      |         sum(c) OVER (PARTITION BY lang ORDER BY avg_micro_p DESC
+      |                      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM per_score),
+      |n AS (SELECT lang, count(*) AS n FROM scored GROUP BY lang),
+      |th AS (
+      |  SELECT cum.lang,
+      |         max(CASE WHEN cum >= (n + 2) // 3 THEN avg_micro_p END) AS t1,
+      |         max(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_micro_p END) AS t2
+      |  FROM cum JOIN n ON cum.lang = n.lang GROUP BY cum.lang)
+      |SELECT doc_id, scored.lang, avg_micro_p,
+      |       CASE WHEN avg_micro_p >= t1 THEN 'head'
+      |            WHEN avg_micro_p >= t2 THEN 'middle'
+      |            ELSE 'tail' END AS ccnet_bucket,
+      |       (avg_micro_p >= t2) AS keep
+      |FROM scored JOIN th ON scored.lang = th.lang
+      |ORDER BY doc_id""".stripMargin
+
   // --- q59: corpus-wide heavy hitters --------------------------------------
   /** Global top-k tokens — the classic whole-corpus reduce. The plan is
     * the other canonical top-k shape next to q6's per-group
@@ -981,7 +1063,8 @@ object TextQueries {
     "q95_gopher_rules" -> ((s, d) => gopherRules(s, d)),
     "q98_token_budget" -> ((s, d) => tokenBudget(s, d)),
     "q102_text_normalize" -> ((s, d) => textNormalize(s, d)),
-    "q107_mojibake_repair" -> ((s, d) => mojibakeRepair(s, d))
+    "q107_mojibake_repair" -> ((s, d) => mojibakeRepair(s, d)),
+    "q110_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1008,6 +1091,7 @@ object TextQueries {
     "q102_text_normalize" -> textNormalizeOracle,
     // q107: the oracle rebuilds the expected clean text verbatim — the
     // whole repair path is under the string-level bit-exact gate
-    "q107_mojibake_repair" -> mojibakeRepairOracle
+    "q107_mojibake_repair" -> mojibakeRepairOracle,
+    "q110_ccnet_buckets" -> ccnetBucketsOracle
   )
 }
