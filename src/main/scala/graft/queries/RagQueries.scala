@@ -800,8 +800,70 @@ object RagQueries {
       |FROM enc e JOIN top t USING (term)
       |ORDER BY t.term_rank, e.segment""".stripMargin
 
+  // --- q111: BM25 answered FROM the persisted index artifact -----------------
+  /** q81 re-scans the corpus per query batch; this is the production
+    * search path it amortizes into: the index is BUILT ONCE as a
+    * parquet lake — `postings(term, doc_id, tf)` range-partitioned and
+    * sorted by term, `doclens(doc_id, dl)` — and every query batch
+    * afterwards reads ONLY the posting rows for its terms: the
+    * query-term filter is a literal `IN`, so it pushes into the parquet
+    * scan and the term-sorted layout lets row-group min/max statistics
+    * skip everything else (the Lucene-segment economics, in lake form;
+    * plan-asserted in RagIndexSpec). Corpus-level stats (N, avgdl)
+    * reduce from the doclens table — index metadata, not a corpus
+    * rescan. Scoring arithmetic is q81's VERBATIM, so q81's oracle
+    * applies unchanged: the artifact round trip (write → read →
+    * pushdown) is the delta under test, and the documented build-cost
+    * amortization (the q38/q39 trade) gets its query-side half
+    * measured. */
+  def bm25FromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idxRoot = SourceQueries.stagedBlobs(dir, "bm25idx") { staging =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .withColumn("dl", expr("size(toks)").cast("bigint"))
+      docs.select(col("doc_id"), col("dl"))
+        .write.parquet(new java.io.File(staging, "doclens").getAbsolutePath)
+      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .repartitionByRange(8, col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.parquet(new java.io.File(staging, "postings").getAbsolutePath)
+    }
+    // term literals derive from the CONSTANT chat queries (not from data)
+    val queryTerms = chatQueries.flatMap(_._2.toLowerCase.split(" "))
+      .filter(_.length > 3).distinct.sorted
+    val doclens = spark.read.parquet(s"$idxRoot/doclens")
+    val stats = doclens.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val matched = spark.read.parquet(s"$idxRoot/postings")
+      .filter(col("term").isin(queryTerms: _*))
+    val terms = chatQueriesDf(spark)
+      .select(col("query_id"), explode(split(lower(col("qtext")), " ")).as("term"))
+      .filter(length(col("term")) > 3).distinct()
+    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val contrib = matched
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(terms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("c",
+        (col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .cast("decimal(28,12)"))
+    val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id")).agg(sum(col("c")).as("s"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("doc_id"),
+        round(col("s").cast("double"), 6).as("bm25"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_inverted_index" -> ((s, d) => invertedIndex(s, d)),
+    "q111_bm25_from_index" -> ((s, d) => bm25FromIndex(s, d)),
     "q16_memory_window" -> ((s, d) => memoryWindow(s, d)),
     "q09_preview" -> ((s, d) => preview(s, d)),
     "q14_context_assembly" -> ((s, d) => contextAssembly(s, d)),
@@ -821,6 +883,9 @@ object RagQueries {
 
   def oracles: Map[String, String] = Map(
     "q104_inverted_index" -> invertedIndexOracle,
+    // q111: identical scoring arithmetic to q81 from the index artifact —
+    // the persisted-lake round trip is the delta under test
+    "q111_bm25_from_index" -> bm25Oracle,
     "q16_memory_window" -> memoryWindowOracle,
     "q09_preview" -> previewOracle,
     "q14_context_assembly" -> contextAssemblyOracle,

@@ -265,7 +265,7 @@ object SourceQueries {
     * published with an atomic rename; if a concurrent run won the rename,
     * theirs is used. On a cluster the blob dir would be DFS; local-mode
     * it's a shared local dir. */
-  private def stagedBlobs(dir: String, fmt: String, srcTable: String = "documents")(
+  private[queries] def stagedBlobs(dir: String, fmt: String, srcTable: String = "documents")(
       populate: java.io.File => Unit): java.io.File = {
     val sfName = new java.io.File(dir).getName
     val src = new java.io.File(s"$dir/$srcTable.parquet")
