@@ -607,7 +607,11 @@ object PipelineQueries {
       .drop("n_total")
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF index relation (vec_id, v, n, cell): every vector with its
+    * coarse-cell assignment. Shared by the in-query path (q35) and the
+    * persisted-lake path (q35c) so the quantizer arithmetic can never
+    * diverge between them. */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
@@ -624,9 +628,13 @@ object PipelineQueries {
       .withColumn("ccos", VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
       .groupBy(col("vec_id"))
       .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
-    val assigned = assignedIds.join(e, Seq("vec_id"))
+    assignedIds.join(e, Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("n"), col("cell"))
       .cache()
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(spark, dir)
     val queries = assigned.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell"))
     val wq = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
@@ -658,6 +666,38 @@ object PipelineQueries {
       |    FROM q JOIN assigned a ON q.cell = a.cell)
       |SELECT query_id, vec_id, cell, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank
       |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---- ANN from the persisted IVF index (q111's vector-side twin) ----------
+  /** The serving economics the q38/q39 bench notes document, measured
+    * on the query side: the IVF index is BUILT ONCE and written as a
+    * CELL-PARTITIONED parquet lake (`cells/cell=<id>/…`), and a query
+    * batch then probes it — the probe join keys on the partition
+    * column, so DYNAMIC PARTITION PRUNING plants a runtime filter in
+    * the index scan and only the probed cells' files are read (the
+    * `nprobe`-files-of-N economics of a real IVF serving layer,
+    * expressed entirely as lake layout + Spark's own DPP; plan-asserted
+    * in AnnIndexSpec). Assignment arithmetic is [[ivfAssigned]], shared
+    * with q35, so the output is bit-identical and q35's oracle applies
+    * VERBATIM — the persisted round trip + pruning is the delta under
+    * test. */
+  def annIvfFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idxRoot = SourceQueries.stagedBlobs(dir, "ivfidx", srcTable = "embeddings") { staging =>
+      ivfAssigned(spark, dir)
+        .write.partitionBy("cell")
+        .parquet(new java.io.File(staging, "cells").getAbsolutePath)
+    }
+    val indexed = spark.read.parquet(s"$idxRoot/cells")
+    val queries = indexed.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    indexed.join(broadcast(queries), Seq("cell"))
+      .withColumn("cosine", VectorFns.safeCosine(VectorFns.dot(col("qv"), col("v")), col("qn"), col("n")))
+      .withColumn("rank", row_number().over(wq).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   // ---- ANN: 1-bit sign quantization + Hamming shortlist --------------------
   /** Binary-quantized ANN: each d-dim vector compresses to ceil(d/64)
@@ -1789,6 +1829,7 @@ object PipelineQueries {
     "q33b_neardup_simhash_md5" -> ((s, d) => neardupSimhashPortable(s, d)),
     "q34_neardup_embedding" -> ((s, d) => neardupEmbedding(s, d)),
     "q35_ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "q35c_ann_ivf_index" -> ((s, d) => annIvfFromIndex(s, d)),
     "q36_ann_lsh" -> ((s, d) => annLshChecked(s, d)),
     "q36b_ann_srp_md5" -> ((s, d) => annSrpPortable(s, d)),
     "q38_ann_pq" -> ((s, d) => annPqChecked(s, d)),
@@ -1822,6 +1863,9 @@ object PipelineQueries {
     "q39_ann_ivfpq" -> annWitnessOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
     "q35_ann_ivf" -> annIvfOracle,
+    // q35c: same quantizer arithmetic from the persisted cell lake —
+    // the round trip + dynamic partition pruning is the delta under test
+    "q35c_ann_ivf_index" -> annIvfOracle,
     "q96_ann_hamming" -> annHammingOracle,
     "q101_incremental_dedup" -> incrementalDedupOracle,
     "q77_semdedup" -> semDedupOracle,
