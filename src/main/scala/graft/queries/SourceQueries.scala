@@ -124,6 +124,44 @@ object SourceQueries {
       |SELECT doc_id, encoding, CAST(length(text) AS BIGINT) AS text_len, text
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // --- q03b: BOM-aware decode (UTF-8 BOM, UTF-16 LE/BE) ----------------------
+  /** The byte-level ingest gap q03's reference contract leaves open:
+    * Windows-written text arrives with BOMs, and UTF-16 both ways. A
+    * BOM-blind reader keeps a garbage U+FEFF first char (UTF-8 BOM) or
+    * NUL-interleaves the text via the latin-1 fallback (UTF-16). Docs
+    * cycle four on-disk encodings by doc_id; `TextExtract.decodeAuto`
+    * sniffs and decodes executor-side over the BINARY column, and the
+    * oracle predicts both the chosen codec label and the decoded text
+    * VERBATIM — a sniff-order or offset bug breaks the string gate. */
+  def bomDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bytes = (id % 4) match {
+          case 0 => utf8
+          case 1 => Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ utf8
+          case 2 => Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+          case _ => Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+        }
+        val (decoded, enc) = graft.sources.TextExtract.decodeAuto(bytes)
+        (id, enc, decoded.length.toLong, decoded)
+      }
+      .toDF("doc_id", "encoding", "text_len", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val bomDecodeOracle: String =
+    """SELECT doc_id,
+      |       CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+      |            WHEN 2 THEN 'utf-16le' ELSE 'utf-16be' END AS encoding,
+      |       CAST(length(text) AS BIGINT) AS text_len, text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // --- q08: collection lifecycle (O6/O7/O8) ---------------------------------
   /** The Qdrant collection lifecycle (create idempotent, upsert-as-append,
     * drop+recreate — app.py:84-91, 204-212, 493-498) run against a real
@@ -1069,6 +1107,45 @@ object SourceQueries {
       .orderBy(col("event_type"))
   }
 
+  // --- q89b: gzip-compressed JSONL lake ------------------------------------
+  /** q89's round trip through the shape text lakes actually sit in at
+    * rest: one gzip member per part file (`.json.gz`), written via the
+    * source's own compression codec. The scale-relevant property this
+    * pins: gzip text is NOT splittable — each .gz part is one task —
+    * so write-side partition count IS the read-side parallelism knob
+    * (8 parts staged here); a single fat .gz would serialize the whole
+    * read. Schema-on-read, same escape/unescape and µs-timestamp
+    * discipline, q89's oracle applies VERBATIM — the codec hop is the
+    * delta under test. */
+  def jsonlGzipRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val root = stagedBlobs(dir, "jsonlgz", srcTable = "events") { staging =>
+      Tables.events(spark, dir)
+        .repartition(8) // read-side parallelism for an unsplittable codec
+        .write.mode("overwrite")
+        .option("timestampFormat", tsFmt)
+        .option("compression", "gzip")
+        .json(new java.io.File(staging, "events_jsonl_gz").getAbsolutePath)
+    }
+    val gzDir = new java.io.File(root, "events_jsonl_gz")
+    require(gzDir.listFiles().exists(_.getName.endsWith(".json.gz")),
+      "q89b: staged lake is not gzip-compressed")
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.read.schema(schema)
+      .option("timestampFormat", tsFmt)
+      .json(gzDir.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        sum(length(col("props"))).as("props_chars"),
+        sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
   val jsonlRoundtripOracle: String =
     """SELECT event_type, count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
@@ -1269,6 +1346,7 @@ object SourceQueries {
     "q01_pages_concat" -> ((s, d) => pagesConcat(s, d)),
     "q02c_paragraph_join" -> ((s, d) => paragraphJoin(s, d)),
     "q03_encoding_fallback" -> ((s, d) => encodingFallback(s, d)),
+    "q03b_bom_decode" -> ((s, d) => bomDecode(s, d)),
     "q08_collection_lifecycle" -> ((s, d) => collectionLifecycle(s, d)),
     "q23_hybrid_combine" -> ((s, d) => hybridCombine(s, d)),
     "q60_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
@@ -1289,6 +1367,7 @@ object SourceQueries {
     "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d)),
     "q87_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d)),
     "q89_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d)),
+    "q89b_jsonl_gzip" -> ((s, d) => jsonlGzipRoundtrip(s, d)),
     "q94_pdf_preview" -> ((s, d) => pdfPreview(s, d)),
     "q100_warc_ingest" -> ((s, d) => warcIngest(s, d))
   )
@@ -1297,6 +1376,7 @@ object SourceQueries {
     "q01_pages_concat" -> pagesConcatOracle,
     "q02c_paragraph_join" -> paragraphJoinOracle,
     "q03_encoding_fallback" -> encodingFallbackOracle,
+    "q03b_bom_decode" -> bomDecodeOracle,
     "q08_collection_lifecycle" -> collectionLifecycleOracle,
     "q23_hybrid_combine" -> hybridCombineOracle,
     "q60_multimodal_decode" -> multimodalDecodeOracle,
@@ -1331,6 +1411,8 @@ object SourceQueries {
     "q80_partitioned_lake" -> partitionedLakeOracle,
     "q87_csv_roundtrip" -> csvRoundtripOracle,
     "q89_jsonl_roundtrip" -> jsonlRoundtripOracle,
+    // q89b: the gzip codec hop reproduces q89's contract exactly
+    "q89b_jsonl_gzip" -> jsonlRoundtripOracle,
     "q94_pdf_preview" -> pdfPreviewOracle,
     "q100_warc_ingest" -> warcIngestOracle
   )

@@ -31,6 +31,34 @@ object TextExtract {
     }
   }
 
+  /** BOM-aware decode — the step `app.py:145-158` is missing and real
+    * text corpora need: Windows tooling writes UTF-8 with a BOM and
+    * UTF-16 both endiannesses with theirs, and a BOM-blind UTF-8 reader
+    * either keeps a garbage U+FEFF first char or (UTF-16) falls through
+    * to latin-1 and interleaves every char with NULs. Sniff order:
+    * EF BB BF → UTF-8 (BOM stripped); FF FE → UTF-16LE; FE FF →
+    * UTF-16BE; else [[decodeWithFallback]]. UTF-16 decode is STRICT —
+    * a truncated surrogate or odd byte count throws rather than
+    * silently replacing, the codec family's discipline. Returns
+    * (text, encodingUsed). */
+  def decodeAuto(bytes: Array[Byte]): (String, String) = {
+    if (bytes == null || bytes.isEmpty) return ("", "utf-8")
+    def strict(cs: java.nio.charset.Charset, from: Int): String = {
+      val dec = cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      dec.decode(ByteBuffer.wrap(bytes, from, bytes.length - from)).toString
+    }
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xEF &&
+        (bytes(1) & 0xff) == 0xBB && (bytes(2) & 0xff) == 0xBF)
+      (strict(StandardCharsets.UTF_8, 3), "utf-8-bom")
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xFE)
+      (strict(StandardCharsets.UTF_16LE, 2), "utf-16le")
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFE && (bytes(1) & 0xff) == 0xFF)
+      (strict(StandardCharsets.UTF_16BE, 2), "utf-16be")
+    else decodeWithFallback(bytes)
+  }
+
   /** DOCX-style paragraph join: non-empty trimmed paragraphs, "\n" glue
     * (app.py:134-143 keeps only truthy `para.text`). */
   def joinParagraphs(paras: Seq[String]): String =

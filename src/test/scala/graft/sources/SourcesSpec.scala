@@ -8,6 +8,28 @@ import graft.SparkSuite
 
 class SourcesSpec extends SparkSuite {
 
+  test("BOM-aware decode: all four sniff branches + strict UTF-16 failures") {
+    val s = "héllo wörld"
+    assert(TextExtract.decodeAuto(s.getBytes("UTF-8")) === ((s, "utf-8")))
+    assert(TextExtract.decodeAuto(
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ s.getBytes("UTF-8")) ===
+      ((s, "utf-8-bom")))
+    assert(TextExtract.decodeAuto(
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++ s.getBytes("UTF-16LE")) === ((s, "utf-16le")))
+    assert(TextExtract.decodeAuto(
+      Array[Byte](0xFE.toByte, 0xFF.toByte) ++ s.getBytes("UTF-16BE")) === ((s, "utf-16be")))
+    // BOM-only file decodes to empty with the BOM's codec
+    assert(TextExtract.decodeAuto(Array[Byte](0xFF.toByte, 0xFE.toByte)) === (("", "utf-16le")))
+    assert(TextExtract.decodeAuto(Array.empty[Byte]) === (("", "utf-8")))
+    // odd byte count after a UTF-16 BOM is corruption, not data — loud
+    assertThrows[java.nio.charset.CharacterCodingException] {
+      TextExtract.decodeAuto(
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++ s.getBytes("UTF-16LE").dropRight(1))
+    }
+    // no BOM → the q03 fallback contract is unchanged
+    assert(TextExtract.decodeAuto(Array[Byte]('h', 0xE9.toByte))._2 === "latin-1")
+  }
+
   test("O3 decode: valid UTF-8 stays UTF-8, malformed falls back to latin-1") {
     val (t1, e1) = TextExtract.decodeWithFallback("héllo wörld".getBytes("UTF-8"))
     assert(t1 === "héllo wörld" && e1 === "utf-8")
