@@ -810,6 +810,54 @@ object SourceQueries {
       |       CAST(length(text) AS BIGINT) AS n_chars
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // --- q60m: RC4-encrypted PDF ingestion ------------------------------------
+  /** The "encrypted but openable" PDFs every large corpus contains:
+    * standard security handler with an EMPTY user password (the shape
+    * rights-management tooling emits; PyMuPDF opens them transparently,
+    * `app.py:123-132`). Docs alternate revision 2 (RC4-40, /V 1) and
+    * revision 3 (RC4-128, /V 2) by id, all FlateDecode-compressed, so
+    * both key-derivation paths (single MD5 vs the 50-iteration loop,
+    * plain vs 19-round RC4 for /O and /U) and the decrypt-then-inflate
+    * order run under the bit-exact gate. The /U authentication check
+    * runs per file — a real password, AES (/V 4+), or a tampered /U
+    * throws loudly (PdfCodecSpec pins those). q01's oracle applies
+    * VERBATIM. */
+  def pdfEncryptedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "pdfenc") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
+              graft.sources.Pdf.encode(pages, compress = true,
+                encryptRev = if (id % 2 == 0) 2 else 3))
+          }
+        }
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- q60l: HTML text extraction (the WET-conversion step) -----------------
   /** The dominant real-world ingestion shape the reference never
     * handles: web pages. Each doc is staged as a genuine HTML file
@@ -1359,6 +1407,7 @@ object SourceQueries {
     "q60j_pdf_objstm" -> ((s, d) => pdfObjStmRoundtrip(s, d)),
     "q60k_tar_bundles" -> ((s, d) => tarBundleRoundtrip(s, d)),
     "q60l_html_extract" -> ((s, d) => htmlExtractRoundtrip(s, d)),
+    "q60m_pdf_encrypted" -> ((s, d) => pdfEncryptedRoundtrip(s, d)),
     "q109_wet_pipeline" -> ((s, d) => wetPipeline(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
@@ -1398,6 +1447,8 @@ object SourceQueries {
     "q60k_tar_bundles" -> tarBundleOracle,
     // q60l: the oracle rebuilds the expected extraction verbatim
     "q60l_html_extract" -> htmlExtractOracle,
+    // q60m: same extraction contract over RC4-encrypted documents
+    "q60m_pdf_encrypted" -> pagesConcatOracle,
     // q109: the composed WARC→WET job reproduces q60l's contract exactly —
     // the container hop is the delta under test
     "q109_wet_pipeline" -> htmlExtractOracle,

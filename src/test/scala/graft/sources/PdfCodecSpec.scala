@@ -371,6 +371,61 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("/N"))
   }
 
+  test("round trip: RC4-encrypted documents (standard handler R2 and R3)") {
+    val pages = Seq("first page text", "second page with (parens) and \\ escapes",
+      "operators inside strings: BT Tj ET endstream endobj")
+    for (rev <- Seq(2, 3)) {
+      // uncompressed + encrypted
+      val plain = Pdf.encode(pages, encryptRev = rev)
+      val doc = new String(plain, "ISO-8859-1")
+      assert(doc.contains("/Filter /Standard") && doc.contains(s"/R $rev"))
+      assert(doc.contains("/Encrypt") && doc.contains("/ID"))
+      // the stored stream really is ciphertext: the page text must not
+      // appear in the raw bytes
+      assert(!doc.contains("first page text"))
+      assert(Pdf.decodePages(plain) === pages)
+      // FlateDecode + encrypted (decrypt-then-inflate order)
+      val z = Pdf.encode(pages, compress = true, encryptRev = rev)
+      assert(Pdf.decodePages(z) === pages)
+    }
+  }
+
+  test("encryption loud failures: wrong password, AES, ObjStm combo") {
+    val pages = Seq("secret")
+    val bytes = Pdf.encode(pages, encryptRev = 3)
+    val doc = new String(bytes, "ISO-8859-1")
+    // corrupt the stored /U → the empty-password authentication fails
+    val uAt = doc.indexOf("/U <")
+    val tampered = doc.substring(0, uAt + 4) +
+      (if (doc(uAt + 4) == '0') '1' else '0') + doc.substring(uAt + 5)
+    val ex = intercept[IllegalArgumentException](
+      Pdf.decodePages(tampered.getBytes("ISO-8859-1")))
+    assert(ex.getMessage.contains("password required"))
+    // an AES-era /V 4 declaration is rejected by name, not half-decrypted
+    val aes = doc.replace("/V 2 /R 3", "/V 4 /R 4")
+    val ex2 = intercept[IllegalArgumentException](
+      Pdf.decodePages(aes.getBytes("ISO-8859-1")))
+    assert(ex2.getMessage.contains("AES"))
+    // unsupported revision at encode time
+    assertThrows[IllegalArgumentException](Pdf.encode(pages, encryptRev = 4))
+  }
+
+  test("RC4 and key derivation match their public test vectors") {
+    // RC4 vector (public, from the original posting): key "Key",
+    // plaintext "Plaintext" → BBF316E8D940AF0AD3
+    val ct = Pdf.rc4("Key".getBytes("US-ASCII"), "Plaintext".getBytes("US-ASCII"))
+    assert(ct.map(b => f"${b & 0xff}%02X").mkString === "BBF316E8D940AF0AD3")
+    // RC4 is its own inverse (the property cryptObject relies on)
+    assert(new String(Pdf.rc4("Key".getBytes("US-ASCII"), ct), "US-ASCII") === "Plaintext")
+    // derivation is deterministic in (rev, P, id)
+    val a = Pdf.stdSecurity(3, -4, Array.fill[Byte](16)(7))
+    val b = Pdf.stdSecurity(3, -4, Array.fill[Byte](16)(7))
+    assert(a._1.toSeq === b._1.toSeq && a._2.toSeq === b._2.toSeq && a._3.toSeq === b._3.toSeq)
+    // and sensitive to every input
+    val c = Pdf.stdSecurity(3, -4, Array.fill[Byte](16)(8))
+    assert(a._3.toSeq !== c._3.toSeq)
+  }
+
   test("encode is deterministic and xref offsets resolve") {
     val pages = Seq("alpha", "beta")
     val a = Pdf.encode(pages)
