@@ -814,17 +814,19 @@ object SourceQueries {
   /** The "encrypted but openable" PDFs every large corpus contains:
     * standard security handler with an EMPTY user password (the shape
     * rights-management tooling emits; PyMuPDF opens them transparently,
-    * `app.py:123-132`). Docs alternate revision 2 (RC4-40, /V 1) and
-    * revision 3 (RC4-128, /V 2) by id, all FlateDecode-compressed, so
-    * both key-derivation paths (single MD5 vs the 50-iteration loop,
-    * plain vs 19-round RC4 for /O and /U) and the decrypt-then-inflate
-    * order run under the bit-exact gate. The /U authentication check
-    * runs per file — a real password, AES (/V 4+), or a tampered /U
-    * throws loudly (PdfCodecSpec pins those). q01's oracle applies
-    * VERBATIM. */
+    * `app.py:123-132`). Docs cycle the three handler generations by id:
+    * revision 2 (RC4-40, /V 1), revision 3 (RC4-128, /V 2), and AESV2
+    * (AES-128-CBC crypt filter, /V 4 /R 4 — the Acrobat-7-era shape),
+    * all FlateDecode-compressed, so every key-derivation path (single
+    * MD5 vs the 50-iteration loop, plain vs 19-round RC4 for /O and
+    * /U, the sAlT-extended AES object key), the IV+CBC+padding layer,
+    * and the decrypt-then-inflate order run under the bit-exact gate.
+    * The /U authentication check runs per file — a real password,
+    * AES-256 (/V 5), or a tampered /U or ciphertext throws loudly
+    * (PdfCodecSpec pins those). q01's oracle applies VERBATIM. */
   def pdfEncryptedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdfenc") { staging =>
+    val blobRoot = stagedBlobs(dir, "pdfenc3") { staging =>
       Tables.documents(spark, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), expr(
@@ -836,7 +838,7 @@ object SourceQueries {
             java.nio.file.Files.write(
               new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
               graft.sources.Pdf.encode(pages, compress = true,
-                encryptRev = if (id % 2 == 0) 2 else 3))
+                encryptRev = (id % 3) match { case 0 => 2; case 1 => 3; case _ => 4 }))
           }
         }
     }

@@ -390,6 +390,24 @@ class PdfCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("round trip: AESV2 (AES-128-CBC) encrypted documents") {
+    val pages = Seq("first page text", "second page with (parens) and \\ escapes",
+      "operators inside strings: BT Tj ET endstream endobj")
+    val bytes = Pdf.encode(pages, compress = true, encryptRev = 4)
+    val doc = new String(bytes, "ISO-8859-1")
+    assert(doc.contains("/V 4") && doc.contains("/CFM /AESV2"))
+    assert(Pdf.decodePages(bytes) === pages)
+    // uncompressed leg too (AES layer alone)
+    val plain = Pdf.encode(pages, encryptRev = 4)
+    assert(!new String(plain, "ISO-8859-1").contains("first page text"))
+    assert(Pdf.decodePages(plain) === pages)
+    // tampering with ciphertext breaks the CBC padding check loudly
+    val sAt = doc.indexOf("stream\n")
+    val bad = (doc.substring(0, sAt + 20) +
+      (if (doc(sAt + 20) == 'A') 'B' else 'A') + doc.substring(sAt + 21)).getBytes("ISO-8859-1")
+    assertThrows[Exception](Pdf.decodePages(bad))
+  }
+
   test("encryption loud failures: wrong password, AES, ObjStm combo") {
     val pages = Seq("secret")
     val bytes = Pdf.encode(pages, encryptRev = 3)
@@ -406,8 +424,8 @@ class PdfCodecSpec extends AnyFunSuite {
     val ex2 = intercept[IllegalArgumentException](
       Pdf.decodePages(aes.getBytes("ISO-8859-1")))
     assert(ex2.getMessage.contains("AES"))
-    // unsupported revision at encode time
-    assertThrows[IllegalArgumentException](Pdf.encode(pages, encryptRev = 4))
+    // unsupported revision at encode time (AES-256 / R6 not implemented)
+    assertThrows[IllegalArgumentException](Pdf.encode(pages, encryptRev = 5))
   }
 
   test("RC4 and key derivation match their public test vectors") {
