@@ -814,19 +814,21 @@ object SourceQueries {
   /** The "encrypted but openable" PDFs every large corpus contains:
     * standard security handler with an EMPTY user password (the shape
     * rights-management tooling emits; PyMuPDF opens them transparently,
-    * `app.py:123-132`). Docs cycle the three handler generations by id:
-    * revision 2 (RC4-40, /V 1), revision 3 (RC4-128, /V 2), and AESV2
-    * (AES-128-CBC crypt filter, /V 4 /R 4 — the Acrobat-7-era shape),
+    * `app.py:123-132`). Docs cycle all FOUR handler generations by id:
+    * revision 2 (RC4-40, /V 1), revision 3 (RC4-128, /V 2), AESV2
+    * (AES-128-CBC crypt filter, /V 4 /R 4 — Acrobat 7) and AES-256
+    * (/V 5 /R 6 with the Algorithm 2.B hash — the modern default),
     * all FlateDecode-compressed, so every key-derivation path (single
-    * MD5 vs the 50-iteration loop, plain vs 19-round RC4 for /O and
-    * /U, the sAlT-extended AES object key), the IV+CBC+padding layer,
-    * and the decrypt-then-inflate order run under the bit-exact gate.
-    * The /U authentication check runs per file — a real password,
-    * AES-256 (/V 5), or a tampered /U or ciphertext throws loudly
-    * (PdfCodecSpec pins those). q01's oracle applies VERBATIM. */
+    * MD5 vs the 50-iteration loop, 19-round RC4 for /O and /U, the
+    * sAlT-extended AES object key, SHA-256/384/512+AES hashing and the
+    * /UE file-key unwrap), the IV+CBC+padding layer, and the
+    * decrypt-then-inflate order run under the bit-exact gate. The /U
+    * authentication check runs per file — a real password or a
+    * tampered /U or ciphertext throws loudly (PdfCodecSpec pins
+    * those). q01's oracle applies VERBATIM. */
   def pdfEncryptedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdfenc3") { staging =>
+    val blobRoot = stagedBlobs(dir, "pdfenc4") { staging =>
       Tables.documents(spark, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), expr(
@@ -838,7 +840,8 @@ object SourceQueries {
             java.nio.file.Files.write(
               new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
               graft.sources.Pdf.encode(pages, compress = true,
-                encryptRev = (id % 3) match { case 0 => 2; case 1 => 3; case _ => 4 }))
+                encryptRev = (id % 4) match {
+                  case 0 => 2; case 1 => 3; case 2 => 4; case _ => 6 }))
           }
         }
     }

@@ -408,6 +408,41 @@ class PdfCodecSpec extends AnyFunSuite {
     assertThrows[Exception](Pdf.decodePages(bad))
   }
 
+  test("round trip: AES-256 (R6) encrypted documents") {
+    val pages = Seq("first page text", "second page with (parens) and \\ escapes",
+      "operators inside strings: BT Tj ET endstream endobj")
+    val bytes = Pdf.encode(pages, compress = true, encryptRev = 6)
+    val doc = new String(bytes, "ISO-8859-1")
+    assert(doc.contains("/V 5 /R 6") && doc.contains("/CFM /AESV3"))
+    assert(doc.contains("/UE") && doc.contains("/Perms"))
+    assert(Pdf.decodePages(bytes) === pages)
+    // uncompressed leg: ciphertext only, no plaintext leakage
+    val plain = Pdf.encode(pages, encryptRev = 6)
+    assert(!new String(plain, "ISO-8859-1").contains("first page text"))
+    assert(Pdf.decodePages(plain) === pages)
+    // a tampered validation salt fails the empty-password /U check
+    val uAt = doc.indexOf("/U <")
+    val tam = doc.substring(0, uAt + 4) +
+      (if (doc(uAt + 4) == '0') '1' else '0') + doc.substring(uAt + 5)
+    val ex = intercept[IllegalArgumentException](
+      Pdf.decodePages(tam.getBytes("ISO-8859-1")))
+    assert(ex.getMessage.contains("password required"))
+  }
+
+  test("hash2b terminates and is input-sensitive (Algorithm 2.B)") {
+    val empty = Array.empty[Byte]
+    val a = Pdf.hash2b(empty, Array.fill[Byte](8)(1), empty)
+    val b = Pdf.hash2b(empty, Array.fill[Byte](8)(1), empty)
+    val c = Pdf.hash2b(empty, Array.fill[Byte](8)(2), empty)
+    assert(a.length === 32)
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSeq !== c.toSeq)
+    // with a password and udata too
+    val d = Pdf.hash2b("pw".getBytes, Array.fill[Byte](8)(1), Array.fill[Byte](48)(3))
+    assert(d.length === 32)
+    assert(d.toSeq !== a.toSeq)
+  }
+
   test("encryption loud failures: wrong password, AES, ObjStm combo") {
     val pages = Seq("secret")
     val bytes = Pdf.encode(pages, encryptRev = 3)
