@@ -346,13 +346,28 @@ object Bench {
         val ej = if (e4.isEmpty) "" else s""","local4_errors":${jsonArr(e4)}"""
         s""","local4_total":${fmt(t4, dp)}$ej"""
       }
-      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","errors":${jsonArr(errors)},""" +
+      val errJson =
+        if (errors.length <= 8) jsonArr(errors)
+        else jsonArr(errors.take(8) :+ s"+${errors.length - 8} more")
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","errors":$errJson,""" +
         s""""sf":"$sfDir","cpus":"$cpus","reps":$reps$guardStdoutExtra$l4$omittedJson,"queries":$qs}"""
     }
     val attempts = Seq((3, Int.MaxValue), (2, Int.MaxValue), (2, 100), (2, 60), (2, 30))
     attempts.iterator.map { case (dp, k) => render(dp, k) }
       .find(_.length <= stdoutBudget)
-      .getOrElse(render(2, 10))
+      .getOrElse {
+        // a mass-failure run can blow the budget through the ERRORS array
+        // alone (144 query names ~ 3000 chars); the headline must survive
+        // even then, so the last resort drops per-query data entirely and
+        // carries only an error COUNT + a short sample
+        val sample = errors.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+        val line =
+          s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+            s""""errors_n":${errors.length},"errors_sample":$sample,""" +
+            s""""sf":"$sfDir","cpus":"$cpus","reps":$reps}"""
+        if (line.length <= stdoutBudget) line
+        else line.take(stdoutBudget - 1) + "}"
+      }
   }
 
   def main(args: Array[String]): Unit = {

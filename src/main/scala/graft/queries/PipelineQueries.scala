@@ -1618,11 +1618,15 @@ object PipelineQueries {
     * sketch regression flips a boolean and the driver gate goes red. */
   def vocabOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
     val k = 1024
+    // cache: the explode feeds the sketch leg AND the witness leg, and
+    // the distinct frame feeds vocab plus both sides of the self-join —
+    // uncached, the corpus scan + shingle explode would run four times
     val sh = Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
       .select(col("lang"), explode(shingleExpr("text")).as("sh"))
+      .cache()
     // exact witness leg (the join the sketch exists to replace)
-    val distinctSh = sh.distinct()
+    val distinctSh = sh.distinct().cache()
     val vocab = distinctSh.groupBy(col("lang")).agg(count(lit(1)).as("vocab"))
     val exact = distinctSh.as("a")
       .join(distinctSh.as("b"),

@@ -258,9 +258,13 @@ object TextQueries {
     * bucket sizes are ≥ n/3 exactly when ties cross the cut — all
     * integer arithmetic, bit-exact cross-engine. */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // cache: scored feeds per-score counts, per-lang totals AND the
+    // final assignment join — uncached, the whole q58 bigram pipeline
+    // would execute three times
     val scored = lmFluency(spark, dir)
       .select(col("doc_id"), col("avg_micro_p"))
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .cache()
     val perScore = scored.groupBy(col("lang"), col("avg_micro_p"))
       .agg(count(lit(1)).as("c"))
     val wTop = Window.partitionBy(col("lang"))

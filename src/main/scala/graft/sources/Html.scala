@@ -54,12 +54,18 @@ object Html {
     var i = 0
 
     def tagNameAt(start: Int): (String, Boolean) = {
-      // start points AT '<'; returns (lowercase name, isClosing)
+      // start points AT '<'; returns (lowercase name, isClosing). HTML5
+      // lexing: a name starts with an ASCII LETTER — "<3", "<生" and a
+      // lone '<' are character data, not tags
       var j = start + 1
       val closing = j < n && html.charAt(j) == '/'
       if (closing) j += 1
+      def asciiLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      if (j >= n || !asciiLetter(html.charAt(j))) return ("", closing)
       val b = new StringBuilder
-      while (j < n && (html.charAt(j).isLetterOrDigit)) { b.append(html.charAt(j)); j += 1 }
+      while (j < n && (asciiLetter(html.charAt(j)) || html.charAt(j).isDigit)) {
+        b.append(html.charAt(j)); j += 1
+      }
       (b.toString.toLowerCase, closing)
     }
 
@@ -85,14 +91,22 @@ object Html {
 
     def skipDroppedElement(afterOpen: Int, name: String): Int = {
       // drop content up to and including the matching close tag (no
-      // nesting for these elements in practice; first match wins)
+      // nesting for these elements in practice; first match wins). For
+      // <head>, whose close tag is OPTIONAL in HTML5, also stop AT an
+      // opening <body> — browsers infer </head> there, and scanning to
+      // EOF would discard the whole page
       var j = afterOpen
       while (j < n) {
-        val close = html.indexOf("</", j)
+        val close = html.indexOf('<', j)
         if (close < 0) return n
-        val (nm, _) = tagNameAt(close)
-        if (nm == name) return skipTag(close)
-        j = close + 2
+        if (html.startsWith("</", close)) {
+          val (nm, _) = tagNameAt(close)
+          if (nm == name) return skipTag(close)
+        } else if (name == "head") {
+          val (nm, closing) = tagNameAt(close)
+          if (!closing && nm == "body") return close // resume at <body>
+        }
+        j = close + 1
       }
       n
     }

@@ -49,9 +49,15 @@ object TextExtract {
         .onUnmappableCharacter(CodingErrorAction.REPORT)
       dec.decode(ByteBuffer.wrap(bytes, from, bytes.length - from)).toString
     }
-    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xEF &&
-        (bytes(1) & 0xff) == 0xBB && (bytes(2) & 0xff) == 0xBF)
+    def b(i: Int) = bytes(i) & 0xff
+    if (bytes.length >= 3 && b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF)
       (strict(StandardCharsets.UTF_8, 3), "utf-8-bom")
+    // UTF-32 BOMs first: FF FE 00 00 is a valid UTF-16LE prefix too, so
+    // the longer match must win or UTF-32LE text NUL-interleaves silently
+    else if (bytes.length >= 4 && b(0) == 0xFF && b(1) == 0xFE && b(2) == 0 && b(3) == 0)
+      (strict(java.nio.charset.Charset.forName("UTF-32LE"), 4), "utf-32le")
+    else if (bytes.length >= 4 && b(0) == 0 && b(1) == 0 && b(2) == 0xFE && b(3) == 0xFF)
+      (strict(java.nio.charset.Charset.forName("UTF-32BE"), 4), "utf-32be")
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xFE)
       (strict(StandardCharsets.UTF_16LE, 2), "utf-16le")
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFE && (bytes(1) & 0xff) == 0xFF)

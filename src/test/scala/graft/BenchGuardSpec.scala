@@ -142,6 +142,19 @@ class BenchGuardSpec extends AnyFunSuite {
     assert((1 to 128).forall(i => line.contains(f""""q$i%03d":""")))
   }
 
+  test("renderStdout survives a mass-failure board: headline inside budget") {
+    // every query errored — the errors array alone would be ~4,700 chars
+    val names = (1 to 144).map(i => f"q$i%03d_synthetic_operator_name_$i%03d")
+    val results: Seq[(String, Option[Double])] = names.map(n => n -> None)
+    val line = Bench.renderStdout(0.0, results, names,
+      "/root/testdata/sf0.1", "32", 3, "", None)
+    assert(line.length <= Bench.stdoutBudget, s"line is ${line.length} chars")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    // the error population is still reported, as a count at minimum
+    assert(line.contains("errors"))
+    assert(line.contains("144") || line.contains("more"))
+  }
+
   test("clean-baseline file naming mirrors the official pinning") {
     assert(Bench.cleanFileName(sf, "32") == "BENCH_CLEAN.json")
     assert(Bench.cleanFileName(sf, "8") == "BENCH_CLEAN_sf0.1_cpus8.json")

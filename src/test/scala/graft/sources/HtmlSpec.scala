@@ -39,6 +39,19 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extractText(html) === "a b c\nd")
   }
 
+  test("an unclosed <head> (optional in HTML5) still yields the body") {
+    val html = "<html><head><title>T</title><body><p>Hello</p></body></html>"
+    assert(Html.extractText(html) === "Hello")
+    // and a page that is ALL head extracts nothing
+    assert(Html.extractText("<head><title>T</title>") === "")
+  }
+
+  test("'<' not followed by an ASCII letter is character data (HTML5 lexing)") {
+    assert(Html.extractText("<p>I <3 u > you</p>") === "I <3 u > you")
+    assert(Html.extractText("<p>a < b</p>") === "a < b")
+    assert(Html.extractText("<p>x <9pt> y</p>") === "x <9pt> y")
+  }
+
   test("lenience: unclosed tags, stray '<', EOF inside script") {
     assert(Html.extractText("<p>a <b") === "a")
     assert(Html.extractText("x < y") === "x < y")

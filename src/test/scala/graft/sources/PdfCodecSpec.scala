@@ -429,6 +429,17 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("password required"))
   }
 
+  test("R6 dicts with /UE ordered before /U still open (key-prefix bind)") {
+    val pages = Seq("order independence")
+    val doc = new String(Pdf.encode(pages, encryptRev = 6), "ISO-8859-1")
+    // swap the /U and /UE entries: dict key order is arbitrary per spec
+    val m = java.util.regex.Pattern.compile("/U (<[0-9A-F]+>) /UE (<[0-9A-F]+>)").matcher(doc)
+    assert(m.find(), "expected /U then /UE in the emitted dict")
+    val swapped = doc.substring(0, m.start) +
+      s"/UE ${m.group(2)} /U ${m.group(1)}" + doc.substring(m.end)
+    assert(Pdf.decodePages(swapped.getBytes("ISO-8859-1")) === pages)
+  }
+
   test("hash2b terminates and is input-sensitive (Algorithm 2.B)") {
     val empty = Array.empty[Byte]
     val a = Pdf.hash2b(empty, Array.fill[Byte](8)(1), empty)

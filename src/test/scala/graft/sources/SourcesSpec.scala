@@ -28,6 +28,14 @@ class SourcesSpec extends SparkSuite {
     }
     // no BOM → the q03 fallback contract is unchanged
     assert(TextExtract.decodeAuto(Array[Byte]('h', 0xE9.toByte))._2 === "latin-1")
+    // UTF-32 BOMs out-rank their UTF-16 prefixes (FF FE 00 00 is a valid
+    // UTF-16LE start — a naive sniff would NUL-interleave the text)
+    assert(TextExtract.decodeAuto(
+      Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 0) ++ s.getBytes("UTF-32LE")) ===
+      ((s, "utf-32le")))
+    assert(TextExtract.decodeAuto(
+      Array[Byte](0, 0, 0xFE.toByte, 0xFF.toByte) ++ s.getBytes("UTF-32BE")) ===
+      ((s, "utf-32be")))
   }
 
   test("O3 decode: valid UTF-8 stays UTF-8, malformed falls back to latin-1") {

@@ -71,8 +71,19 @@ class TarCodecSpec extends AnyFunSuite {
       Tar.decode(full.drop(7))).getMessage.contains("not a multiple"))
   }
 
+  test("NUL typeflag means regular file (pre-POSIX writers)") {
+    val bytes = Tar.encode(Seq(e("a.txt", "old-style")))
+    bytes(156) = 0 // typeflag NUL
+    var sum = 0L
+    for (i <- 0 until 512) sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(i) & 0xff)
+    val cs = java.lang.Long.toOctalString(sum)
+    val field = (("0" * (6 - cs.length)) + cs).getBytes(UTF_8) ++ Array[Byte](0, ' ')
+    System.arraycopy(field, 0, bytes, 148, 8)
+    assert(texts(Tar.decode(bytes)) === Vector(("a.txt", "old-style")))
+  }
+
   test("loud failure: pax headers and links are rejected, not half-parsed") {
-    for (flag <- Seq('x', 'g', '1', '2', 'S')) {
+    for (flag <- Seq('x', 'g', '1', '2', 'S', ' ')) {
       val bytes = Tar.encode(Seq(e("a.txt", "abc")))
       bytes(156) = flag.toByte
       // fix up the checksum so the typeflag is what the parser actually sees
