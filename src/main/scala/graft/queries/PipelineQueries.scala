@@ -1618,15 +1618,18 @@ object PipelineQueries {
     * sketch regression flips a boolean and the driver gate goes red. */
   def vocabOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
     val k = 1024
-    // cache: the explode feeds the sketch leg AND the witness leg, and
-    // the distinct frame feeds vocab plus both sides of the self-join —
-    // uncached, the corpus scan + shingle explode would run four times
+    // deliberately UNCACHED, measured at the 100x rung: the codegen
+    // explode re-runs per consumer but that is CHEAPER than
+    // materializing it (uncached 20.7 s; distinct-frame cache 21.4 s;
+    // full explode cache 29.1 s — tens of millions of shingle STRINGS
+    // cost more to store than to recompute). The q110 case is the
+    // opposite (its shared subtree is an aggregation, worth caching) —
+    // cache decisions here are measured, not assumed
     val sh = Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
       .select(col("lang"), explode(shingleExpr("text")).as("sh"))
-      .cache()
     // exact witness leg (the join the sketch exists to replace)
-    val distinctSh = sh.distinct().cache()
+    val distinctSh = sh.distinct()
     val vocab = distinctSh.groupBy(col("lang")).agg(count(lit(1)).as("vocab"))
     val exact = distinctSh.as("a")
       .join(distinctSh.as("b"),

@@ -128,8 +128,8 @@ object SourceQueries {
   /** The byte-level ingest gap q03's reference contract leaves open:
     * Windows-written text arrives with BOMs, and UTF-16 both ways. A
     * BOM-blind reader keeps a garbage U+FEFF first char (UTF-8 BOM) or
-    * NUL-interleaves the text via the latin-1 fallback (UTF-16). Docs
-    * cycle four on-disk encodings by doc_id; `TextExtract.decodeAuto`
+    * NUL-interleaves the text via the latin-1 fallback (UTF-16/32). Docs
+    * cycle six on-disk encodings by doc_id; `TextExtract.decodeAuto`
     * sniffs and decodes executor-side over the BINARY column, and the
     * oracle predicts both the chosen codec label and the decoded text
     * VERBATIM — a sniff-order or offset bug breaks the string gate. */
@@ -140,13 +140,17 @@ object SourceQueries {
       .as[(Long, String)]
       .map { case (id, text) =>
         val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val bytes = (id % 4) match {
+        val bytes = (id % 6) match {
           case 0 => utf8
           case 1 => Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ utf8
           case 2 => Array[Byte](0xFF.toByte, 0xFE.toByte) ++
             text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
-          case _ => Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+          case 3 => Array[Byte](0xFE.toByte, 0xFF.toByte) ++
             text.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+          case 4 => Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 0) ++
+            text.getBytes("UTF-32LE")
+          case _ => Array[Byte](0, 0, 0xFE.toByte, 0xFF.toByte) ++
+            text.getBytes("UTF-32BE")
         }
         val (decoded, enc) = graft.sources.TextExtract.decodeAuto(bytes)
         (id, enc, decoded.length.toLong, decoded)
@@ -157,8 +161,9 @@ object SourceQueries {
 
   val bomDecodeOracle: String =
     """SELECT doc_id,
-      |       CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
-      |            WHEN 2 THEN 'utf-16le' ELSE 'utf-16be' END AS encoding,
+      |       CASE doc_id % 6 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+      |            WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be'
+      |            WHEN 4 THEN 'utf-32le' ELSE 'utf-32be' END AS encoding,
       |       CAST(length(text) AS BIGINT) AS text_len, text
       |FROM documents ORDER BY doc_id""".stripMargin
 
