@@ -81,6 +81,18 @@ object Bench {
   /** twice SCALING.md's documented ±12% box-variance band */
   private[graft] val varianceBand = 0.25
 
+  /** Round-12 hardening (the r11 clean-refresh hole): a leg at ratio
+    * 1.166 with 8/143 suspects slid under BOTH alert triggers (±25% band;
+    * 10%-of-common broad threshold) and REFRESHED BENCH_CLEAN.json with
+    * ~17%-inflated numbers — the alert thresholds answer "should a human
+    * look?", not the stricter "is this run clean enough to BECOME the
+    * baseline?". The clean refresh now requires the aggregate ratio inside
+    * SCALING.md's documented ±12% box band AND at most `cleanSuspectMax`
+    * individually-inflated queries (the broad threshold's floor). Alert
+    * thresholds are unchanged. */
+  private[graft] val cleanBand = 0.12
+  private[graft] val cleanSuspectMax = 3
+
   /** The driver's official bench config. Only runs at this config may
     * write the committed BENCH_LOCAL.json — round 9's guard was defeated
     * precisely because a cpus=8 snapshot overwrote the official one and
@@ -149,7 +161,8 @@ object Bench {
     * blocks the clean-baseline refresh); `alertTrigger` is the fired
     * alert's reason ("ratio" | "suspects" | "ratio+suspects"). */
   private[graft] final case class Guard(fileExtra: String, stdoutExtra: String,
-                                        runSuspect: Boolean, alertTrigger: Option[String])
+                                        runSuspect: Boolean, alertTrigger: Option[String],
+                                        cleanEligible: Boolean)
 
   private[graft] def evalGuard(results: Seq[(String, Option[Double])],
                                prevOrReason: Either[String, Map[String, Double]],
@@ -160,7 +173,9 @@ object Bench {
           "variance guard is DISENGAGED for this run. Treat this run's " +
           "numbers as unguarded until a second run confirms them.")
       val j = s""","no_comparable_snapshot":{"reason":"$reason"}"""
-      Guard(j, j, runSuspect = false, alertTrigger = None)
+      // bootstrap path: with nothing to compare against, the clean
+      // snapshot must still seed or the guard can never engage
+      Guard(j, j, runSuspect = false, alertTrigger = None, cleanEligible = true)
     }
     prevOrReason match {
       case Left(reason) => noComparable(reason)
@@ -215,12 +230,24 @@ object Bench {
           // broad spread in the slow direction (a fast run can't be the
           // contended one — contention only ever inflates)
           val runSuspect = ratio > 1 + varianceBand || inflated >= thresh
+          // strictly tighter than !runSuspect: inside the ±12% box band
+          // AND at most cleanSuspectMax inflated queries — a run may be
+          // "not alarming" yet still too contaminated to become the
+          // baseline (the r11 hole: ratio 1.166, 8 suspects, refreshed)
+          val cleanEligible =
+            ratio <= 1 + cleanBand && ratio >= 1.0 / (1 + cleanBand) &&
+              inflated <= cleanSuspectMax
+          if (!cleanEligible && !runSuspect)
+            System.err.println(
+              f"[bench] run is inside alert bands but NOT clean-baseline " +
+                f"eligible (ratio $ratio%.3f vs ±$cleanBand band, $inflated " +
+                s"inflated queries vs max $cleanSuspectMax) — BENCH_CLEAN.json not refreshed")
           val suspectJson = if (runSuspect) s""","suspect":true""" else ""
           val baselineJson = if (prevSuspect) s""","baseline_suspect":true""" else ""
           def common_(extraAlert: String, extraSusp: String) =
             s""","common_with_prev":{"n":${common.length},"total":$now,"prev_total":$before}$extraAlert$extraSusp$suspectJson$baselineJson"""
           Guard(common_(alertFile, suspFile), common_(alertStdout, suspStdout),
-                runSuspect, trigger)
+                runSuspect, trigger, cleanEligible)
         }
     }
   }
@@ -360,13 +387,21 @@ object Bench {
         // alone (144 query names ~ 3000 chars); the headline must survive
         // even then, so the last resort drops per-query data entirely and
         // carries only an error COUNT + a short sample
-        val sample = errors.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
-        val line =
+        // degrade STRUCTURALLY, never byte-truncate: a mid-string cut
+        // yields malformed JSON and the headline metric is lost anyway.
+        // Drop errors_sample first, then shorten sfDir to its basename —
+        // each level is a complete, parseable object.
+        def lastResort(sample: Option[String], sf: String): String =
           s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-            s""""errors_n":${errors.length},"errors_sample":$sample,""" +
-            s""""sf":"$sfDir","cpus":"$cpus","reps":$reps}"""
-        if (line.length <= stdoutBudget) line
-        else line.take(stdoutBudget - 1) + "}"
+            s""""errors_n":${errors.length}""" +
+            sample.fold("")(s => s""","errors_sample":$s""") +
+            s""","sf":"$sf","cpus":"$cpus","reps":$reps}"""
+        val sample = errors.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+        Seq(lastResort(Some(sample), sfDir),
+            lastResort(None, sfDir),
+            lastResort(None, sfName(sfDir)))
+          .find(_.length <= stdoutBudget)
+          .getOrElse(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec"}""")
       }
   }
 
@@ -416,8 +451,9 @@ object Bench {
         s""""sf":"$sfDir","cpus":"$cpus","reps":$reps${guard.fileExtra}$fileL4,"queries":$fileQs}"""
     try {
       java.nio.file.Files.writeString(localPath, fileLine + "\n")
-      // a run with no self-inflation evidence becomes the new clean baseline
-      if (!guard.runSuspect) java.nio.file.Files.writeString(cleanPath, fileLine + "\n")
+      // the clean baseline is refreshed only under the STRICT eligibility
+      // (±12% band, ≤3 inflated queries) — not merely "no alert fired"
+      if (guard.cleanEligible) java.nio.file.Files.writeString(cleanPath, fileLine + "\n")
     } catch { case _: Throwable => () } // read-only cwd must not kill the bench
     println(renderStdout(total, results, errors, sfDir, cpus, reps,
       guard.stdoutExtra, local4))

@@ -868,6 +868,60 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60n: composite-font (Type0 + /ToUnicode) PDF ingestion --------------
+  /** The single largest real-input gap closed: PDFs produced by a
+    * browser, LaTeX, or Word with SUBSET FONTS show text as hex-string
+    * operands of 2-byte glyph indices, readable only through the
+    * font's embedded /ToUnicode CMap (ISO 32000 §9.7 + §9.10.3 — the
+    * PyMuPDF capability at app.py:123-132). Docs cycle four staged
+    * shapes by id: Type0/Identity-H with a FlateDecode-compressed CMap,
+    * the same with a raw CMap, simple-font hex-string operands
+    * (uncompressed), and hex strings under a FlateDecode content
+    * stream — so CID assignment, bfchar + both bfrange clause forms,
+    * hex-element TJ arrays, the Tf font tracker, and the CMap-stream
+    * filter path all run under q01's VERBATIM bit-exact oracle. A
+    * malformed CMap or an unmapped code throws loudly (PdfCodecSpec). */
+  def pdfCompositeFontRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "pdftype0") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            val bytes = (id % 4) match {
+              case 0 => graft.sources.Pdf.encodeType0(pages)
+              case 1 => graft.sources.Pdf.encodeType0(pages, compressCMap = false)
+              case 2 => graft.sources.Pdf.encode(pages, hexStrings = true)
+              case _ => graft.sources.Pdf.encode(pages, compress = true,
+                hexStrings = true)
+            }
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
+          }
+        }
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- q60l: HTML text extraction (the WET-conversion step) -----------------
   /** The dominant real-world ingestion shape the reference never
     * handles: web pages. Each doc is staged as a genuine HTML file
@@ -1418,6 +1472,7 @@ object SourceQueries {
     "q60k_tar_bundles" -> ((s, d) => tarBundleRoundtrip(s, d)),
     "q60l_html_extract" -> ((s, d) => htmlExtractRoundtrip(s, d)),
     "q60m_pdf_encrypted" -> ((s, d) => pdfEncryptedRoundtrip(s, d)),
+    "q60n_pdf_composite_font" -> ((s, d) => pdfCompositeFontRoundtrip(s, d)),
     "q109_wet_pipeline" -> ((s, d) => wetPipeline(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
@@ -1459,6 +1514,8 @@ object SourceQueries {
     "q60l_html_extract" -> htmlExtractOracle,
     // q60m: same extraction contract over RC4-encrypted documents
     "q60m_pdf_encrypted" -> pagesConcatOracle,
+    // q60n: same contract over Type0 / ToUnicode composite-font documents
+    "q60n_pdf_composite_font" -> pagesConcatOracle,
     // q109: the composed WARC→WET job reproduces q60l's contract exactly —
     // the container hop is the delta under test
     "q109_wet_pipeline" -> htmlExtractOracle,

@@ -191,6 +191,65 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(g.fileExtra.contains(""""baseline_suspect":true"""))
   }
 
+  // --- round-12 hardening: the clean-refresh eligibility is STRICTER than
+  // the alert thresholds ---------------------------------------------------
+
+  test("the r11 clean-refresh hole: ratio 1.17 with 8 suspects is NOT clean-eligible") {
+    // the exact round-11 incident shape: 143 common queries, aggregate
+    // ratio ~1.166 (inside the ±25% alert band), 8 queries inflated >2x
+    // (under the broad threshold of 15) — no alert fired, yet the run
+    // refreshed BENCH_CLEAN.json with ~17%-inflated numbers. The clean
+    // refresh must now refuse this run while the snapshot still writes.
+    val inflated = (1 to 8).map(i => (f"q9$i%02d_inflated_op", 0.70, 0.30))
+    val quiet = (1 to 135).map(i => (f"q$i%03d_quiet_op", 0.40, 0.355))
+    val common = quiet ++ inflated
+    val now = common.map(_._2).sum
+    val before = common.map(_._3).sum
+    val ratio = now / before
+    assert(ratio > 1 + Bench.cleanBand && ratio < 1 + Bench.varianceBand,
+      f"fixture must sit between the bands, got $ratio%.3f")
+    val prev = common.map { case (n, _, p) => n -> p }.toMap
+    val results = common.map { case (n, t, _) => n -> Some(t) }
+    val g = Bench.evalGuard(results, Right(prev), prevSuspect = false)
+    // neither alert trigger fires (the hole) ...
+    assert(g.alertTrigger.isEmpty)
+    assert(!g.runSuspect)
+    // ... but the clean baseline is NOT refreshed (the fix)
+    assert(!g.cleanEligible)
+  }
+
+  test("a genuinely quiet run IS clean-eligible; mild localized spikes stay eligible") {
+    val quiet = (1 to 140).map(i => (f"q$i%03d_op", 0.36, 0.355))
+    val prevQ = quiet.map { case (n, _, p) => n -> p }.toMap
+    val resQ = quiet.map { case (n, t, _) => n -> Some(t) }
+    val gQ = Bench.evalGuard(resQ, Right(prevQ), prevSuspect = false)
+    assert(gQ.cleanEligible && !gQ.runSuspect)
+    // up to cleanSuspectMax (3) inflated queries with aggregate in the
+    // ±12% band: a real localized regression must still be measurable as
+    // the new baseline, or the guard would pin CLEAN forever
+    val spiky = quiet.take(137) ++ Seq(
+      ("q900_spike_a", 0.90, 0.30), ("q901_spike_b", 0.80, 0.30),
+      ("q902_spike_c", 0.70, 0.30))
+    val prevS = spiky.map { case (n, _, p) => n -> p }.toMap
+    val resS = spiky.map { case (n, t, _) => n -> Some(t) }
+    val gS = Bench.evalGuard(resS, Right(prevS), prevSuspect = false)
+    assert(gS.cleanEligible)
+    // one more inflated query tips it over
+    val over = quiet.take(136) ++ Seq(
+      ("q900_spike_a", 0.90, 0.30), ("q901_spike_b", 0.80, 0.30),
+      ("q902_spike_c", 0.70, 0.30), ("q903_spike_d", 0.70, 0.30))
+    val gO = Bench.evalGuard(
+      over.map { case (n, t, _) => n -> Some(t) },
+      Right(over.map { case (n, _, p) => n -> p }.toMap), prevSuspect = false)
+    assert(!gO.cleanEligible)
+  }
+
+  test("bootstrap: no comparable snapshot still seeds the clean baseline") {
+    val g = Bench.evalGuard(Seq("q1_a" -> Some(1.0)), Left("no_previous_snapshot"),
+      prevSuspect = false)
+    assert(g.cleanEligible)
+  }
+
   test("variance_suspects flags a synthetic per-query spike, not band noise") {
     val common = Seq(
       ("q104_inverted_index", 6.63, 0.98), // the r9 contamination shape: 6.8x

@@ -11,6 +11,106 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(Pdf.decodePages(Pdf.encode(pages)) === pages)
   }
 
+  test("/Encrypt in page TEXT is not misdetected as encryption") {
+    // an unencrypted document whose uncompressed content stream contains
+    // the literal "/Encrypt" (e.g. a PDF-spec tutorial page): the handler
+    // lookup must scan only the trailer dictionary, not the whole byte
+    // range — the old whole-document lastIndexOf threw on this valid file
+    val pages = Seq("ISO 32000 notes: the trailer /Encrypt key names the handler",
+                    "also /ID and /Root live in the trailer")
+    assert(Pdf.decodePages(Pdf.encode(pages)) === pages)
+    // and the same text inside an ObjStm-packed (xref-stream) document,
+    // whose trailer region is the cross-reference stream's own dict
+    assert(Pdf.decodePages(Pdf.encodeObjStm(pages)) === pages)
+  }
+
+  test("round trip: hex-string show operands (simple font)") {
+    val pages = Seq("hex shown text", "page two <with> (delims)", "")
+    assert(Pdf.decodePages(Pdf.encode(pages, hexStrings = true)) === pages)
+    // full byte range survives: hex strings carry Latin-1 bytes 0-255
+    val bytes = (0 to 255).map(_.toChar).mkString
+    assert(Pdf.decodePages(Pdf.encode(Seq(bytes), hexStrings = true)) === Seq(bytes))
+    // whitespace inside hex strings and an odd trailing digit are legal
+    assert(Pdf.extractText("BT <48 65\n6C6C 6F> Tj ET") === "Hello")
+    assert(Pdf.extractText("BT <48656C6C6F7> Tj ET") === "Hello" + 0x70.toChar)
+  }
+
+  test("round trip: Type0 font with /ToUnicode CMap (2-byte CIDs)") {
+    // exercises bfchar + both bfrange forms, Tj and hex-element TJ pages,
+    // compressed and raw CMap streams, and non-Latin text a simple font
+    // cannot carry — the composite-font shape of every browser/LaTeX/
+    // Word-generated PDF (PyMuPDF handles it at app.py:123-132)
+    val pages = Seq(
+      "abcdefghijklmnopqrstuvwxyz maps through incrementing bfranges",
+      "naïve café — déjà vu über alles",
+      "中文文本也要通过 CMap 解码",
+      "emoji beyond the BMP: 😀🚀 survive as pairs",
+      "")
+    assert(Pdf.decodePages(Pdf.encodeType0(pages)) === pages)
+    assert(Pdf.decodePages(Pdf.encodeType0(pages, compressCMap = false)) === pages)
+    // deterministic: same text -> same bytes
+    assert(Pdf.encodeType0(pages).toSeq === Pdf.encodeType0(pages).toSeq)
+  }
+
+  test("ToUnicode CMap parser: widths, clauses, and loud failures") {
+    val good =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <006600660069>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0061>
+        |<0020> <0021> [ <0041> <D83DDE00> ]
+        |endbfrange
+        |endcmap
+        |end""".stripMargin
+    val (w, m) = Pdf.parseToUnicode(good)
+    assert(w === 2)
+    assert(m(1) === "H")
+    assert(m(2) === "ffi") // multi-unit ligature destination
+    assert(m(0x10) === "a" && m(0x11) === "b" && m(0x12) === "c") // incrementing
+    assert(m(0x20) === "A" && m(0x21) === "😀") // array + surrogate pair
+    // 1-byte codespace width
+    val (w1, m1) = Pdf.parseToUnicode(
+      "1 begincodespacerange <00> <FF> endcodespacerange " +
+        "1 beginbfchar <41> <0058> endbfchar")
+    assert(w1 === 1 && m1(0x41) === "X")
+    // loud failures: no codespacerange, mixed widths, arity, array size
+    val bads = Seq(
+      "1 beginbfchar <0001> <0048> endbfchar", // no codespacerange
+      "2 begincodespacerange <00> <FF> <0000> <FFFF> endcodespacerange", // mixed widths
+      "1 begincodespacerange <0000> <FFFF> endcodespacerange 1 beginbfchar <0001> endbfchar", // odd pair
+      "1 begincodespacerange <0000> <FFFF> endcodespacerange " +
+        "1 beginbfrange <0001> <0003> [ <0041> ] endbfrange", // array size mismatch
+      "1 begincodespacerange <0000> <FFFF> endcodespacerange " +
+        "1 beginbfrange <0005> <0002> <0041> endbfrange", // inverted range
+      "1 begincodespacerange <0000> <FFFF>") // unterminated section
+    bads.foreach { b =>
+      assertThrows[IllegalArgumentException](Pdf.parseToUnicode(b))
+    }
+  }
+
+  test("CMap decode failures are loud: bad width multiple, unmapped code") {
+    val fonts = Map("F1" -> Some((2, Map(1 -> "a", 2 -> "b"))))
+    assert(Pdf.extractText("BT /F1 12 Tf <00010002> Tj ET", fonts) === "ab")
+    // literal strings map through the CMap too (strings are byte strings)
+    assert(Pdf.extractText(
+      "BT /F1 12 Tf (\\000\\001\\000\\002) Tj ET", fonts) === "ab")
+    // 3 bytes under a 2-byte code width
+    assertThrows[IllegalArgumentException](
+      Pdf.extractText("BT /F1 12 Tf <000100> Tj ET", fonts))
+    // unmapped code
+    assertThrows[IllegalArgumentException](
+      Pdf.extractText("BT /F1 12 Tf <0003> Tj ET", fonts))
+    // a font NOT in the map keeps the identity path
+    assert(Pdf.extractText("BT /F9 12 Tf <4849> Tj ET", fonts) === "HI")
+  }
+
   test("round trip: FlateDecode-compressed content streams") {
     val pages = Seq("first page text", "second page with (parens) and \\ escapes",
       "operators inside strings: BT Tj ET endstream endobj")

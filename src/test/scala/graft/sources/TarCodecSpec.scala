@@ -43,6 +43,27 @@ class TarCodecSpec extends AnyFunSuite {
     assert(texts(Tar.decode(bytes)) === Vector((name, "gnu")))
   }
 
+  test("long names: GNU placeholder truncates at a UTF-8 character boundary") {
+    // a multi-byte char straddling the 100-byte placeholder cut: naive
+    // take(100) splits it, the U+FFFD replacement re-encodes to 3 bytes,
+    // and the placeholder overruns 100 bytes — encode threw on a valid
+    // name. 99 ASCII bytes then a 2-byte char puts the split at byte 100.
+    val name = ("x" * 99) + ("é" * 30) // unsplittable (no '/'), 159 bytes
+    assert(name.getBytes(UTF_8).length > 100)
+    val bytes = Tar.encode(Seq(e(name, "utf8")))
+    assert(new String(bytes, UTF_8).contains("././@LongLink"))
+    assert(texts(Tar.decode(bytes)) === Vector((name, "utf8")))
+    // a char ending EXACTLY at byte 100 keeps the full 100-byte placeholder
+    val exact = ("x" * 98) + ("é" * 40) // 98 + 2 = 100 at the cut
+    val bytes2 = Tar.encode(Seq(e(exact, "edge")))
+    assert(texts(Tar.decode(bytes2)) === Vector((exact, "edge")))
+    // 3- and 4-byte chars at every straddle offset survive too
+    for (pad <- 97 to 99; ch <- Seq("中", new String(Character.toChars(0x1F600)))) {
+      val n = ("y" * pad) + (ch * 40)
+      assert(texts(Tar.decode(Tar.encode(Seq(e(n, "p"))))) === Vector((n, "p")))
+    }
+  }
+
   test("gzip transport: detected and reversed") {
     val tar = Tar.encode(Seq(e("a.txt", "zipped")))
     val gz = Tar.gzip(tar)
