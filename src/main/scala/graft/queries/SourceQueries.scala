@@ -922,6 +922,84 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60o: docx2txt loader-path parity (tables, headers, footers) ---------
+  /** The reference's SPLITTER path reads .docx through `Docx2txtLoader`
+    * (app.py:172), whose engine — docx2txt — extracts table cell text
+    * and header/footer parts that the `doc.paragraphs` walk
+    * (app.py:137-139, our q60c) never sees. Each doc is staged as a
+    * FULL package: a header part, a tab/br-structured first paragraph,
+    * q02c's 10-token body windows, a one-row table whose cells repeat
+    * the first two windows, and a footer part. Decoded with
+    * [[graft.sources.Docx.decodeText]] (docx2txt's pre-order "\n\n"
+    * per `w:p`, tab for `w:tab`, newline for `w:br`, headers →
+    * document → footers, final strip), while the oracle reconstructs
+    * the exact expected string in SQL — header, rich paragraph,
+    * windows, repeated cells, footer joined by blank lines — so the
+    * whole loader-path contract sits under the bit-exact gate. */
+  def docxFullTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "docxfull") { staging =>
+      Tables.documents(spark, dir)
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, (size(toks) - 1) div 10), " +
+            "i -> array_join(slice(toks, i * 10 + 1, 10), ' '))").as("paras"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, paras) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.docx").toPath,
+              graft.sources.Docx.encodeFull(
+                header = Some(s"Header $id"),
+                richPara = Some(graft.sources.Docx.RichPara(
+                  Seq("col1", "col2", "line2"), Seq("\t", "\n"))),
+                paragraphs = paras,
+                tableCells = paras.take(2),
+                footer = Some(s"Footer $id")))
+          }
+        }
+    }
+    spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.docx", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val text = graft.sources.Docx.decodeText(bytes)
+        (id, text.length.toLong, text)
+      }
+      .toDF("doc_id", "n_chars", "doc_text")
+      .orderBy(col("doc_id"))
+  }
+
+  val docxFullTextOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |  FROM documents),
+      |  p AS (
+      |    SELECT doc_id, i AS para_no,
+      |           array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS para
+      |    FROM (SELECT doc_id, toks, unnest(generate_series(0, (len(toks)-1)//10)) AS i
+      |          FROM t WHERE len(toks) > 0)),
+      |  pieces AS (
+      |    SELECT doc_id, 0 AS ord, 'Header ' || CAST(doc_id AS VARCHAR) AS piece
+      |    FROM p GROUP BY doc_id
+      |    UNION ALL
+      |    SELECT doc_id, 1, 'col1' || chr(9) || 'col2' || chr(10) || 'line2'
+      |    FROM p GROUP BY doc_id
+      |    UNION ALL
+      |    SELECT doc_id, 2 + para_no, para FROM p
+      |    UNION ALL
+      |    SELECT doc_id, 1000000 + para_no, para FROM p WHERE para_no < 2
+      |    UNION ALL
+      |    SELECT doc_id, 2000000, 'Footer ' || CAST(doc_id AS VARCHAR)
+      |    FROM p GROUP BY doc_id)
+      |SELECT doc_id,
+      |       CAST(length(string_agg(piece, chr(10) || chr(10) ORDER BY ord)) AS BIGINT) AS n_chars,
+      |       string_agg(piece, chr(10) || chr(10) ORDER BY ord) AS doc_text
+      |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --- q60l: HTML text extraction (the WET-conversion step) -----------------
   /** The dominant real-world ingestion shape the reference never
     * handles: web pages. Each doc is staged as a genuine HTML file
@@ -1473,6 +1551,7 @@ object SourceQueries {
     "q60l_html_extract" -> ((s, d) => htmlExtractRoundtrip(s, d)),
     "q60m_pdf_encrypted" -> ((s, d) => pdfEncryptedRoundtrip(s, d)),
     "q60n_pdf_composite_font" -> ((s, d) => pdfCompositeFontRoundtrip(s, d)),
+    "q60o_docx_full_text" -> ((s, d) => docxFullTextRoundtrip(s, d)),
     "q109_wet_pipeline" -> ((s, d) => wetPipeline(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
@@ -1516,6 +1595,8 @@ object SourceQueries {
     "q60m_pdf_encrypted" -> pagesConcatOracle,
     // q60n: same contract over Type0 / ToUnicode composite-font documents
     "q60n_pdf_composite_font" -> pagesConcatOracle,
+    // q60o: the docx2txt loader-path text, reconstructed verbatim in SQL
+    "q60o_docx_full_text" -> docxFullTextOracle,
     // q109: the composed WARC→WET job reproduces q60l's contract exactly —
     // the container hop is the delta under test
     "q109_wet_pipeline" -> htmlExtractOracle,
