@@ -1116,6 +1116,160 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- ANN: the PQ family from a PERSISTED index (build once, serve many) --
+  /** The q35c/q111 economics applied to the PQ ladder: q38/q39's bench
+    * cost is dominated by per-query codebook training (3 Lloyd rounds
+    * over the subvector explosion) — a cost a serving system pays ONCE
+    * at index-build time, never per batch. This stage trains the fine
+    * codebook, encodes every vector to its 8-byte code, assigns coarse
+    * cells (q39's unit-vector arithmetic, verbatim), and persists three
+    * artifacts a 100 TB deployment would ship: `codebook` (128 tiny
+    * rows, broadcast at serve time), `centroids` (≤256 rows), and
+    * `invlists` — (vec_id, codes) PARTITIONED BY cell, so a probe
+    * reads nprobe directories and the ADC scan's I/O is 8 B/vector.
+    * Content-addressed staging (the stagedBlobs discipline): a
+    * regenerated source rebuilds, a re-run serves from the artifact. */
+  private def pqIndexRoot(spark: SparkSession, dir: String): java.io.File =
+    SourceQueries.stagedBlobs(dir, "pqidx", srcTable = "embeddings") { staging =>
+      val M = 8; val K = 16; val dsub = 8
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
+        .cache()
+      val sub = e.select(col("vec_id").as("id"),
+        posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $dsub + 1, $dsub))"))
+          .as(Seq("m", "sv")))
+        .cache()
+      val init = sub.filter(col("id") < K)
+        .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+      val cb = graft.vector.Pq.train(sub, init, iters = 3)
+      cb.coalesce(1).write.parquet(new java.io.File(staging, "codebook").getAbsolutePath)
+      val centroids = centroidSeeds(e)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      centroids.coalesce(1).write.parquet(new java.io.File(staging, "centroids").getAbsolutePath)
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("cdot", VectorFns.dot(col("v"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cent_id, struct(cdot, -cent_id))").as("cell"))
+      graft.vector.Pq.encode(sub, cb)
+        .withColumnRenamed("id", "vec_id")
+        .join(assigned, Seq("vec_id"))
+        .write.partitionBy("cell")
+        .parquet(new java.io.File(staging, "invlists").getAbsolutePath)
+    }
+
+  /** q38's serving path from the persisted index: read the codebook
+    * (128 rows → broadcast ADC tables) and the codes lake, lookup-sum
+    * score the whole corpus, exact-re-rank the top-100. NO training in
+    * this plan — the per-batch cost is the ADC scan, which is the
+    * build-once/serve-many split q35c and q111 already measure. Output
+    * is bit-identical to q38 (PqIndexSpec pins it): the persisted
+    * doubles round-trip parquet exactly and the arithmetic is verbatim. */
+  def annPqFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val dsub = 8
+    val idx = pqIndexRoot(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
+      .cache()
+    val cb = spark.read.parquet(s"$idx/codebook")
+    val codes = spark.read.parquet(s"$idx/invlists").select(col("vec_id"), col("codes"))
+    val qsub = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $dsub + 1, $dsub))"))
+          .as(Seq("m", "sv")))
+    val dt = qsub.join(broadcast(cb), Seq("m"))
+      .withColumn("pd",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code, pd))), s -> s.pd)").as("dts"))
+    val wq = Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))
+    val shortlist = codes
+      .crossJoin(broadcast(dt))
+      .withColumn("adc",
+        expr(s"aggregate(sequence(0, ${M - 1}), 0D, (acc, m) -> acc + dts[m * $K + codes[m]])"))
+      .withColumn("srank", row_number().over(wq))
+      .filter(col("srank") <= 100)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+    val qvecs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    shortlist
+      .join(broadcast(qvecs), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cosine", VectorFns.dot(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"),
+        round(col("adc"), 6).as("adc_dist"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q39's serving path from the persisted index: centroids broadcast →
+    * probe set → the cell-partitioned invlists join prunes the scan to
+    * nprobe directories (the q35c partition-pruning shape) → ADC over
+    * probed cells only → exact re-rank. Bit-identical to q39
+    * (PqIndexSpec); the per-batch cost is ~nprobe/|cells| of q38b's. */
+  def annIvfPqFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val dsub = 8; val nprobe = 4
+    val idx = pqIndexRoot(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
+      .cache()
+    val cb = spark.read.parquet(s"$idx/codebook")
+    val invLists = spark.read.parquet(s"$idx/invlists")
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val wp = Window.partitionBy("query_id").orderBy(desc("cdot"), asc("cent_id"))
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdot", VectorFns.dot(col("qv"), col("cv")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val qsub = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $dsub + 1, $dsub))"))
+          .as(Seq("m", "sv")))
+    val dt = qsub.join(broadcast(cb), Seq("m"))
+      .withColumn("pd",
+        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code, pd))), s -> s.pd)").as("dts"))
+    val wq = Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))
+    val shortlist = invLists
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(dt), Seq("query_id"))
+      .withColumn("adc",
+        expr(s"aggregate(sequence(0, ${M - 1}), 0D, (acc, m) -> acc + dts[m * $K + codes[m]])"))
+      .withColumn("srank", row_number().over(wq))
+      .filter(col("srank") <= 100)
+      .select(col("query_id"), col("vec_id"), col("cell"), col("adc"))
+    val qvecs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    shortlist
+      .join(broadcast(qvecs), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cosine", VectorFns.dot(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(col("adc"), 6).as("adc_dist"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q38b registered form: same recall contract as q38. */
+  def annPqFromIndexChecked(spark: SparkSession, dir: String): DataFrame =
+    annWitness(spark, dir, annPqFromIndex(spark, dir), minHits = 3)
+
+  /** q39b registered form: same recall contract as q39. */
+  def annIvfPqFromIndexChecked(spark: SparkSession, dir: String): DataFrame =
+    annWitness(spark, dir, annIvfPqFromIndex(spark, dir), minHits = 2)
+
   // ---- ANN witness tier (property oracles for the rows-only family) --------
   /** Witness wrapper lifting an engine-internal ANN query to the DuckDB
     * oracle tier (the q66 precedent): per query, emit columns the oracle
@@ -1840,7 +1994,9 @@ object PipelineQueries {
     "q36_ann_lsh" -> ((s, d) => annLshChecked(s, d)),
     "q36b_ann_srp_md5" -> ((s, d) => annSrpPortable(s, d)),
     "q38_ann_pq" -> ((s, d) => annPqChecked(s, d)),
+    "q38b_ann_pq_index" -> ((s, d) => annPqFromIndexChecked(s, d)),
     "q39_ann_ivfpq" -> ((s, d) => annIvfPqChecked(s, d)),
+    "q39b_ann_ivfpq_index" -> ((s, d) => annIvfPqFromIndexChecked(s, d)),
     "q96_ann_hamming" -> ((s, d) => annHamming(s, d)),
     "q101_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
@@ -1867,7 +2023,11 @@ object PipelineQueries {
     // contract booleans literal TRUE — an ANN regression flips them red
     "q36_ann_lsh" -> annWitnessOracle,
     "q38_ann_pq" -> annWitnessOracle,
+    // q38b/q39b: identical arithmetic served from the persisted index —
+    // the artifact round trip is the delta under test
+    "q38b_ann_pq_index" -> annWitnessOracle,
     "q39_ann_ivfpq" -> annWitnessOracle,
+    "q39b_ann_ivfpq_index" -> annWitnessOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
     "q35_ann_ivf" -> annIvfOracle,
     // q35c: same quantizer arithmetic from the persisted cell lake —
