@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Enumerated sf100 bit-exactness sweep (SCALING.md round 12).
+
+Runs EVERY oracle from <verifyOutDir>/oracle_sql.json in DuckDB against the
+sf100 replica and compares with the Spark results written by graft.Verify —
+so the rung's correctness claim is enumerated per query, not sampled.
+
+Differences from oracle_check.py (the strict driver-gate replica):
+- each oracle runs in its own subprocess with a wall-clock timeout and a
+  DuckDB memory cap, so one pathological oracle (the composed as-of join's
+  pair stream OOMs DuckDB at 10M events) yields EXCLUDED(reason) instead of
+  killing the sweep;
+- output is a per-query status table (PASS / FAIL / EXCLUDED) plus a JSON
+  line, ready to paste into SCALING.md.
+
+A FAIL here is a real divergence and must be treated like a driver-gate
+red; an EXCLUDED records WHY DuckDB could not evaluate the oracle at this
+rung (the Spark side still produced results — covered by differentials
+like q13≡q13b where they exist).
+
+Usage: sf100_sweep.py <sfDir> <verifyOutDir> [timeoutSec] [memLimit]
+Defaults: timeout 600 s, memory_limit 24GB.
+"""
+import json
+import math
+import multiprocessing as mp
+import os
+import sys
+import time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def check_one(sf_dir, out_dir, name, sql, mem_limit, q):
+    import duckdb
+    t0 = time.time()
+    try:
+        con = duckdb.connect()
+        os.makedirs(f"{out_dir}/duck_tmp", exist_ok=True)
+        con.execute(f"SET temp_directory='{out_dir}/duck_tmp'")
+        con.execute("SET preserve_insertion_order=false")
+        con.execute(f"SET memory_limit='{mem_limit}'")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        spark_rel = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        spark_cols = [d[0] for d in spark_rel.description]
+        spark_rows = spark_rel.fetchall()
+    except Exception as e:
+        q.put((name, "FAIL", f"cannot read spark result: {e}", time.time() - t0))
+        return
+    try:
+        duck_rel = con.execute(sql)
+        duck_cols = [d[0] for d in duck_rel.description]
+        duck_rows = duck_rel.fetchall()
+    except Exception as e:
+        msg = str(e).split("\n")[0][:160]
+        status = "EXCLUDED" if ("emory" in msg or "OutOfMemory" in msg) else "FAIL"
+        reason = f"oracle OOM under memory cap: {msg}" if status == "EXCLUDED" \
+            else f"oracle SQL error: {msg}"
+        q.put((name, status, reason, time.time() - t0))
+        return
+    if sorted(spark_cols) != sorted(duck_cols):
+        q.put((name, "FAIL", f"columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}",
+               time.time() - t0))
+        return
+    if len(spark_rows) != len(duck_rows):
+        q.put((name, "FAIL", f"rows spark={len(spark_rows)} duck={len(duck_rows)}",
+               time.time() - t0))
+        return
+    a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+        q.put((name, "FAIL", f"value mismatch, first diffs: {diff}", time.time() - t0))
+        return
+    q.put((name, "PASS", f"{len(spark_rows)} rows", time.time() - t0))
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 600
+    mem_limit = sys.argv[4] if len(sys.argv) > 4 else "24GB"
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    results = {}
+    for name, sql in sorted(oracles.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            results[name] = ("EXCLUDED", "no spark result (Verify query threw)", 0.0)
+            print(f"EXCLUDED {name}: no spark result (Verify query threw)")
+            continue
+        q = mp.Queue()
+        p = mp.Process(target=check_one,
+                       args=(sf_dir, out_dir, name, sql, mem_limit, q))
+        p.start()
+        p.join(timeout)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            results[name] = ("EXCLUDED", f"oracle timeout > {timeout}s", float(timeout))
+            print(f"EXCLUDED {name}: oracle timeout > {timeout}s")
+        elif not q.empty():
+            n, status, reason, dt = q.get()
+            results[name] = (status, reason, dt)
+            print(f"{status} {name}: {reason} ({dt:.1f}s)")
+        else:
+            # child died without reporting (hard OOM kill)
+            results[name] = ("EXCLUDED", "oracle process died (hard OOM)", 0.0)
+            print(f"EXCLUDED {name}: oracle process died (hard OOM)")
+    n_pass = sum(1 for s, _, _ in results.values() if s == "PASS")
+    n_fail = sum(1 for s, _, _ in results.values() if s == "FAIL")
+    n_excl = sum(1 for s, _, _ in results.values() if s == "EXCLUDED")
+    print(f"\nSWEEP: {n_pass} PASS / {n_fail} FAIL / {n_excl} EXCLUDED "
+          f"of {len(oracles)}")
+    # markdown table for SCALING.md
+    with open(f"{out_dir}/sweep_table.md", "w") as f:
+        f.write("| query | status | note |\n|---|---|---|\n")
+        for name, (status, reason, dt) in sorted(results.items()):
+            f.write(f"| {name} | {status} | {reason} |\n")
+    with open(f"{out_dir}/sweep.json", "w") as f:
+        json.dump({k: {"status": s, "reason": r, "sec": round(dt, 1)}
+                   for k, (s, r, dt) in results.items()}, f, indent=1)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

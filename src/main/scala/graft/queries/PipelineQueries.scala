@@ -178,6 +178,74 @@ object PipelineQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ---- q112: cluster-first composed dedup (exact collapse → pair verify) --
+  /** SCALING.md's standing round-3 claim, finally composed and
+    * measurable: the pair-linear near-dup family (q31: 89.2 s at the
+    * sf100 rung, cost ∝ semantic PAIR cardinality) returns to
+    * ~row-linear when an exact-collapse stage runs FIRST. Stage 1 is
+    * q30/q75's arithmetic — one sha256-digest groupBy electing the
+    * min-doc_id canonical per identical-text cluster and counting
+    * members (row-linear, 64-hex keys on the wire). Stage 2 is q31's
+    * banded pair verify VERBATIM (prefix block, salted oversize,
+    * hashed shingles, PPJoin length prefilter) but over cluster
+    * REPRESENTATIVES only — a 32-deep dup group contributes 1 row, so
+    * a rung whose pair cardinality came from dup-group cross products
+    * shrinks by ~depth² per group pair. Output stays cluster-level
+    * (rep pairs + member counts + the implied member-pair arithmetic)
+    * so result cardinality is also pair-linear in CLUSTERS, not docs.
+    * The oracle groups by raw text (the q30 discipline: a sha256
+    * collision would diverge loudly) and reruns the string-shingle
+    * verify over representatives. */
+  def clusterFirstNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusMutant(spark, dir)
+    val hashed = corpus.withColumn("h", sha2(col("text"), 256))
+    val clusters = hashed.groupBy(col("h"))
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("csize"))
+    // representatives re-join their text by (h) and survive only as the
+    // elected canonical — the expensive stage below never sees members
+    val reps = hashed.join(clusters, Seq("h"))
+      .filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"), col("csize"))
+    val c0 = reps
+      .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
+      .withColumn("sh", transform(shingleExpr("text"), x => xxhash64(x)))
+      .drop("text")
+    val c = graft.analytics.Blocking.saltOversized(c0, "block", "doc_id", maxBlock = 256)
+      .cache()
+    val a = c.select(col("salted_block"), col("doc_id").as("id1"),
+      col("sh").as("sh1"), col("csize").as("size1"))
+    val b = c.select(col("salted_block"), col("doc_id").as("id2"),
+      col("sh").as("sh2"), col("csize").as("size2"))
+    withJaccard(
+      a.join(b, Seq("salted_block")).filter(col("id1") < col("id2")), "sh1", "sh2",
+      minJaccardTenths = 3)
+      .filter(col("jaccard") >= 0.3)
+      .select(col("id1"), col("id2"), col("jaccard"), col("size1"), col("size2"),
+        (col("size1") * col("size2")).as("member_pairs"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val clusterFirstNeardupOracle: String = {
+    val sh = shingleSql("text")
+    s"""WITH corpus AS ($corpusMutantSql),
+       |  cl AS (SELECT text, min(doc_id) AS doc_id, count(*) AS csize
+       |         FROM corpus GROUP BY text),
+       |  c AS (SELECT doc_id, csize,
+       |          array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:5], ' ') AS block,
+       |          $sh AS sh
+       |        FROM cl),
+       |  pairs AS (
+       |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |           a.csize AS size1, b.csize AS size2,
+       |           len(list_intersect(a.sh, b.sh)) AS inter,
+       |           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+       |    FROM c a JOIN c b ON a.block = b.block AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard,
+       |       size1, size2, size1 * size2 AS member_pairs
+       |FROM pairs WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= 0.3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   // ---- incremental dedup: new batch vs existing corpus index --------------
   /** The day-N+1 shape of deduplication at 100 TB: a NEW batch dedups
     * against the accumulated corpus WITHOUT rescanning it — the index
@@ -1999,6 +2067,7 @@ object PipelineQueries {
     "q39b_ann_ivfpq_index" -> ((s, d) => annIvfPqFromIndexChecked(s, d)),
     "q96_ann_hamming" -> ((s, d) => annHamming(s, d)),
     "q101_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
+    "q112_cluster_first_dedup" -> ((s, d) => clusterFirstNeardup(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
     "q91_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -2035,6 +2104,7 @@ object PipelineQueries {
     "q35c_ann_ivf_index" -> annIvfOracle,
     "q96_ann_hamming" -> annHammingOracle,
     "q101_incremental_dedup" -> incrementalDedupOracle,
+    "q112_cluster_first_dedup" -> clusterFirstNeardupOracle,
     "q77_semdedup" -> semDedupOracle,
     "q91_line_dedup" -> lineDedupOracle,
     "q92_cluster_topics" -> clusterTopicsOracle
