@@ -95,6 +95,25 @@ class PdfCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed fonts on one page: Tf switches the active CMap mid-stream") {
+    // /F1 is a 2-byte CID font, /F2 a plain simple font: the same hex
+    // string bytes must decode differently under each, and a switch back
+    // re-engages the CMap — the real shape of a PDF mixing a subset
+    // body font with a standard-14 heading font
+    val fonts = Map(
+      "F1" -> Some((2, Map(1 -> "α", 2 -> "β"))),
+      "F2" -> None)
+    val stream = "BT /F1 12 Tf <00010002> Tj /F2 10 Tf (plain) Tj " +
+      "/F1 12 Tf <0002> Tj ET"
+    assert(Pdf.extractText(stream, fonts) === "αβplainβ")
+    // a 1-byte CMap consumes per byte
+    val one = Map("F3" -> Some((1, Map(0x41 -> "X", 0x42 -> "Y"))))
+    assert(Pdf.extractText("BT /F3 8 Tf <4142> Tj ET", one) === "XY")
+    // TJ arrays map through the active CMap too
+    assert(Pdf.extractText(
+      "BT /F1 12 Tf [ <0001> -200 <0002> ] TJ ET", fonts) === "αβ")
+  }
+
   test("CMap decode failures are loud: bad width multiple, unmapped code") {
     val fonts = Map("F1" -> Some((2, Map(1 -> "a", 2 -> "b"))))
     assert(Pdf.extractText("BT /F1 12 Tf <00010002> Tj ET", fonts) === "ab")
