@@ -98,11 +98,25 @@ def main():
     mem_limit = sys.argv[4] if len(sys.argv) > 4 else "24GB"
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # Resume: a multi-hour sweep overlaps the (also multi-hour) Spark dump,
+    # so prior verdicts are reloaded and only new/undecided queries run.
+    # A query dir without _SUCCESS is still being written (or its query
+    # died) — deciding it now would compare a partial dump, so it stays
+    # undecided until the dump side settles it.
     results = {}
+    if os.path.exists(f"{out_dir}/sweep.json"):
+        for k, v in json.load(open(f"{out_dir}/sweep.json")).items():
+            results[k] = (v["status"], v["reason"], v["sec"])
     for name, sql in sorted(oracles.items()):
+        if name in results:
+            print(f"{results[name][0]} {name}: (resumed) {results[name][1]}")
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
             results[name] = ("EXCLUDED", "no spark result (Verify query threw)", 0.0)
             print(f"EXCLUDED {name}: no spark result (Verify query threw)")
+            continue
+        if not os.path.exists(f"{out_dir}/{name}/_SUCCESS"):
+            print(f"SKIP {name}: dump in flight (_SUCCESS missing) — rerun after")
             continue
         q = mp.Queue()
         p = mp.Process(target=check_one,
@@ -122,11 +136,16 @@ def main():
             # child died without reporting (hard OOM kill)
             results[name] = ("EXCLUDED", "oracle process died (hard OOM)", 0.0)
             print(f"EXCLUDED {name}: oracle process died (hard OOM)")
+        with open(f"{out_dir}/sweep.json", "w") as f:
+            json.dump({k: {"status": s, "reason": r, "sec": round(dt2, 1)}
+                       for k, (s, r, dt2) in results.items()}, f, indent=1)
     n_pass = sum(1 for s, _, _ in results.values() if s == "PASS")
     n_fail = sum(1 for s, _, _ in results.values() if s == "FAIL")
     n_excl = sum(1 for s, _, _ in results.values() if s == "EXCLUDED")
-    print(f"\nSWEEP: {n_pass} PASS / {n_fail} FAIL / {n_excl} EXCLUDED "
-          f"of {len(oracles)}")
+    n_skip = len(oracles) - len(results)
+    print(f"\nSWEEP: {n_pass} PASS / {n_fail} FAIL / {n_excl} EXCLUDED"
+          + (f" / {n_skip} UNDECIDED (dump in flight)" if n_skip else "")
+          + f" of {len(oracles)}")
     # markdown table for SCALING.md
     with open(f"{out_dir}/sweep_table.md", "w") as f:
         f.write("| query | status | note |\n|---|---|---|\n")
