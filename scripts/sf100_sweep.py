@@ -56,6 +56,10 @@ def check_one(sf_dir, out_dir, name, sql, mem_limit, q):
         con.execute(f"SET temp_directory='{out_dir}/duck_tmp'")
         con.execute("SET preserve_insertion_order=false")
         con.execute(f"SET memory_limit='{mem_limit}'")
+        # a pathological oracle (the composed as-of pair stream) spills
+        # >60 GB before its timeout — cap the spill so it can't fill the
+        # disk under the concurrently-running Spark dump
+        con.execute("SET max_temp_directory_size='40GB'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -71,8 +75,11 @@ def check_one(sf_dir, out_dir, name, sql, mem_limit, q):
         duck_rows = duck_rel.fetchall()
     except Exception as e:
         msg = str(e).split("\n")[0][:160]
-        status = "EXCLUDED" if ("emory" in msg or "OutOfMemory" in msg) else "FAIL"
-        reason = f"oracle OOM under memory cap: {msg}" if status == "EXCLUDED" \
+        resource = any(t in msg for t in (
+            "emory", "OutOfMemory", "No space left", "temp_directory_size",
+            "Could not write file"))
+        status = "EXCLUDED" if resource else "FAIL"
+        reason = f"oracle exceeded resource cap: {msg}" if status == "EXCLUDED" \
             else f"oracle SQL error: {msg}"
         q.put((name, status, reason, time.time() - t0))
         return
