@@ -60,6 +60,43 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** The text/vector tables get a parallelism FLOOR on top of the plain
+    * scan. File-scan parallelism is sized in BYTES (maxPartitionBytes),
+    * which is the wrong unit for these two tables: their per-row work
+    * downstream (shingling, minhash, per-pair set intersects, vector
+    * distances) dwarfs their per-byte cost, and parquet dictionary
+    * encoding makes the byte count lie — the sf100 rung's 200k-doc
+    * corpus compresses to ~2 MB, so the scan arrives as 1-2 partitions
+    * and every downstream stage (and every cached intermediate, and the
+    * streamed side of every broadcast join) inherits the collapse.
+    * Measured: q32's pair verify ran as 2 tasks on a 28-thread box
+    * (>45 min before this floor; the work itself is ~2 CPU-hours of
+    * array intersects that should have spread 28 ways).
+    *
+    * The floor is CONDITIONAL: when the scan already meets the session's
+    * shuffle parallelism — the genuine 100 TB layout, where files give
+    * thousands of splits — it is the identity and costs nothing. When it
+    * fires, it costs one shuffle of a table that is by construction small
+    * on disk, and it hash-partitions on the table's key so the layout is
+    * deterministic run-to-run. Relational tables (lineitem, orders) stay
+    * un-floored: their consumers are shuffle-bound joins/aggregations
+    * whose own exchanges redistribute anyway, so an upstream repartition
+    * would be a pure extra pass. */
+  private val flooredMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def floored(spark: SparkSession, dir: String, name: String,
+                      key: String): DataFrame = {
+    val df = load(spark, dir, name) // outside the lambda: same-map recursion
+    flooredMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    flooredMemo.computeIfAbsent((spark, s"$dir/$name.parquet"), { _ =>
+      val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      if (df.rdd.getNumPartitions >= target) df
+      else df.repartition(target, org.apache.spark.sql.functions.col(key))
+    })
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    floored(spark, dir, "documents", "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    floored(spark, dir, "embeddings", "vec_id")
 }
