@@ -85,12 +85,23 @@ object Tables {
   private val flooredMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** ≥ this many rows per partition before the floor adds one: at the
+    * measured per-doc costs (shingle + minhash ~0.5 ms/doc, pair verify
+    * far above) 2k rows keeps every task >100 ms of real work, while a
+    * 5k-row corpus gets 3 partitions — not 32 — so the floor's repartition
+    * stays proportional to the data instead of taxing small scales. */
+  private val FloorRowsPerTask = 2000L
+
   private def floored(spark: SparkSession, dir: String, name: String,
                       key: String): DataFrame = {
     val df = load(spark, dir, name) // outside the lambda: same-map recursion
     flooredMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     flooredMemo.computeIfAbsent((spark, s"$dir/$name.parquet"), { _ =>
-      val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+      // bare-scan count compiles to parquet footer metadata — no data pass
+      val rows = df.count()
+      val target = math.min(shuffleParts,
+        (rows + FloorRowsPerTask - 1) / FloorRowsPerTask).toInt
       if (df.rdd.getNumPartitions >= target) df
       else df.repartition(target, org.apache.spark.sql.functions.col(key))
     })
