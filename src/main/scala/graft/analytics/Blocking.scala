@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   * into ~`maxBlock`-sized sub-blocks, so pair generation is O(m·maxBlock)
   * per hot block instead of O(m²).
   *
-  * The trade is recall: pairs straddling two sub-blocks of a hot block are
-  * not generated here — the banded-LSH queries (q32/q36) are the
-  * documented unbounded-scale path for those. Blocks at or under the cap
-  * are left byte-identical (`salted_block == block`), so results on
-  * well-blocked data — including every driver oracle at sf0.01/sf0.1,
-  * where the largest block is 218 rows — are unchanged.
+  * Two primitives with different contracts:
+  *
+  *  - [[saltOversized]] CAPS pair generation at O(m·maxBlock) per hot
+  *    block by dropping cross-sub-block pairs — right for candidate
+  *    generation where a banded-LSH path (q32/q36) owns recall, wrong
+  *    for any operator whose oracle is the complete pair set.
+  *  - [[selfPairs]] keeps the complete O(m²) pair output (that IS the
+  *    operator's semantic result) and caps TASK size instead, splitting
+  *    a hot block into balanced sub-block-pair join tasks. This is what
+  *    the exact-pair operators (q31/q34/q77/q112) use.
   */
 object Blocking {
 
@@ -47,6 +51,60 @@ object Blocking {
           .otherwise(concat(col(blockCol).cast("string"), lit(SaltSep),
             pmod(hash(col(idCol)), col("_nsub")).cast("string"))))
       .drop("_block_n", "_nsub")
+  }
+
+  /** All unordered within-block row pairs, skew-BALANCED but LOSSLESS.
+    *
+    * `saltOversized` caps a hot block's pair generation by dropping
+    * cross-sub-block pairs — a recall trade that is right for candidate
+    * generation with an LSH fallback, and wrong for operators whose
+    * CONTRACT is the complete thresholded pair set (q31's oracle is the
+    * plain block equi-join; the sf100 sweep caught the 25,519-pair gap
+    * the moment a rung block crossed the cap). The fix is to cap TASK
+    * size, not output: a block of n rows splits into s = ceil(n/maxBlock)
+    * sub-blocks, and each unordered sub-block pair (i ≤ j) becomes its
+    * own join task of ≤ maxBlock² candidate pairs. A row in sub-block g
+    * replicates to tasks (g, j) for j ≥ g on the left and (i, g) for
+    * i ≤ g on the right — s+1 copies per row, O(n·s) replication against
+    * the O(n²/2) pair output that is the operator's semantic result.
+    * Every unordered pair appears in exactly one task: same-sub pairs in
+    * (g, g) deduped by the id filter, cross-sub pairs in (min, max) with
+    * the sides fixed by membership — so no distinct pass is needed.
+    *
+    * Output: two struct columns `_1`/`_2` holding the full input row
+    * (block key included, original type) for the lower-`idCol` and
+    * higher-`idCol` member of each pair. Deterministic: sub-block assignment is a pure
+    * function of `idCol`, independent of partitioning. */
+  def selfPairs(df: DataFrame, blockCol: String, idCol: String,
+                maxBlock: Int): DataFrame = {
+    require(maxBlock > 0, "maxBlock must be positive")
+    val payload = df.columns // block key included: callers project it typed
+    val counts = df.groupBy(col(blockCol)).agg(count(lit(1)).as("_block_n"))
+    val based = df.join(counts, Seq(blockCol))
+      .withColumn("_s", ceil(col("_block_n") / lit(maxBlock.toDouble)).cast("int"))
+      .withColumn("_g", pmod(hash(col(idCol)), col("_s")))
+      .select(col(blockCol).cast("string").as("_blk"), col("_s"), col("_g"),
+        struct(payload.map(col): _*).as("_row"))
+      // both replication sides read this subtree; without the cache the
+      // caller's (often expensive) feature columns compute twice. Query-
+      // internal caches are dropped by the harness per query/rep;
+      // MEMORY_AND_DISK means worst case is spill, never OOM.
+      .cache()
+    val aSide = based
+      .withColumn("_j", explode(sequence(col("_g"), col("_s") - 1)))
+      .select(concat(col("_blk"), lit(SaltSep), col("_g"), lit(":"), col("_j")).as("_task"),
+        col("_g").as("_ga"), col("_row").as("_l"))
+    val bSide = based
+      .withColumn("_i", explode(sequence(lit(0), col("_g"))))
+      .select(concat(col("_blk"), lit(SaltSep), col("_i"), lit(":"), col("_g")).as("_task"),
+        col("_g").as("_gb"), col("_row").as("_r"))
+    val lo = col("_l")(idCol) < col("_r")(idCol)
+    aSide.join(bSide, Seq("_task"))
+      // same-sub tasks carry both orientations: keep one. Cross-sub tasks
+      // carry each pair once with fixed sides: keep all.
+      .filter(col("_ga") < col("_gb") || lo)
+      .select(when(lo, col("_l")).otherwise(col("_r")).as("_1"),
+        when(lo, col("_r")).otherwise(col("_l")).as("_2"))
   }
 
   /** Diagnostic: per-block row counts above the cap — what a pipeline

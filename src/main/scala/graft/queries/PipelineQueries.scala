@@ -147,14 +147,15 @@ object PipelineQueries {
       .withColumn("sh", transform(shingleExpr("text"), x => xxhash64(x)))
       .drop("text")
     // skew guard: a boilerplate corpus collapses many docs into one
-    // prefix block; salt blocks over 256 rows (BlockingSpec pins the
-    // bound; every driver block is far smaller, so oracles are unchanged)
-    val c = graft.analytics.Blocking.saltOversized(c0, "block", "doc_id", maxBlock = 256)
-      .cache()
-    val a = c.select(col("salted_block"), col("doc_id").as("id1"), col("sh").as("sh1"))
-    val b = c.select(col("salted_block"), col("doc_id").as("id2"), col("sh").as("sh2"))
-    withJaccard(
-      a.join(b, Seq("salted_block")).filter(col("id1") < col("id2")), "sh1", "sh2",
+    // prefix block; selfPairs splits blocks over 256 rows into bounded
+    // pair TASKS without losing pairs — q31's contract is the complete
+    // thresholded pair set (the oracle is the plain block equi-join, and
+    // the sf100 sweep caught the capped variant dropping 25,519 pairs
+    // the moment a rung block crossed the cap)
+    val pairs = graft.analytics.Blocking.selfPairs(c0, "block", "doc_id", maxBlock = 256)
+      .select(col("_1.doc_id").as("id1"), col("_1.sh").as("sh1"),
+        col("_2.doc_id").as("id2"), col("_2.sh").as("sh2"))
+    withJaccard(pairs, "sh1", "sh2",
       minJaccardTenths = 3)
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), col("jaccard"))
@@ -210,14 +211,10 @@ object PipelineQueries {
       .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
       .withColumn("sh", transform(shingleExpr("text"), x => xxhash64(x)))
       .drop("text")
-    val c = graft.analytics.Blocking.saltOversized(c0, "block", "doc_id", maxBlock = 256)
-      .cache()
-    val a = c.select(col("salted_block"), col("doc_id").as("id1"),
-      col("sh").as("sh1"), col("csize").as("size1"))
-    val b = c.select(col("salted_block"), col("doc_id").as("id2"),
-      col("sh").as("sh2"), col("csize").as("size2"))
-    withJaccard(
-      a.join(b, Seq("salted_block")).filter(col("id1") < col("id2")), "sh1", "sh2",
+    val pairs = graft.analytics.Blocking.selfPairs(c0, "block", "doc_id", maxBlock = 256)
+      .select(col("_1.doc_id").as("id1"), col("_1.sh").as("sh1"), col("_1.csize").as("size1"),
+        col("_2.doc_id").as("id2"), col("_2.sh").as("sh2"), col("_2.csize").as("size2"))
+    withJaccard(pairs, "sh1", "sh2",
       minJaccardTenths = 3)
       .filter(col("jaccard") >= 0.3)
       .select(col("id1"), col("id2"), col("jaccard"), col("size1"), col("size2"),
@@ -629,15 +626,16 @@ object PipelineQueries {
       .select(col("label"), col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
     // skew guard: label-block size grows linearly with the corpus (pairs
-    // quadratically); salt blocks over 1024 rows. Largest observed block:
-    // 218 at sf0.1, ~870 on the replicated sf1 ladder — both under the
-    // cap, so oracle results are unchanged at every tested scale while a
-    // 100 TB hot label still degrades to O(m·1024) pairs, not O(m²).
-    val e = graft.analytics.Blocking.saltOversized(e0, "label", "vec_id", maxBlock = 1024)
-    val a = e.select(col("salted_block"), col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
-    val b = e.select(col("salted_block"), col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2"))
-    a.join(b, Seq("salted_block")).filter(col("id1") < col("id2"))
-      .withColumn("cosine", round(VectorFns.safeCosine(VectorFns.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6))
+    // quadratically). selfPairs splits hot labels into bounded pair tasks
+    // LOSSLESSLY — the operator's contract is the complete thresholded
+    // pair set (the oracle is the plain label equi-join), so a hot label
+    // costs its true O(m²) pair output, spread as ≤1024² tasks instead of
+    // one straggler.
+    val e = graft.analytics.Blocking.selfPairs(e0, "label", "vec_id", maxBlock = 1024)
+      .select(col("_1.label").as("label"), col("_1.vec_id").as("id1"),
+        col("_1.v").as("v1"), col("_1.n").as("n1"),
+        col("_2.vec_id").as("id2"), col("_2.v").as("v2"), col("_2.n").as("n2"))
+    e.withColumn("cosine", round(VectorFns.safeCosine(VectorFns.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6))
       .filter(col("cosine") >= 0.35)
       .select(col("label"), col("id1"), col("id2"), col("cosine"))
       .orderBy(col("label"), col("id1"), col("id2"))
@@ -852,8 +850,9 @@ object PipelineQueries {
     * different tie-break).
     *
     * The 100 TB shape: the cell equi-join bounds pair blowup to
-    * Σ|cell|² — the whole point of the paper — with [[Blocking]]'s salt
-    * cap as the hot-cell guard (same discipline as q34); only the
+    * Σ|cell|² — the whole point of the paper — with [[Blocking.selfPairs]]
+    * splitting hot cells into bounded LOSSLESS pair tasks (same
+    * discipline as q34); only the
     * (cell)-keyed pair stream shuffles, and the decision table (id, cell,
     * keep) is the materialized artifact, like q75 for exact dedup. */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -868,13 +867,11 @@ object PipelineQueries {
       .groupBy(col("vec_id"))
       .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
       .join(e, Seq("vec_id"))
-    val blocked = graft.analytics.Blocking.saltOversized(
+    val pairsBlk = graft.analytics.Blocking.selfPairs(
       assigned, "cell", "vec_id", maxBlock = 1024)
-    val a = blocked.select(col("salted_block"), col("vec_id").as("id1"),
-      col("v").as("v1"), col("n").as("n1"))
-    val b = blocked.select(col("salted_block"), col("vec_id").as("id2"),
-      col("v").as("v2"), col("n").as("n2"))
-    val dups = a.join(b, Seq("salted_block")).filter(col("id1") < col("id2"))
+      .select(col("_1.vec_id").as("id1"), col("_1.v").as("v1"), col("_1.n").as("n1"),
+        col("_2.vec_id").as("id2"), col("_2.v").as("v2"), col("_2.n").as("n2"))
+    val dups = pairsBlk
       .withColumn("cosine",
         round(VectorFns.safeCosine(VectorFns.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6))
       .filter(col("cosine") >= 0.35)
