@@ -119,8 +119,16 @@ def main():
             print(f"{results[name][0]} {name}: (resumed) {results[name][1]}")
             continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            results[name] = ("EXCLUDED", "no spark result (Verify query threw)", 0.0)
-            print(f"EXCLUDED {name}: no spark result (Verify query threw)")
+            # While the dump is still running, a missing dir just means the
+            # dump hasn't reached this query yet — persisting a verdict now
+            # would poison the resume path. Only once VerifyRung's
+            # _DUMP_DONE marker exists does a missing dir mean the query
+            # actually threw.
+            if os.path.exists(f"{out_dir}/_DUMP_DONE"):
+                results[name] = ("EXCLUDED", "no spark result (Verify query threw)", 0.0)
+                print(f"EXCLUDED {name}: no spark result (Verify query threw)")
+            else:
+                print(f"SKIP {name}: dump in flight (dir missing) — rerun after")
             continue
         if not os.path.exists(f"{out_dir}/{name}/_SUCCESS"):
             print(f"SKIP {name}: dump in flight (_SUCCESS missing) — rerun after")
@@ -135,14 +143,19 @@ def main():
             p.join()
             results[name] = ("EXCLUDED", f"oracle timeout > {timeout}s", float(timeout))
             print(f"EXCLUDED {name}: oracle timeout > {timeout}s")
-        elif not q.empty():
-            n, status, reason, dt = q.get()
-            results[name] = (status, reason, dt)
-            print(f"{status} {name}: {reason} ({dt:.1f}s)")
         else:
-            # child died without reporting (hard OOM kill)
-            results[name] = ("EXCLUDED", "oracle process died (hard OOM)", 0.0)
-            print(f"EXCLUDED {name}: oracle process died (hard OOM)")
+            # q.empty() races the mp.Queue feeder pipe — a child that put
+            # its verdict just before exiting can transiently look empty.
+            # A bounded blocking get drains the pipe; only a true silent
+            # death (hard OOM kill) raises Empty.
+            try:
+                import queue as _queue
+                n, status, reason, dt = q.get(timeout=10)
+                results[name] = (status, reason, dt)
+                print(f"{status} {name}: {reason} ({dt:.1f}s)")
+            except _queue.Empty:
+                results[name] = ("EXCLUDED", "oracle process died (hard OOM)", 0.0)
+                print(f"EXCLUDED {name}: oracle process died (hard OOM)")
         with open(f"{out_dir}/sweep.json", "w") as f:
             json.dump({k: {"status": s, "reason": r, "sec": round(dt2, 1)}
                        for k, (s, r, dt2) in results.items()}, f, indent=1)

@@ -328,6 +328,21 @@ object Bench {
     if (parsed.isEmpty) Left("unparseable_snapshot") else Right(parsed)
   }
 
+  /** Round-13: bounded retry-until-clean (the r12 lesson — the driver's
+    * official record was a guard-flagged 109 s contended leg while clean
+    * 51.7 s draws existed on the same box the same day). The bench takes
+    * up to `SPARK_GRAFT_BENCH_DRAWS` draws (default 3) and the OFFICIAL
+    * record is the first clean-eligible one; only if every draw is
+    * contaminated does it fall back to the minimum-total draw, which
+    * stays loudly flagged. Given (total, cleanEligible) per draw taken,
+    * returns (chosen index, acceptance slug). Contention only ever
+    * INFLATES, so min-total is the least-contaminated fallback. */
+  private[graft] def selectDraw(draws: Seq[(Double, Boolean)]): (Int, String) =
+    draws.indexWhere(_._2) match {
+      case i if i >= 0 => (i, "clean")
+      case _           => (draws.zipWithIndex.minBy(_._1._1)._2, "min_total_fallback")
+    }
+
   /** Hard stdout budget: the driver captures the LAST 2,000 chars of
     * stdout, so a longer line loses its head — the headline total — which
     * is exactly how BENCH_r10.json ended up `parsed: null`. 100 chars of
@@ -430,7 +445,30 @@ object Bench {
           "no clean snapshot exists — ratios vs it are unreliable; a clean " +
           "run will re-seed BENCH_CLEAN.json")
     val prevOrReason = parsePrev(prevContent, sfDir, cpus)
-    val (total, results, errors) = run(cpus, sfDir, reps)
+    // retry-until-clean: up to maxDraws primary legs, stopping at the first
+    // clean-eligible one; the local[4] leg runs ONCE, after selection, so
+    // retries don't multiply the bench cost quadratically
+    val maxDraws = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_DRAWS", "3").toInt)
+    val draws = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Seq[(String, Option[Double])], Seq[String], Guard)]
+    var accepted = false
+    while (!accepted && draws.length < maxDraws) {
+      val (t, rs, es) = run(cpus, sfDir, reps)
+      val g = evalGuard(rs, prevOrReason, prevSuspect)
+      draws += ((t, rs, es, g))
+      accepted = g.cleanEligible
+      if (!accepted && draws.length < maxDraws)
+        System.err.println(
+          f"[bench] draw ${draws.length} not clean-eligible (total $t%.1f s) — retrying " +
+            s"(${maxDraws - draws.length} draws left)")
+    }
+    val (drawIdx, drawSlug) = selectDraw(draws.toSeq.map(d => (d._1, d._4.cleanEligible)))
+    if (drawSlug == "min_total_fallback")
+      System.err.println(
+        s"[bench] all $maxDraws draws contaminated — official record is the " +
+          "min-total draw, still guard-flagged")
+    val (total, results, errors, guard) = draws(drawIdx)
+    val drawsJson = s""","draws":{"n":${draws.length},"accepted":"$drawSlug"}"""
     val local4 =
       if (cpus != "4") {
         // the local[4] leg is the BASELINE.md pass bar: its errors must
@@ -439,7 +477,6 @@ object Bench {
         val (t4, _, e4) = run("4", sfDir, reps)
         Some((t4, e4))
       } else None
-    val guard = evalGuard(results, prevOrReason, prevSuspect)
     // committed artifact: full names, full precision
     val fileQs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
@@ -448,7 +485,7 @@ object Bench {
     }
     val fileLine =
       s"""{"metric":"total","value":$total,"unit":"sec","errors":${jsonArr(errors)},""" +
-        s""""sf":"$sfDir","cpus":"$cpus","reps":$reps${guard.fileExtra}$fileL4,"queries":$fileQs}"""
+        s""""sf":"$sfDir","cpus":"$cpus","reps":$reps$drawsJson${guard.fileExtra}$fileL4,"queries":$fileQs}"""
     try {
       java.nio.file.Files.writeString(localPath, fileLine + "\n")
       // the clean baseline is refreshed only under the STRICT eligibility
@@ -456,6 +493,6 @@ object Bench {
       if (guard.cleanEligible) java.nio.file.Files.writeString(cleanPath, fileLine + "\n")
     } catch { case _: Throwable => () } // read-only cwd must not kill the bench
     println(renderStdout(total, results, errors, sfDir, cpus, reps,
-      guard.stdoutExtra, local4))
+      drawsJson + guard.stdoutExtra, local4))
   }
 }

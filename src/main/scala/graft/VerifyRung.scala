@@ -62,6 +62,13 @@ object VerifyRung {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{\n", ",\n", "\n}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "oracle_sql.json"), json)
+    // Dump-done marker: the sweep runs CONCURRENTLY with this dump, and
+    // a query dir that merely hasn't been created yet is indistinguishable
+    // from one whose query threw. Only once this marker exists may the
+    // sweep persist "no spark result (Verify query threw)" for a missing
+    // dir; before that it must leave the query undecided.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "_DUMP_DONE"), "")
     spark.stop()
   }
 }

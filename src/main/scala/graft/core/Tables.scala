@@ -20,19 +20,20 @@ object Tables {
     * analyzed plan is metadata-only (no rows are pinned — this is what a
     * catalog does for a real lake table).
     *
-    * Contract: a fixture path must be IMMUTABLE for the lifetime of the
-    * session reading it — the memoized relation pins the eagerly-resolved
-    * file listing, so rewriting part files under a live session would
-    * serve a stale listing (the same contract a real catalog's snapshot
-    * gives). Entries for stopped sessions are purged on the next load so
-    * neither the session object nor its listings are retained. */
+    * The memo key carries a name/length/mtime fingerprint of the path's
+    * data files (the stagedBlobs discipline), so a table regenerated
+    * mid-session gets a FRESH relation instead of a memoized plan whose
+    * cached file index points at deleted parts. Entries for stopped
+    * sessions are purged on the next load so neither the session object
+    * nor its listings are retained. */
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    memo.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+    val path = s"$dir/$name.parquet"
+    memo.computeIfAbsent((spark, s"$path@${dirFingerprint(path)}"),
+      { _ => spark.read.parquet(path) })
   }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
@@ -85,6 +86,21 @@ object Tables {
   private val flooredMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Source fingerprint for the memo key: name/length/mtime of the parquet
+    * dir's data files, the stagedBlobs discipline. Without it, a table
+    * regenerated mid-session would serve a memoized plan whose cached file
+    * index still points at the deleted old parts. */
+  private def dirFingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    val files = // single-file parquet fingerprints itself; dirs their parts
+      if (root.isFile) Array(root)
+      else Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+    files.filter(f => f.isFile && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toString
+  }
+
   /** ≥ this many rows per partition before the floor adds one: at the
     * measured per-doc costs (shingle + minhash ~0.5 ms/doc, pair verify
     * far above) 2k rows keeps every task >100 ms of real work, while a
@@ -96,7 +112,8 @@ object Tables {
                       key: String): DataFrame = {
     val df = load(spark, dir, name) // outside the lambda: same-map recursion
     flooredMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    flooredMemo.computeIfAbsent((spark, s"$dir/$name.parquet"), { _ =>
+    val path = s"$dir/$name.parquet"
+    flooredMemo.computeIfAbsent((spark, s"$path@${dirFingerprint(path)}"), { _ =>
       val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
       // bare-scan count compiles to parquet footer metadata — no data pass
       val rows = df.count()

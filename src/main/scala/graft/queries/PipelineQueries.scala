@@ -187,8 +187,8 @@ object PipelineQueries {
     * q30/q75's arithmetic — one sha256-digest groupBy electing the
     * min-doc_id canonical per identical-text cluster and counting
     * members (row-linear, 64-hex keys on the wire). Stage 2 is q31's
-    * banded pair verify VERBATIM (prefix block, salted oversize,
-    * hashed shingles, PPJoin length prefilter) but over cluster
+    * banded pair verify VERBATIM (prefix block, lossless task-capped
+    * selfPairs, hashed shingles) but over cluster
     * REPRESENTATIVES only — a 32-deep dup group contributes 1 row, so
     * a rung whose pair cardinality came from dup-group cross products
     * shrinks by ~depth² per group pair. Output stays cluster-level

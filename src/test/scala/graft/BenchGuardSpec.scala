@@ -263,4 +263,16 @@ class BenchGuardSpec extends AnyFunSuite {
     // degenerate prev never divides by zero
     assert(Bench.varianceSuspects(Seq(("q", 1.0, 0.0))).isEmpty)
   }
+
+  test("retry-until-clean: first clean-eligible draw becomes the official record") {
+    // the r12 scenario: contended first draw, clean second — official
+    // record must be the clean one, accepted as "clean"
+    assert(Bench.selectDraw(Seq((109.45, false), (51.70, true))) == (1, "clean"))
+    // a clean FIRST draw short-circuits (no later draw considered)
+    assert(Bench.selectDraw(Seq((51.42, true))) == (0, "clean"))
+    // every draw contaminated: fall back to the min-total draw (contention
+    // only inflates, so min-total is least-contaminated), slug says so
+    assert(Bench.selectDraw(Seq((109.45, false), (98.2, false), (103.0, false)))
+      == (1, "min_total_fallback"))
+  }
 }
