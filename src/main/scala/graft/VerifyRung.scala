@@ -28,6 +28,13 @@ object VerifyRung {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The marker must only ever reflect THIS dump's completion: a stale
+    // one from a prior (interrupted or older-board) dump would let the
+    // concurrent sweep persist "Verify query threw" for a query dir that
+    // merely hasn't been produced yet — the exact failure mode the marker
+    // exists to prevent.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(outDir, "_DUMP_DONE"))
     // Only the oracle-bearing 144: the sweep exists to compare against
     // DuckDB, and the 4 declared rows-only queries (q07/q32/q33/q37 —
     // engine-internal hash families) have nothing to compare; at this

@@ -32,8 +32,13 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val path = s"$dir/$name.parquet"
-    memo.computeIfAbsent((spark, s"$path@${dirFingerprint(path)}"),
-      { _ => spark.read.parquet(path) })
+    val key = s"$path@${dirFingerprint(path)}"
+    // Evict SUPERSEDED entries for the same (session, path): a regenerated
+    // table changes the fingerprint, and the old entry (pinning the deleted
+    // parts' file listing) would otherwise live until the session stops.
+    memo.keySet.removeIf(k =>
+      (k._1 eq spark) && k._2.startsWith(path + "@") && k._2 != key)
+    memo.computeIfAbsent((spark, key), { _ => spark.read.parquet(path) })
   }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
@@ -92,12 +97,20 @@ object Tables {
     * index still points at the deleted old parts. */
   private def dirFingerprint(path: String): String = {
     val root = new java.io.File(path)
-    val files = // single-file parquet fingerprints itself; dirs their parts
-      if (root.isFile) Array(root)
-      else Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-    files.filter(f => f.isFile && !f.getName.startsWith("."))
-      .sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    // single-file parquet fingerprints itself; dirs walk RECURSIVELY so
+    // hive-partitioned layouts (key=val subdirs) fingerprint their leaves
+    def walk(f: java.io.File): Array[java.io.File] =
+      if (f.isFile) Array(f)
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filterNot(_.getName.startsWith(".")).flatMap(walk)
+    val files = walk(root).filter(f => f.isFile && !f.getName.startsWith("."))
+    if (files.isEmpty)
+      // non-local paths (hdfs://, s3://) or vanished dirs reach here: the
+      // memo degrades to always-memoized — make that visible, not silent
+      System.err.println(s"[tables] dirFingerprint: empty listing for $path " +
+        "(non-local or missing path) — staleness detection inactive for it")
+    files.sortBy(f => f.getAbsolutePath)
+      .map(f => s"${f.getAbsolutePath.drop(root.getAbsolutePath.length)}:${f.length}:${f.lastModified}")
       .mkString("|").hashCode.toString
   }
 

@@ -298,7 +298,33 @@ object StreamQueries {
     // legacy conf; other writers surface TIMESTAMP/_NTZ)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = Tables.load(spark, dir, "events")
-    val rawStream = spark.readStream.schema(raw.schema).parquet(s"$dir/events.parquet")
+    // FileStreamSource requires a DIRECTORY basePath ("Option 'basePath'
+    // must be a directory"), but the driver corpus's events.parquet is a
+    // single FILE. Stage it behind a fingerprint-keyed dir (hard link —
+    // zero copy; fallback to copy across filesystems), the stagedBlobs
+    // discipline: a regenerated source misses the key, a re-run hits it.
+    // A directory-shaped events.parquet (other writers) streams directly.
+    val src = new java.io.File(s"$dir/events.parquet")
+    val streamPath =
+      if (src.isDirectory) src.getAbsolutePath
+      else {
+        val key = java.lang.Long.toHexString(
+          src.getName.hashCode.toLong * 31L + src.length() * 1000003L + src.lastModified())
+        val staged = new java.io.File(
+          s"/root/repo/target/stream_events_${new java.io.File(dir).getName}_$key")
+        val link = new java.io.File(staged, "events.parquet")
+        if (!link.isFile) {
+          staged.mkdirs()
+          try java.nio.file.Files.createLink(link.toPath, src.toPath)
+          catch { case _: java.nio.file.FileAlreadyExistsException => // lost a benign race
+            case _: Exception =>
+              java.nio.file.Files.copy(src.toPath, link.toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+        staged.getAbsolutePath
+      }
+    val rawStream = spark.readStream.schema(raw.schema).parquet(streamPath)
     val tsed = raw.schema("ts").dataType match {
       case LongType         => rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => rawStream.withColumn("ts", col("ts").cast("timestamp"))
@@ -328,14 +354,25 @@ object StreamQueries {
       }
     }
     val sink = spark.table(sinkName)
-    val users = sink.select(countDistinct(col("user_id"))).head.getLong(0)
-    val updates = sink.filter(!col("closed")).count()
+    // Materialize off the memory sink, then DROP it: the sink rows are
+    // already driver-resident, so the collect adds nothing, and dropping
+    // frees the sink table that would otherwise accumulate across bench
+    // reps for the life of the session.
+    val rows = sink.select(col("user_id"), col("n").as("n_events"),
+        col("total").cast("long").as("total_cents"), col("closed"))
+      .orderBy(col("user_id"), col("closed"))
+      .collect().toSeq
+    spark.catalog.dropTempView(sinkName)
+    val users = rows.map(_.getLong(0)).distinct.size.toLong
+    val updates = rows.count(!_.getBoolean(3)).toLong
     require(updates == users,
       s"q113: $updates update rows for $users users — the file source split " +
         "the corpus into multiple batches; the batch oracle cannot model that")
-    sink.select(col("user_id"), col("n").as("n_events"),
-        col("total").cast("long").as("total_cents"), col("closed"))
-      .orderBy(col("user_id"), col("closed"))
+    import org.apache.spark.sql.types.{StructType, StructField, BooleanType}
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("user_id", LongType), StructField("n_events", LongType),
+        StructField("total_cents", LongType), StructField("closed", BooleanType))))
   }
 
   /** The replay SQL: per user, state = aggregate of non-reset events
