@@ -873,17 +873,20 @@ object SourceQueries {
     * browser, LaTeX, or Word with SUBSET FONTS show text as hex-string
     * operands of 2-byte glyph indices, readable only through the
     * font's embedded /ToUnicode CMap (ISO 32000 §9.7 + §9.10.3 — the
-    * PyMuPDF capability at app.py:123-132). Docs cycle four staged
+    * PyMuPDF capability at app.py:123-132). Docs cycle six staged
     * shapes by id: Type0/Identity-H with a FlateDecode-compressed CMap,
     * the same with a raw CMap, simple-font hex-string operands
-    * (uncompressed), and hex strings under a FlateDecode content
-    * stream — so CID assignment, bfchar + both bfrange clause forms,
-    * hex-element TJ arrays, the Tf font tracker, and the CMap-stream
-    * filter path all run under q01's VERBATIM bit-exact oracle. A
-    * malformed CMap or an unmapped code throws loudly (PdfCodecSpec). */
+    * (uncompressed), hex strings under a FlateDecode content stream,
+    * and Identity-H / Identity-V WITHOUT any /ToUnicode (the predefined-
+    * CMap fallback, §9.7.5.2: CID = code = UTF-16 unit) — so CID
+    * assignment, bfchar + both bfrange clause forms, hex-element TJ
+    * arrays, the Tf font tracker, the CMap-stream filter path, and the
+    * no-CMap identity ladder all run under q01's VERBATIM bit-exact
+    * oracle. A malformed CMap, an unmapped code, or a non-Identity
+    * predefined CMap throws loudly (PdfCodecSpec). */
   def pdfCompositeFontRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdftype0") { staging =>
+    val blobRoot = stagedBlobs(dir, "pdftype0b") { staging =>
       Tables.documents(spark, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), expr(
@@ -892,12 +895,83 @@ object SourceQueries {
         .as[(Long, Seq[String])]
         .foreachPartition { it: Iterator[(Long, Seq[String])] =>
           it.foreach { case (id, pages) =>
-            val bytes = (id % 4) match {
+            val bytes = (id % 6) match {
               case 0 => graft.sources.Pdf.encodeType0(pages)
               case 1 => graft.sources.Pdf.encodeType0(pages, compressCMap = false)
               case 2 => graft.sources.Pdf.encode(pages, hexStrings = true)
-              case _ => graft.sources.Pdf.encode(pages, compress = true,
+              case 3 => graft.sources.Pdf.encode(pages, compress = true,
                 hexStrings = true)
+              // predefined Identity CMap, NO /ToUnicode (ISO 32000
+              // §9.7.5.2): codes decode as CIDs = UTF-16 units — the
+              // round-12/13 conformance gap closed
+              case 4 => graft.sources.Pdf.encodeType0(pages, toUnicode = false)
+              case _ => graft.sources.Pdf.encodeType0(pages, toUnicode = false,
+                vertical = true)
+            }
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
+          }
+        }
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- q60p: simple-font /Encoding /Differences PDF ingestion ---------------
+  /** The single most common LEGACY-PDF text shape (round-12/13's #1
+    * conformance gap vs app.py:123-132, app.py:169): pre-Type0 simple
+    * fonts whose byte codes decode through a named base encoding —
+    * WinAnsi, MacRoman, Standard (ISO 32000 Appendix D) — with an
+    * optional /Differences override array (§9.6.6.3). Docs cycle five
+    * staged shapes by id: bare /WinAnsiEncoding name, bare
+    * /MacRomanEncoding name, a /Differences remap of every text char to
+    * codes ≥ 128 over the implicit StandardEncoding (literal strings
+    * with OCTAL escapes), the same remap over /BaseEncoding /WinAnsi
+    * shown as hex strings, and an INDIRECT /Encoding object with a
+    * MacRoman base under a FlateDecode content stream — so the three
+    * Appendix D tables, the glyph-name → Unicode AGL walk, multi-run
+    * Differences parsing, octal-escape literals, and both dict forms
+    * all run under q01's VERBATIM bit-exact oracle. Unknown encodings
+    * and unmapped codes throw loudly (PdfCodecSpec). */
+  def pdfSimpleEncodingRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Pdf.SimpleEncoding
+    val blobRoot = stagedBlobs(dir, "pdfsimpleenc") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            val bytes = (id % 5) match {
+              case 0 => graft.sources.Pdf.encode(pages,
+                encoding = Some(SimpleEncoding(base = Some("WinAnsiEncoding"))))
+              case 1 => graft.sources.Pdf.encode(pages,
+                encoding = Some(SimpleEncoding(base = Some("MacRomanEncoding"))))
+              case 2 => graft.sources.Pdf.encode(pages,
+                encoding = Some(SimpleEncoding(remapFrom = 128)))
+              case 3 => graft.sources.Pdf.encode(pages, hexStrings = true,
+                encoding = Some(SimpleEncoding(base = Some("WinAnsiEncoding"),
+                  remapFrom = 160)))
+              case _ => graft.sources.Pdf.encode(pages, compress = true,
+                encoding = Some(SimpleEncoding(base = Some("MacRomanEncoding"),
+                  remapFrom = 140, indirect = true)))
             }
             java.nio.file.Files.write(
               new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
@@ -1551,6 +1625,7 @@ object SourceQueries {
     "q60l_html_extract" -> ((s, d) => htmlExtractRoundtrip(s, d)),
     "q60m_pdf_encrypted" -> ((s, d) => pdfEncryptedRoundtrip(s, d)),
     "q60n_pdf_composite_font" -> ((s, d) => pdfCompositeFontRoundtrip(s, d)),
+    "q60p_pdf_simple_encoding" -> ((s, d) => pdfSimpleEncodingRoundtrip(s, d)),
     "q60o_docx_full_text" -> ((s, d) => docxFullTextRoundtrip(s, d)),
     "q109_wet_pipeline" -> ((s, d) => wetPipeline(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
@@ -1594,7 +1669,10 @@ object SourceQueries {
     // q60m: same extraction contract over RC4-encrypted documents
     "q60m_pdf_encrypted" -> pagesConcatOracle,
     // q60n: same contract over Type0 / ToUnicode composite-font documents
+    // (incl. the predefined Identity-H/V no-ToUnicode shapes)
     "q60n_pdf_composite_font" -> pagesConcatOracle,
+    // q60p: same contract over simple-font /Encoding /Differences docs
+    "q60p_pdf_simple_encoding" -> pagesConcatOracle,
     // q60o: the docx2txt loader-path text, reconstructed verbatim in SQL
     "q60o_docx_full_text" -> docxFullTextOracle,
     // q109: the composed WARC→WET job reproduces q60l's contract exactly —

@@ -67,6 +67,33 @@ object Pdf {
     sb.toString
   }
 
+  /** Literal-string writer for encoded (non-identity) code bytes: specials
+    * escaped, codes ≥ 0x80 as OCTAL escapes — the form legacy generators
+    * emit for /Differences-remapped high codes (ISO 32000 §7.3.4.2). */
+  private def escapeOctal(s: String): String = {
+    val sb = new StringBuilder(s.length + 16)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '('  => sb.append("\\(")
+      case ')'  => sb.append("\\)")
+      case c if c >= 0x80 || c < 0x20 => sb.append(f"\\${c.toInt}%03o")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Simple-font /Encoding shape for [[encode]] (ISO 32000 §9.6.6):
+    * `base` picks the named base encoding (None = the font's implicit
+    * StandardEncoding); `remapFrom` > 0 remaps every distinct text char
+    * to consecutive codes from there via a /Differences array (the
+    * legacy-generator form whose decode REQUIRES the tables); `indirect`
+    * writes the /Encoding dict as its own numbered object (both forms
+    * are legal and both occur in the wild). */
+  private[graft] final case class SimpleEncoding(
+      base: Option[String] = None,
+      remapFrom: Int = 0,
+      indirect: Boolean = false)
+
   /** One PDF, one page per element of `pages`. Object layout: 1 catalog,
     * 2 page tree, 3 font, then (page, contents) object pairs. The xref
     * offsets are computed from the actual emitted bytes — a conformant
@@ -88,7 +115,8 @@ object Pdf {
                             predictor: Int = 1, columns: Int = 16,
                             filterChain: Seq[String] = Seq("FlateDecode"),
                             encryptRev: Int = 0,
-                            hexStrings: Boolean = false): Array[Byte] = {
+                            hexStrings: Boolean = false,
+                            encoding: Option[SimpleEncoding] = None): Array[Byte] = {
     require(Set(0, 2, 3, 4, 6).contains(encryptRev),
       s"unsupported encryption revision $encryptRev " +
         "(0 = none, 2 = RC4-40, 3 = RC4-128, 4 = AESV2/AES-128, 6 = AES-256)")
@@ -132,20 +160,71 @@ object Pdf {
         case 6 => aesSeal(fileKey6, offsets.length + 1, payload, deriveKey = false)
         case _ => cryptObject(fileKey, offsets.length + 1, payload)
       }
+    // Simple-font encoding: per-char CODE assignment + the /Encoding
+    // entry carrying it. With remapFrom the distinct chars (first-
+    // appearance order) take consecutive /Differences codes — the decode
+    // then REQUIRES the Differences walk + glyph-name resolution; without
+    // it, codes come from the base table's reverse map, exercising the
+    // Appendix D table itself (even ASCII goes name-by-name).
+    val (codeOf, diffRuns, encEntry) = encoding match {
+      case None => (null: Map[Char, Int], Seq.empty[String], "")
+      case Some(SimpleEncoding(base, remapFrom, indirect)) =>
+        val table = PdfEncodings.baseTable(base.getOrElse("StandardEncoding"))
+        val (codes, diffs) =
+          if (remapFrom > 0) {
+            val distinct = scala.collection.mutable.LinkedHashSet[Char]()
+            pages.foreach(_.foreach(distinct += _))
+            require(remapFrom + distinct.size <= 256,
+              s"SimpleEncoding: ${distinct.size} distinct chars from code " +
+                s"$remapFrom exceeds the byte code space")
+            val assigned = distinct.toSeq.zipWithIndex
+              .map { case (c, k) => c -> (remapFrom + k) }
+            (assigned.toMap,
+              assigned.map { case (c, code) =>
+                code -> PdfEncodings.unicodeToGlyph.getOrElse(c.toString,
+                  f"uni${c.toInt}%04X")
+              })
+          } else {
+            // lowest code per char under the base table
+            val rev = table.toSeq
+              .map { case (code, name) => PdfEncodings.glyph(name) -> code }
+              .filter(_._1.length == 1)
+              .groupBy(_._1.charAt(0)).map { case (c, xs) => c -> xs.map(_._2).min }
+            pages.foreach(_.foreach(c => require(rev.contains(c),
+              f"SimpleEncoding: char U+${c.toInt}%04X not in /${base.getOrElse("StandardEncoding")}")))
+            (rev, Seq.empty[(Int, String)])
+          }
+        // runs of ≤ 6 so real multi-run /Differences parsing is exercised
+        val runs = diffs.grouped(6).map(run =>
+          s"${run.head._1} " + run.map("/" + _._2).mkString(" ")).toSeq
+        val baseDecl = base.map(b => s"/BaseEncoding /$b ").getOrElse("")
+        val entry =
+          if (diffs.isEmpty && base.isDefined && !indirect) s" /Encoding /${base.get}"
+          else if (indirect)
+            s" /Encoding ${4 + 2 * pages.length} 0 R" // appended after the pages
+          else
+            s" /Encoding << $baseDecl/Differences [ ${runs.mkString(" ")} ] >>"
+        (codes, runs, entry)
+    }
+    def coded(text: String): String =
+      if (codeOf == null) text else text.map(c => codeOf(c).toChar)
     sb.append("%PDF-1.4\n")
     val kids = pages.indices.map(i => s"${4 + 2 * i} 0 R").mkString(" ")
     obj("<< /Type /Catalog /Pages 2 0 R >>")
     obj(s"<< /Type /Pages /Kids [ $kids ] /Count ${pages.length} >>")
-    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    obj(s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica$encEntry >>")
     pages.zipWithIndex.foreach { case (text, i) =>
       obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
         s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>")
       // hexStrings: the same bytes as a hex-string operand (ISO 32000
       // §7.3.4.3) — the show-string form font-subsetting writers favor
+      val bytes = coded(text)
       val stream =
         if (hexStrings)
           "BT /F1 12 Tf 72 720 Td <" +
-            text.map(c => f"${c.toInt & 0xFF}%02X").mkString + "> Tj ET"
+            bytes.map(c => f"${c.toInt & 0xFF}%02X").mkString + "> Tj ET"
+        else if (codeOf != null)
+          s"BT /F1 12 Tf 72 720 Td (${escapeOctal(bytes)}) Tj ET"
         else s"BT /F1 12 Tf 72 720 Td (${escape(text)}) Tj ET"
       if (compress) {
         val raw = stream.getBytes(ISO_8859_1)
@@ -183,6 +262,15 @@ object Pdf {
         val sealed_ = new String(sealStream(stream.getBytes(ISO_8859_1)), ISO_8859_1)
         obj(s"<< /Length ${sealed_.length} >>\nstream\n$sealed_\nendstream")
       }
+    }
+    if (encoding.exists(_.indirect)) {
+      // the indirect /Encoding dict the font object referenced as
+      // `${4 + 2P} 0 R` — object order in the body is free; the xref
+      // rows below locate it
+      val baseDecl = encoding.get.base.map(b => s"/BaseEncoding /$b ").getOrElse("")
+      val diffDecl =
+        if (diffRuns.isEmpty) "" else s"/Differences [ ${diffRuns.mkString(" ")} ] "
+      obj(s"<< /Type /Encoding $baseDecl$diffDecl>>")
     }
     if (encryptRev > 0) {
       // the /Encrypt dict itself (and its O/U strings) is never encrypted
@@ -228,8 +316,16 @@ object Pdf {
     * across a kerned `TJ` array (hex elements). `compressCMap` flates
     * the CMap stream, the shape real generators write. */
   private[graft] def encodeType0(pages: Seq[String],
-                                 compressCMap: Boolean = true): Array[Byte] = {
+                                 compressCMap: Boolean = true,
+                                 toUnicode: Boolean = true,
+                                 vertical: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "encodeType0: at least one page")
+    // Without /ToUnicode the only readable Type0 shape is the PREDEFINED
+    // Identity CMap (ISO 32000 §9.7.5.2): codes ARE the 2-byte CIDs, and
+    // a text extractor takes them as UTF-16 code units — the generator
+    // therefore writes the text's own code units as CIDs so the round
+    // trip is verbatim (surrogate pairs ride as two consecutive codes).
+    if (!toUnicode) return encodeType0Identity(pages, vertical)
     // codebook: distinct code points in first-appearance order, CIDs from 1
     val cidOf = scala.collection.mutable.LinkedHashMap[Int, Int]()
     pages.foreach(_.codePoints().forEach { cp =>
@@ -303,6 +399,52 @@ object Pdf {
           s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET"
         else {
           // split on a code boundary: hex chars per code = 4
+          val mid = (hex.length / 8) * 4
+          s"BT /F1 12 Tf 72 720 Td [ <${hex.substring(0, mid)}> -250 " +
+            s"<${hex.substring(mid)}> ] TJ ET"
+        }
+      obj(s"<< /Length ${stream.length} >>\nstream\n$stream\nendstream")
+    }
+    val xrefOff = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** Type0 with a PREDEFINED Identity CMap and NO /ToUnicode — the
+    * second most common conformance gap vs the reference loader path
+    * (app.py:123-132): a conformant extractor decodes the 2-byte codes
+    * as CIDs = UTF-16 code units directly (ISO 32000 §9.7.5.2 /
+    * §9.10.2's fallback ladder). Even pages show via `Tj` hex strings,
+    * odd pages split across a kerned `TJ` array, mirroring
+    * [[encodeType0]]'s operand coverage. */
+  private def encodeType0Identity(pages: Seq[String],
+                                  vertical: Boolean): Array[Byte] = {
+    val enc = if (vertical) "Identity-V" else "Identity-H"
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n").append(body).append("\nendobj\n")
+    }
+    sb.append("%PDF-1.4\n")
+    val kids = pages.indices.map(i => s"${5 + 2 * i} 0 R").mkString(" ")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj(s"<< /Type /Pages /Kids [ $kids ] /Count ${pages.length} >>")
+    obj("<< /Type /Font /Subtype /Type0 /BaseFont /GraftSubset " +
+      s"/Encoding /$enc /DescendantFonts [ 4 0 R ] >>")
+    obj("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftSubset " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>")
+    pages.zipWithIndex.foreach { case (text, i) =>
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${6 + 2 * i} 0 R >>")
+      val hex = text.map(c => f"${c.toInt}%04X").mkString
+      val stream =
+        if (i % 2 == 0 || hex.length < 8)
+          s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET"
+        else {
           val mid = (hex.length / 8) * 4
           s"BT /F1 12 Tf 72 720 Td [ <${hex.substring(0, mid)}> -250 " +
             s"<${hex.substring(mid)}> ] TJ ET"
@@ -1158,23 +1300,81 @@ object Pdf {
     // /ToUnicode CMaps resolved once per CMap object (fonts are shared
     // across pages; re-parsing per page would be O(pages × cmap))
     val cmapCache = scala.collection.mutable.Map[Int, (Int, Map[Int, String])]()
-    def toUnicodeOf(fontOid: Int): Option[(Int, Map[Int, String])] = {
-      val font = objs.getOrElse(fontOid,
-        throw new IllegalArgumentException(s"corrupt PDF: missing font object $fontOid"))
-      val tAt = font.indexOf("/ToUnicode")
-      if (tAt < 0) None
-      else {
-        val cmapOid = ref(font.substring(tAt), "/ToUnicode")
-        Some(cmapCache.getOrElseUpdate(cmapOid, {
-          val body = objs.getOrElse(cmapOid,
-            throw new IllegalArgumentException("corrupt PDF: missing /ToUnicode object"))
-          val sAt = body.indexOf("stream")
-          require(sAt >= 0, "corrupt PDF: /ToUnicode without a stream")
-          parseToUnicode(
-            decodeStream(body.substring(0, sAt), unseal(cmapOid, streamData(body))))
-        }))
-      }
-    }
+    val fontCache = scala.collection.mutable.Map[Int, Option[(Int, Map[Int, String])]]()
+    /** The font's code → text decode, resolved in the conformant-viewer
+      * precedence (ISO 32000 §9.10.2): an embedded /ToUnicode CMap wins;
+      * else a Type0's PREDEFINED Identity-H/V CMap decodes 2-byte codes
+      * as UTF-16 units (other predefined registries throw — decoding
+      * them needs CMap resources we don't ship); else a simple font's
+      * /Encoding (name or dict with /BaseEncoding + /Differences) walks
+      * the Appendix D tables glyph-name-by-glyph-name; a simple font
+      * with NO /Encoding keeps the built-in-font byte passthrough. */
+    def fontDecodeOf(fontOid: Int): Option[(Int, Map[Int, String])] =
+      fontCache.getOrElseUpdate(fontOid, {
+        val font = objs.getOrElse(fontOid,
+          throw new IllegalArgumentException(s"corrupt PDF: missing font object $fontOid"))
+        val isType0 = type0Pat.matcher(font).find()
+        val tAt = font.indexOf("/ToUnicode")
+        if (tAt >= 0) {
+          val cmapOid = ref(font.substring(tAt), "/ToUnicode")
+          Some(cmapCache.getOrElseUpdate(cmapOid, {
+            val body = objs.getOrElse(cmapOid,
+              throw new IllegalArgumentException("corrupt PDF: missing /ToUnicode object"))
+            val sAt = body.indexOf("stream")
+            require(sAt >= 0, "corrupt PDF: /ToUnicode without a stream")
+            parseToUnicode(
+              decodeStream(body.substring(0, sAt), unseal(cmapOid, streamData(body))))
+          }))
+        } else {
+          val eAt = font.indexOf("/Encoding")
+          if (eAt < 0) {
+            require(!isType0,
+              "corrupt PDF: Type0 font without /Encoding or /ToUnicode")
+            None
+          } else {
+            var i = eAt + "/Encoding".length
+            while (i < font.length && font(i).isWhitespace) i += 1
+            if (i < font.length && font(i) == '/') {
+              var j = i + 1
+              while (j < font.length && !nameDelim(font(j))) j += 1
+              font.substring(i + 1, j) match {
+                case "Identity-H" | "Identity-V" =>
+                  require(isType0,
+                    "corrupt PDF: Identity CMap /Encoding on a non-Type0 font")
+                  Some((2, identityCidMap))
+                case other if isType0 =>
+                  throw new IllegalArgumentException(
+                    s"unsupported predefined CMap /$other: only Identity-H/V " +
+                      "is decodable without an embedded /ToUnicode")
+                case name => Some((1, PdfEncodings.decodeMap(
+                  PdfEncodings.baseTable(name), Map.empty)))
+              }
+            } else {
+              require(!isType0, "corrupt PDF: Type0 /Encoding must be a CMap name")
+              val dict =
+                if (font.startsWith("<<", i)) balancedDict(font, i)
+                else {
+                  val m = refPat.matcher(font)
+                  m.region(i, font.length)
+                  require(m.lookingAt(),
+                    "corrupt PDF: /Encoding is neither a name, dict, nor reference")
+                  val body = objs.getOrElse(m.group(1).toInt,
+                    throw new IllegalArgumentException(
+                      "corrupt PDF: missing /Encoding object"))
+                  val dAt = body.indexOf("<<")
+                  require(dAt >= 0, "corrupt PDF: /Encoding object is not a dict")
+                  balancedDict(body, dAt)
+                }
+              val base = {
+                val bm = baseEncPat.matcher(dict)
+                if (bm.find()) PdfEncodings.baseTable(bm.group(1))
+                else PdfEncodings.standard
+              }
+              Some((1, PdfEncodings.decodeMap(base, parseDifferences(dict))))
+            }
+          }
+        }
+      })
     val rootAt = doc.lastIndexOf("/Root")
     require(rootAt >= 0, "corrupt PDF: trailer has no /Root")
     val catalog = objs(ref(doc.substring(rootAt), "/Root"))
@@ -1200,7 +1400,7 @@ object Pdf {
       require(sAt >= 0, "corrupt PDF: contents without stream")
       val dict = contents.substring(0, sAt)
       val stream = decodeStream(dict, unseal(cid, streamData(contents)))
-      val fonts = fontRefs(page, objs).map { case (n, oid) => n -> toUnicodeOf(oid) }
+      val fonts = fontRefs(page, objs).map { case (n, oid) => n -> fontDecodeOf(oid) }
       extractText(stream, fonts)
     }
   }
@@ -1236,6 +1436,56 @@ object Pdf {
 
   private val fontEntryPat =
     java.util.regex.Pattern.compile("/([A-Za-z0-9.+-]+)\\s+(\\d+)\\s+0\\s+R")
+
+  private val type0Pat =
+    java.util.regex.Pattern.compile("/Subtype\\s*/Type0\\b")
+  private val baseEncPat =
+    java.util.regex.Pattern.compile("/BaseEncoding\\s*/([A-Za-z]+)")
+
+  /** Identity CID decode (predefined Identity-H/V, no /ToUnicode):
+    * each 2-byte code IS a UTF-16 code unit; surrogate halves pass
+    * through individually and re-pair in the output string. Built once
+    * per JVM — fonts share it across documents. */
+  private lazy val identityCidMap: Map[Int, String] =
+    (0 until 0x10000).map(c => c -> c.toChar.toString).toMap
+
+  /** The /Differences array of an encoding dict: `[ code /n1 /n2 code2
+    * /n3 … ]` — each integer restarts the code counter, each name takes
+    * the next code (ISO 32000 §9.6.6.3). Returns code → glyph name;
+    * malformed arrays (no opener, code outside 0-255, name before any
+    * code) throw. */
+  private[graft] def parseDifferences(dict: String): Map[Int, String] = {
+    val dAt = dict.indexOf("/Differences")
+    if (dAt < 0) return Map.empty
+    val lb = dict.indexOf('[', dAt)
+    require(lb >= 0, "corrupt PDF: /Differences without an array")
+    val rb = dict.indexOf(']', lb)
+    require(rb >= 0, "corrupt PDF: unterminated /Differences array")
+    val out = Map.newBuilder[Int, String]
+    var code = -1
+    var i = lb + 1
+    while (i < rb) {
+      val c = dict(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/') {
+        var j = i + 1
+        while (j < rb && !nameDelim(dict(j))) j += 1
+        require(code >= 0, "corrupt PDF: /Differences name before any code")
+        require(code <= 255, s"corrupt PDF: /Differences code $code exceeds a byte")
+        out += code -> dict.substring(i + 1, j)
+        code += 1
+        i = j
+      } else if (c.isDigit) {
+        var j = i
+        while (j < rb && dict(j).isDigit) j += 1
+        code = dict.substring(i, j).toInt
+        require(code <= 255, s"corrupt PDF: /Differences code $code exceeds a byte")
+        i = j
+      } else throw new IllegalArgumentException(
+        s"corrupt PDF: unexpected '$c' in /Differences array")
+    }
+    out.result()
+  }
 
   /** The balanced `<< … >>` dict starting at `at` (which must point at
     * `<<`), inclusive. */
@@ -1402,7 +1652,7 @@ object Pdf {
           var k = 0
           while (k < w) { code = (code << 8) | (raw.charAt(j + k) & 0xFF); k += 1 }
           sb.append(m.getOrElse(code, throw new IllegalArgumentException(
-            f"corrupt PDF: code 0x$code%04X has no /ToUnicode mapping")))
+            f"corrupt PDF: code 0x$code%04X is not mapped by the active font's encoding")))
           j += w
         }
         sb.toString

@@ -609,6 +609,95 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(a._3.toSeq !== c._3.toSeq)
   }
 
+  test("round trip: simple font with a named base /Encoding") {
+    // bare-name form: every byte decodes through the Appendix D table
+    val pages = Seq("plain ascii under winansi", "second page")
+    val win = Pdf.SimpleEncoding(base = Some("WinAnsiEncoding"))
+    assert(Pdf.decodePages(Pdf.encode(pages, encoding = Some(win))) === pages)
+    val mac = Pdf.SimpleEncoding(base = Some("MacRomanEncoding"))
+    assert(Pdf.decodePages(Pdf.encode(pages, encoding = Some(mac))) === pages)
+    // WinAnsi's non-ASCII block: typographic chars land on 0x80-0x9F codes
+    val typo = Seq("café … “quoted” — €10")
+    assert(Pdf.decodePages(Pdf.encode(typo, encoding = Some(win))) === typo)
+    // StandardEncoding quirk: apostrophe lives at 0xA9 (quotesingle),
+    // 0x27 is quoteright — the reverse map must honor the table
+    val std = Pdf.SimpleEncoding(base = None)
+    val q = Seq("don't ’ ‘")
+    assert(Pdf.decodePages(Pdf.encode(q, encoding = Some(std))) === q)
+  }
+
+  test("round trip: /Differences remap over every base, octal + hex operands") {
+    val pages = Seq("differences remap this text", "and the second page too")
+    for (base <- Seq(None, Some("WinAnsiEncoding"), Some("MacRomanEncoding"));
+         hex <- Seq(false, true)) {
+      val enc = Pdf.SimpleEncoding(base = base, remapFrom = 128)
+      val got = Pdf.decodePages(Pdf.encode(pages, encoding = Some(enc), hexStrings = hex))
+      assert(got === pages, s"base=$base hex=$hex")
+    }
+    // the literal-string form writes the high codes as octal escapes
+    val doc = new String(Pdf.encode(pages,
+      encoding = Some(Pdf.SimpleEncoding(remapFrom = 128))), "ISO-8859-1")
+    assert(doc.contains("\\200"), "remapped codes should ride octal escapes")
+    assert(doc.contains("/Differences [ 128 /d"))
+  }
+
+  test("round trip: indirect /Encoding dict, compressed content") {
+    val pages = Seq("indirect encoding object", "page 2")
+    val enc = Pdf.SimpleEncoding(base = Some("MacRomanEncoding"),
+      remapFrom = 160, indirect = true)
+    assert(Pdf.decodePages(Pdf.encode(pages, encoding = Some(enc))) === pages)
+    assert(Pdf.decodePages(
+      Pdf.encode(pages, compress = true, encoding = Some(enc))) === pages)
+    // the dict really is its own object
+    val doc = new String(Pdf.encode(pages, encoding = Some(enc)), "ISO-8859-1")
+    assert(doc.matches("(?s).*?/Encoding \\d+ 0 R.*"))
+  }
+
+  test("simple-font failures stay loud") {
+    // unknown base encoding name
+    val bad = Pdf.SimpleEncoding(base = Some("PDFDocEncoding"))
+    assertThrows[IllegalArgumentException](
+      Pdf.encode(Seq("x"), encoding = Some(bad)))
+    // a char the base table cannot express (no remap to save it)
+    assertThrows[IllegalArgumentException](Pdf.encode(Seq("中文"),
+      encoding = Some(Pdf.SimpleEncoding(base = Some("WinAnsiEncoding")))))
+    // decoder: a code with no table entry throws, never silently drops —
+    // MacRoman leaves 0xC5 (approxequal's slot) unmapped in Appendix D
+    val doc = new String(Pdf.encode(Seq("abc"),
+      encoding = Some(Pdf.SimpleEncoding(base = Some("MacRomanEncoding")))), "ISO-8859-1")
+    val poisoned = doc.replace("(abc)", "(ab\\305)")
+    assertThrows[IllegalArgumentException](
+      Pdf.decodePages(poisoned.getBytes("ISO-8859-1")))
+    // /Differences glyph names fall back to AGL uniXXXX before throwing
+    assert(Pdf.parseDifferences("<< /Differences [ 65 /uni4E2D ] >>") ===
+      Map(65 -> "uni4E2D"))
+    assert(PdfEncodings.glyph("uni4E2D") === "中")
+    assertThrows[IllegalArgumentException](PdfEncodings.glyph("notaglyph"))
+    // a /Differences name before any code is malformed
+    assertThrows[IllegalArgumentException](
+      Pdf.parseDifferences("<< /Differences [ /a ] >>"))
+  }
+
+  test("round trip: Identity-H/V Type0 WITHOUT /ToUnicode (CID = code)") {
+    val pages = Seq(
+      "identity cids carry utf-16 units",
+      "中文 straight through the predefined cmap",
+      "beyond the BMP: 😀 rides as a surrogate pair",
+      "")
+    assert(Pdf.decodePages(Pdf.encodeType0(pages, toUnicode = false)) === pages)
+    assert(Pdf.decodePages(
+      Pdf.encodeType0(pages, toUnicode = false, vertical = true)) === pages)
+    // the document genuinely has no /ToUnicode
+    val doc = new String(Pdf.encodeType0(pages, toUnicode = false), "ISO-8859-1")
+    assert(!doc.contains("/ToUnicode"))
+    assert(doc.contains("/Encoding /Identity-H"))
+    // an unknown predefined CMap registry must throw, not identity-decode
+    val alien = doc.replace("/Encoding /Identity-H", "/Encoding /UniJIS-UCS2-H")
+    val e = intercept[IllegalArgumentException](
+      Pdf.decodePages(alien.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("UniJIS-UCS2-H"))
+  }
+
   test("encode is deterministic and xref offsets resolve") {
     val pages = Seq("alpha", "beta")
     val a = Pdf.encode(pages)
