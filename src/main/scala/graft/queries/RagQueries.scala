@@ -817,16 +817,34 @@ object RagQueries {
     * amortization (the q38/q39 trade) gets its query-side half
     * measured. */
   def bm25FromIndex(spark: SparkSession, dir: String): DataFrame = {
-    val idxRoot = SourceQueries.stagedBlobs(dir, "bm25idx") { staging =>
+    // Artifact partition counts are sized in ROWS, not bytes: the round-14
+    // rung probe (RungAudit lakes) caught the dictionary-compression
+    // collapse here — 4.6M postings rows compress to 25 MB, so a
+    // hardcoded 8-way range split (and a default write for doclens)
+    // arrived as 8/1 scan partitions at the 100× rung while the floor
+    // target was 28. Same conditional-floor discipline as Tables.floored:
+    // ≥2k rows per partition, capped at the session's shuffle parallelism,
+    // so small scales don't over-split and big ones stay term-sorted for
+    // row-group min/max skipping.
+    val idxRoot = SourceQueries.stagedBlobs(dir, "bm25idx2") { staging =>
+      val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
         .withColumn("dl", expr("size(toks)").cast("bigint"))
-      docs.select(col("doc_id"), col("dl"))
+      val doclens = docs.select(col("doc_id"), col("dl"))
+      val nDocs = doclens.count()
+      doclens
+        .repartition(math.max(1L, math.min(shuffleParts, nDocs / 2000)).toInt,
+          col("doc_id"))
         .write.parquet(new java.io.File(staging, "doclens").getAbsolutePath)
-      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      val postings = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .groupBy(col("term"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).cast("double").as("tf"))
-        .repartitionByRange(8, col("term"))
+      val nPost = postings.count()
+      postings
+        .repartitionByRange(
+          math.max(8L, math.min(shuffleParts, nPost / 2000)).toInt, col("term"))
         .sortWithinPartitions(col("term"))
         .write.parquet(new java.io.File(staging, "postings").getAbsolutePath)
     }
