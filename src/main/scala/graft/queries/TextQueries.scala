@@ -1049,6 +1049,129 @@ object TextQueries {
       |       clean AS repaired_text
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // --- q114: Gopher repetition filters (top/dup n-gram char fractions) -----
+  /** The repetition-removal HALF of the Gopher filter (Rae 2021 §A1.1
+    * Table A1) that q95's quality rules left out: per document, the
+    * top-{2,3,4}-gram character fractions (chars inside the most
+    * frequent word n-gram's occurrences) and the dup-{5..10}-gram
+    * character fractions (chars covered by the UNION of spans of every
+    * n-gram occurring twice or more — overlaps counted once). `keep`
+    * applies the paper's thresholds (0.20/0.18/0.16 and 0.15 down to
+    * 0.10). Every signal is document-local, so the operator is ONE
+    * map pass over the corpus — zero shuffles before the presentation
+    * sort, the only shape that survives 100 TB (the line/paragraph
+    * Gopher signals are omitted by corpus construction: the fixture
+    * text is single-line, so they are degenerate constants here).
+    * The DuckDB oracle recomputes everything relationally: n-gram
+    * explosion, (count, char-length, lexicographic) top tie-break,
+    * and gaps-and-islands span union — bit-exact after round(,6). */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.documents(spark, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(expr("size(toks) > 0"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val s = graft.text.Repetition.signals(text)
+        val keep = s.top(0) <= 0.20 && s.top(1) <= 0.18 && s.top(2) <= 0.16 &&
+          s.dup(0) <= 0.15 && s.dup(1) <= 0.14 && s.dup(2) <= 0.13 &&
+          s.dup(3) <= 0.12 && s.dup(4) <= 0.11 && s.dup(5) <= 0.10
+        (id, s.top(0), s.top(1), s.top(2),
+          s.dup(0), s.dup(1), s.dup(2), s.dup(3), s.dup(4), s.dup(5), keep)
+      }
+      .toDF("doc_id", "top2", "top3", "top4",
+        "dup5", "dup6", "dup7", "dup8", "dup9", "dup10", "keep")
+    raw.select(col("doc_id") +:
+        Seq("top2", "top3", "top4", "dup5", "dup6", "dup7", "dup8", "dup9", "dup10")
+          .map(c => round(col(c), 6).as(c)) :+ col("keep"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Relational recomputation: grams = (doc, n, i) explosion with spans
+    * in the word-offset coordinate system (the q02b oracle's aa/cc
+    * trick); top = window argmax with the pinned (count desc, char-len
+    * desc, gram asc) tie-break; dup coverage = gaps-and-islands union
+    * over the duplicated grams' spans. */
+  val gopherRepetitionOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS nc,
+      |         list_filter(string_split(text, ' '), x -> x != '') AS w
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), x -> x != '')) > 0),
+      |words AS (
+      |  SELECT doc_id, i, length(w[i]) AS a
+      |  FROM d, unnest(generate_series(1, len(w))) AS t(i)),
+      |offs AS (
+      |  SELECT doc_id, i, a,
+      |         sum(a + 1) OVER (PARTITION BY doc_id ORDER BY i
+      |                          ROWS UNBOUNDED PRECEDING) - (a + 1) AS c
+      |  FROM words),
+      |arr AS (
+      |  SELECT doc_id, list(a ORDER BY i) AS aa, list(c ORDER BY i) AS cc,
+      |         count(*) AS nw
+      |  FROM offs GROUP BY doc_id),
+      |grams AS (
+      |  SELECT d.doc_id, t.n, u.i,
+      |         array_to_string(list_slice(d.w, u.i, u.i + t.n - 1), ' ') AS gram,
+      |         a.cc[u.i] AS s,
+      |         a.cc[u.i + t.n - 1] + a.aa[u.i + t.n - 1] AS e
+      |  FROM d JOIN arr a USING (doc_id),
+      |       unnest(generate_series(2, 10)) AS t(n),
+      |       unnest(generate_series(1, len(d.w))) AS u(i)
+      |  WHERE u.i + t.n - 1 <= a.nw),
+      |counts AS (
+      |  SELECT doc_id, n, gram, count(*) AS cnt
+      |  FROM grams GROUP BY doc_id, n, gram),
+      |top AS (
+      |  SELECT doc_id, n,
+      |         cnt * length(gram) AS top_chars,
+      |         row_number() OVER (PARTITION BY doc_id, n
+      |           ORDER BY cnt DESC, length(gram) DESC, gram ASC) AS rk
+      |  FROM counts WHERE n <= 4),
+      |dupspans AS (
+      |  SELECT g.doc_id, g.n, g.s, g.e
+      |  FROM grams g JOIN counts c USING (doc_id, n, gram)
+      |  WHERE g.n >= 5 AND c.cnt >= 2),
+      |marked AS (
+      |  SELECT doc_id, n, s, e,
+      |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id, n
+      |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -1) THEN 1 ELSE 0 END AS isl_start
+      |  FROM dupspans),
+      |islands AS (
+      |  SELECT doc_id, n, s, e,
+      |         sum(isl_start) OVER (PARTITION BY doc_id, n ORDER BY s, e
+      |                              ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM marked),
+      |cov AS (
+      |  SELECT doc_id, n, sum(mx - mn) AS covered
+      |  FROM (SELECT doc_id, n, isl, max(e) AS mx, min(s) AS mn
+      |        FROM islands GROUP BY doc_id, n, isl)
+      |  GROUP BY doc_id, n),
+      |sig AS (
+      |  SELECT d.doc_id,
+      |    coalesce(max(CASE WHEN t.n = 2 THEN t.top_chars END), 0) / CAST(d.nc AS DOUBLE) AS top2,
+      |    coalesce(max(CASE WHEN t.n = 3 THEN t.top_chars END), 0) / CAST(d.nc AS DOUBLE) AS top3,
+      |    coalesce(max(CASE WHEN t.n = 4 THEN t.top_chars END), 0) / CAST(d.nc AS DOUBLE) AS top4,
+      |    coalesce(max(CASE WHEN v.n = 5 THEN v.covered END), 0) / CAST(d.nc AS DOUBLE) AS dup5,
+      |    coalesce(max(CASE WHEN v.n = 6 THEN v.covered END), 0) / CAST(d.nc AS DOUBLE) AS dup6,
+      |    coalesce(max(CASE WHEN v.n = 7 THEN v.covered END), 0) / CAST(d.nc AS DOUBLE) AS dup7,
+      |    coalesce(max(CASE WHEN v.n = 8 THEN v.covered END), 0) / CAST(d.nc AS DOUBLE) AS dup8,
+      |    coalesce(max(CASE WHEN v.n = 9 THEN v.covered END), 0) / CAST(d.nc AS DOUBLE) AS dup9,
+      |    coalesce(max(CASE WHEN v.n = 10 THEN v.covered END), 0) / CAST(d.nc AS DOUBLE) AS dup10
+      |  FROM d
+      |  LEFT JOIN (SELECT * FROM top WHERE rk = 1) t ON d.doc_id = t.doc_id
+      |  LEFT JOIN cov v ON d.doc_id = v.doc_id
+      |  GROUP BY d.doc_id, d.nc)
+      |SELECT doc_id,
+      |  round(top2, 6) AS top2, round(top3, 6) AS top3, round(top4, 6) AS top4,
+      |  round(dup5, 6) AS dup5, round(dup6, 6) AS dup6, round(dup7, 6) AS dup7,
+      |  round(dup8, 6) AS dup8, round(dup9, 6) AS dup9, round(dup10, 6) AS dup10,
+      |  (top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16 AND
+      |   dup5 <= 0.15 AND dup6 <= 0.14 AND dup7 <= 0.13 AND
+      |   dup8 <= 0.12 AND dup9 <= 0.11 AND dup10 <= 0.10) AS keep
+      |FROM sig ORDER BY doc_id""".stripMargin
+
   // --- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition" -> ((s, d) => repetition(s, d)),
@@ -1065,6 +1188,7 @@ object TextQueries {
     "q83b_bpe_encode" -> ((s, d) => bpeEncodeChecked(s, d)),
     "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
     "q95_gopher_rules" -> ((s, d) => gopherRules(s, d)),
+    "q114_gopher_repetition" -> ((s, d) => gopherRepetition(s, d)),
     "q98_token_budget" -> ((s, d) => tokenBudget(s, d)),
     "q102_text_normalize" -> ((s, d) => textNormalize(s, d)),
     "q107_mojibake_repair" -> ((s, d) => mojibakeRepair(s, d)),
@@ -1091,6 +1215,7 @@ object TextQueries {
     // witness tier: merge-table invariants + DuckDB-recomputed first merge
     "q83_bpe_train" -> bpeTrainCheckedOracle,
     "q95_gopher_rules" -> gopherRulesOracle,
+    "q114_gopher_repetition" -> gopherRepetitionOracle,
     "q98_token_budget" -> tokenBudgetOracle,
     "q102_text_normalize" -> textNormalizeOracle,
     // q107: the oracle rebuilds the expected clean text verbatim — the
