@@ -32,8 +32,11 @@ import graft.core.Tables
 object RungAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val modes = if (args.length > 1) args.drop(1).toSet
-                else Set("asof", "chunk", "srp", "lakes")
+    val known = Set("asof", "chunk", "srp", "lakes")
+    val modes = if (args.length > 1) args.drop(1).toSet else known
+    require(modes.subsetOf(known),
+      s"unknown mode(s) ${(modes -- known).mkString(", ")} — " +
+        s"valid: ${known.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "28")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,7 +51,7 @@ object RungAudit {
     if (modes("asof")) asof(spark, sfDir, report)
     if (modes("chunk")) chunk(spark, sfDir, report)
     if (modes("srp")) srp(spark, sfDir, report)
-    if (modes("lakes")) lakes(spark, sfDir)
+    if (modes("lakes")) lakes(spark, sfDir, report)
     spark.stop()
     if (failed) sys.exit(1)
   }
@@ -197,7 +200,8 @@ object RungAudit {
     * under half the target is flagged COLLAPSE — the dictionary-
     * compression failure mode the base text/vector tables were floored
     * against in round 12. */
-  private def lakes(spark: SparkSession, sfDir: String): Unit = {
+  private def lakes(spark: SparkSession, sfDir: String,
+                    report: (String, Boolean, String) => Unit): Unit = {
     // ensure the artifacts exist (content-addressed: no-ops when staged)
     Seq("q111_bm25_from_index", "q35c_ann_ivf_index", "q38b_ann_pq_index",
         "q39b_ann_ivfpq_index").foreach { q =>
@@ -215,9 +219,11 @@ object RungAudit {
       val parts = df.rdd.getNumPartitions
       val bytes = sub.listFiles().filter(_.isFile).map(_.length()).sum
       val target = math.min(shuffleParts, math.max(1L, rows / 2000))
-      val flag = if (parts.toLong * 2 < target) "COLLAPSE" else "ok"
-      println(f"AUDIT lake ${root.getName.split("_")(1)}/${sub.getName} " +
-        f"rows=$rows parts=$parts target=$target bytes=${bytes / 1024}KiB $flag")
+      // a collapse is a FAILURE (exit 1), consistent with the other modes —
+      // automation gating rung evidence on the exit code must see it
+      report(s"lake_${root.getName.split("_")(1)}/${sub.getName}",
+        parts.toLong * 2 >= target,
+        f"rows=$rows parts=$parts target=$target bytes=${bytes / 1024}KiB")
     }
   }
 }

@@ -95,6 +95,9 @@ object Tables {
     * dir's data files, the stagedBlobs discipline. Without it, a table
     * regenerated mid-session would serve a memoized plan whose cached file
     * index still points at the deleted old parts. */
+  private val warnedEmpty =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def dirFingerprint(path: String): String = {
     val root = new java.io.File(path)
     // single-file parquet fingerprints itself; dirs walk RECURSIVELY so
@@ -104,9 +107,10 @@ object Tables {
       else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
         .filterNot(_.getName.startsWith(".")).flatMap(walk)
     val files = walk(root).filter(f => f.isFile && !f.getName.startsWith("."))
-    if (files.isEmpty)
+    if (files.isEmpty && warnedEmpty.add(path))
       // non-local paths (hdfs://, s3://) or vanished dirs reach here: the
       // memo degrades to always-memoized — make that visible, not silent
+      // (once per path: this sits on the per-load hot path)
       System.err.println(s"[tables] dirFingerprint: empty listing for $path " +
         "(non-local or missing path) — staleness detection inactive for it")
     files.sortBy(f => f.getAbsolutePath)
@@ -126,7 +130,12 @@ object Tables {
     val df = load(spark, dir, name) // outside the lambda: same-map recursion
     flooredMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val path = s"$dir/$name.parquet"
-    flooredMemo.computeIfAbsent((spark, s"$path@${dirFingerprint(path)}"), { _ =>
+    val fkey = s"$path@${dirFingerprint(path)}"
+    // same superseded-entry eviction as the plain memo: a regenerated
+    // table must not leave a floored plan pinning deleted parts
+    flooredMemo.keySet.removeIf(k =>
+      (k._1 eq spark) && k._2.startsWith(path + "@") && k._2 != fkey)
+    flooredMemo.computeIfAbsent((spark, fkey), { _ =>
       val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
       // bare-scan count compiles to parquet footer metadata — no data pass
       val rows = df.count()

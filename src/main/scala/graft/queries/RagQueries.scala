@@ -831,9 +831,9 @@ object RagQueries {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
         .withColumn("dl", expr("size(toks)").cast("bigint"))
-      val doclens = docs.select(col("doc_id"), col("dl"))
-      val nDocs = doclens.count()
-      doclens
+      // doc count from the raw table's footer metadata (no tokenization)
+      val nDocs = Tables.documents(spark, dir).count()
+      docs.select(col("doc_id"), col("dl"))
         .repartition(math.max(1L, math.min(shuffleParts, nDocs / 2000)).toInt,
           col("doc_id"))
         .write.parquet(new java.io.File(staging, "doclens").getAbsolutePath)
@@ -841,12 +841,15 @@ object RagQueries {
         .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .groupBy(col("term"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).cast("double").as("tf"))
-      val nPost = postings.count()
-      postings
-        .repartitionByRange(
-          math.max(8L, math.min(shuffleParts, nPost / 2000)).toInt, col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.parquet(new java.io.File(staging, "postings").getAbsolutePath)
+        .persist() // sized by a count, then written: ONE aggregation pass
+      try {
+        val nPost = postings.count()
+        postings
+          .repartitionByRange(
+            math.max(8L, math.min(shuffleParts, nPost / 2000)).toInt, col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.parquet(new java.io.File(staging, "postings").getAbsolutePath)
+      } finally postings.unpersist()
     }
     // term literals derive from the CONSTANT chat queries (not from data)
     val queryTerms = chatQueries.flatMap(_._2.toLowerCase.split(" "))

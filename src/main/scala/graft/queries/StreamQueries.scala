@@ -318,8 +318,18 @@ object StreamQueries {
           try java.nio.file.Files.createLink(link.toPath, src.toPath)
           catch { case _: java.nio.file.FileAlreadyExistsException => // lost a benign race
             case _: Exception =>
-              java.nio.file.Files.copy(src.toPath, link.toPath,
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              // cross-filesystem fallback: NEVER copy onto the final path —
+              // a JVM death mid-copy would publish a truncated file that the
+              // fingerprint key then reuses forever. Copy to a temp name and
+              // atomic-rename (the stagedBlobs publish discipline).
+              val tmp = new java.io.File(staged,
+                s".events_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+              java.nio.file.Files.copy(src.toPath, tmp.toPath)
+              try java.nio.file.Files.move(tmp.toPath, link.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.nio.file.FileAlreadyExistsException =>
+                tmp.delete() // a concurrent run published first
+              }
           }
         }
         staged.getAbsolutePath

@@ -1068,16 +1068,21 @@ object TextQueries {
   def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val raw = Tables.documents(spark, dir)
-      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
-      .filter(expr("size(toks) > 0"))
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val s = graft.text.Repetition.signals(text)
-        val keep = s.top(0) <= 0.20 && s.top(1) <= 0.18 && s.top(2) <= 0.16 &&
-          s.dup(0) <= 0.15 && s.dup(1) <= 0.14 && s.dup(2) <= 0.13 &&
-          s.dup(3) <= 0.12 && s.dup(4) <= 0.11 && s.dup(5) <= 0.10
-        (id, s.top(0), s.top(1), s.top(2),
-          s.dup(0), s.dup(1), s.dup(2), s.dup(3), s.dup(4), s.dup(5), keep)
+      // ONE tokenization per doc: the emptiness filter lives inside the
+      // flatMap (an SQL-side size(filter(split..)) pre-filter would split
+      // every document a second time just to drop the empty ones)
+      .flatMap { case (id, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        if (words.isEmpty) None
+        else {
+          val s = graft.text.Repetition.signalsOf(words, text.length)
+          val keep = s.top(0) <= 0.20 && s.top(1) <= 0.18 && s.top(2) <= 0.16 &&
+            s.dup(0) <= 0.15 && s.dup(1) <= 0.14 && s.dup(2) <= 0.13 &&
+            s.dup(3) <= 0.12 && s.dup(4) <= 0.11 && s.dup(5) <= 0.10
+          Some((id, s.top(0), s.top(1), s.top(2),
+            s.dup(0), s.dup(1), s.dup(2), s.dup(3), s.dup(4), s.dup(5), keep))
+        }
       }
       .toDF("doc_id", "top2", "top3", "top4",
         "dup5", "dup6", "dup7", "dup8", "dup9", "dup10", "keep")

@@ -30,10 +30,15 @@ object Repetition {
     * dup-{5..10}-gram char fraction. */
   final case class Signals(top: Seq[Double], dup: Seq[Double])
 
-  def signals(text: String): Signals = {
-    val words = text.split(" ").filter(_.nonEmpty)
+  def signals(text: String): Signals =
+    signalsOf(text.split(" ").filter(_.nonEmpty), text.length)
+
+  /** Words-based entry for callers that already tokenized (avoids a
+    * second split on the hot map path). `textLen` is the original
+    * text's character count — the fractions' denominator. */
+  def signalsOf(words: Array[String], textLen: Int): Signals = {
     val nw = words.length
-    val totalChars = text.length.toDouble
+    val totalChars = textLen.toDouble
     // word start offsets in the single-space coordinate system
     val starts = new Array[Int](nw)
     var off = 0
