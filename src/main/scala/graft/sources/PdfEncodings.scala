@@ -86,8 +86,8 @@ private[graft] object PdfEncodings {
     glyphToUnicode.getOrElse(name, {
       val hex =
         if (name.startsWith("uni") && name.length == 7) name.substring(3)
-        else if (name.startsWith("u") && (name.length == 5 || name.length == 7))
-          name.substring(1)
+        else if (name.startsWith("u") && name.length >= 5 && name.length <= 7)
+          name.substring(1) // uXXXX / uXXXXX / uXXXXXX (AGL §3)
         else null
       require(hex != null && hex.forall(c => Character.digit(c, 16) >= 0),
         s"corrupt PDF: unknown glyph name /$name")
