@@ -1177,6 +1177,74 @@ object TextQueries {
       |   dup8 <= 0.12 AND dup9 <= 0.11 AND dup10 <= 0.10) AS keep
       |FROM sig ORDER BY doc_id""".stripMargin
 
+  // --- q115: training-sequence packing (concat-and-chunk) -------------------
+  /** The step between q98's token budgeting and an actual training
+    * shard: GPT-style SEQUENCE PACKING — the corpus's token streams are
+    * concatenated in doc_id order and cut into fixed-length training
+    * sequences of L = 256 tokens (corpus-scaled; production uses
+    * 2048-8192). Output: one row per (document × sequence) overlap —
+    * (doc_id, seq_id, tok_start, tok_end) in document-local token
+    * coordinates — i.e. exactly the index a sample loader needs to
+    * materialize sequence k.
+    *
+    * Scale shape: token counting is map-only; the global offset is the
+    * q98 two-level prefix sum — per-bucket token totals (doc_id div
+    * 4096) take ONE tiny single-partition window over bucket totals
+    * (rows = docs/4096, broadcast back), in-bucket prefixes window on
+    * the bucket key. The shuffled payload is (doc_id, n) pairs — 16
+    * bytes per document, never text. A trillion-doc corpus would add a
+    * third level; the two-level form holds to ~10^10 docs. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val L = 256L
+    val B = 4096L
+    // cached: d feeds BOTH the bucket-totals aggregate and the join —
+    // without it each side re-runs the tokenizing text scan; the cached
+    // rows are 24 bytes/doc (the q36b signature-cache precedent)
+    val d = Tables.documents(spark, dir)
+      .withColumn("n", expr("size(filter(split(text, ' '), x -> x != ''))").cast("long"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"))
+      .withColumn("bucket", expr(s"doc_id div $B"))
+      .cache()
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // docs/4096 rows: the single-partition window is over bucket TOTALS
+    val boffs = d.groupBy(col("bucket")).agg(sum(col("n")).as("btoks"))
+      .withColumn("boff", coalesce(sum(col("btoks")).over(wB), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(boffs), Seq("bucket"))
+      .withColumn("off", col("boff") + coalesce(sum(col("n")).over(wIn), lit(0L)))
+      .withColumn("seq_id",
+        explode(expr(s"sequence(off div $L, (off + n - 1) div $L)")))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * L - col("off")).as("tok_start"),
+        least(col("n"), (col("seq_id") + 1) * L - col("off")).as("tok_end"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  /** Same packing arithmetic over DuckDB's native global window +
+    * lateral series — all-integer, so the gate is exact. */
+  val sequencePackingOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), x -> x != '')) > 0),
+      |offs AS (
+      |  SELECT doc_id, n,
+      |    coalesce(sum(n) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM d)
+      |SELECT doc_id, s.seq_id,
+      |  greatest(0, s.seq_id * 256 - off) AS tok_start,
+      |  least(n, (s.seq_id + 1) * 256 - off) AS tok_end
+      |FROM offs, LATERAL (
+      |  SELECT unnest(generate_series(CAST(off // 256 AS BIGINT),
+      |                                CAST((off + n - 1) // 256 AS BIGINT))) AS seq_id) s
+      |ORDER BY seq_id, doc_id""".stripMargin
+
   // --- registry ------------------------------------------------------------
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition" -> ((s, d) => repetition(s, d)),
@@ -1194,6 +1262,7 @@ object TextQueries {
     "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
     "q95_gopher_rules" -> ((s, d) => gopherRules(s, d)),
     "q114_gopher_repetition" -> ((s, d) => gopherRepetition(s, d)),
+    "q115_sequence_packing" -> ((s, d) => sequencePacking(s, d)),
     "q98_token_budget" -> ((s, d) => tokenBudget(s, d)),
     "q102_text_normalize" -> ((s, d) => textNormalize(s, d)),
     "q107_mojibake_repair" -> ((s, d) => mojibakeRepair(s, d)),
@@ -1221,6 +1290,7 @@ object TextQueries {
     "q83_bpe_train" -> bpeTrainCheckedOracle,
     "q95_gopher_rules" -> gopherRulesOracle,
     "q114_gopher_repetition" -> gopherRepetitionOracle,
+    "q115_sequence_packing" -> sequencePackingOracle,
     "q98_token_budget" -> tokenBudgetOracle,
     "q102_text_normalize" -> textNormalizeOracle,
     // q107: the oracle rebuilds the expected clean text verbatim — the
