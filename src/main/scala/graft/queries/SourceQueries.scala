@@ -996,6 +996,52 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60q: Form XObject (Do) PDF ingestion ---------------------------------
+  /** Text split between page content streams and FORM XOBJECTS invoked
+    * via `Do` (ISO 32000 §8.10) — the letterhead/stamp/template shape;
+    * an extractor that ignores `Do` silently LOSES that text (PyMuPDF
+    * walks forms, app.py:123-132). Docs cycle four staged variants by
+    * id: self-resourced form, NESTED forms (form invoking form),
+    * resource-INHERITING form (the PDF 1.1 shape), and a
+    * Flate-compressed form stream alongside an Image XObject `Do`
+    * (which must contribute nothing) — all under q01's VERBATIM oracle.
+    * Cycles, unknown XObject names, and non-Form/Image subtypes throw
+    * loudly (PdfCodecSpec). */
+  def pdfFormXObjectRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "pdfforms") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            val bytes = graft.sources.Pdf.encodeForms(pages, (id % 4).toInt)
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
+          }
+        }
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- q60o: docx2txt loader-path parity (tables, headers, footers) ---------
   /** The reference's SPLITTER path reads .docx through `Docx2txtLoader`
     * (app.py:172), whose engine — docx2txt — extracts table cell text
@@ -1626,6 +1672,7 @@ object SourceQueries {
     "q60m_pdf_encrypted" -> ((s, d) => pdfEncryptedRoundtrip(s, d)),
     "q60n_pdf_composite_font" -> ((s, d) => pdfCompositeFontRoundtrip(s, d)),
     "q60p_pdf_simple_encoding" -> ((s, d) => pdfSimpleEncodingRoundtrip(s, d)),
+    "q60q_pdf_form_xobjects" -> ((s, d) => pdfFormXObjectRoundtrip(s, d)),
     "q60o_docx_full_text" -> ((s, d) => docxFullTextRoundtrip(s, d)),
     "q109_wet_pipeline" -> ((s, d) => wetPipeline(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
@@ -1673,6 +1720,8 @@ object SourceQueries {
     "q60n_pdf_composite_font" -> pagesConcatOracle,
     // q60p: same contract over simple-font /Encoding /Differences docs
     "q60p_pdf_simple_encoding" -> pagesConcatOracle,
+    // q60q: same contract with text split across Form XObjects (Do)
+    "q60q_pdf_form_xobjects" -> pagesConcatOracle,
     // q60o: the docx2txt loader-path text, reconstructed verbatim in SQL
     "q60o_docx_full_text" -> docxFullTextOracle,
     // q109: the composed WARC→WET job reproduces q60l's contract exactly —

@@ -459,6 +459,83 @@ object Pdf {
     sb.toString.getBytes(ISO_8859_1)
   }
 
+  /** Pages whose text is split between the page's own content stream
+    * and FORM XOBJECTS invoked via `Do` (ISO 32000 §8.10) — the
+    * letterhead/stamp/template shape real generators emit constantly,
+    * and a text extractor that ignores `Do` silently LOSES that text.
+    * Variants: 0 = half direct + half in a self-resourced form; 1 =
+    * nested forms (form invokes form); 2 = the form has NO /Resources
+    * and inherits the page's (the PDF 1.1 shape still common in the
+    * wild); 3 = Flate-compressed form stream plus an Image XObject
+    * `Do` on the page (must contribute no text). */
+  private[graft] def encodeForms(pages: Seq[String], variant: Int): Array[Byte] = {
+    require(variant >= 0 && variant <= 3, s"encodeForms: unknown variant $variant")
+    val nested = variant == 1
+    val inheritRes = variant == 2
+    val compressForm = variant == 3
+    val withImage = variant == 3
+    val perPage = 2 + (if (nested) 2 else 1) + (if (withImage) 1 else 0)
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n").append(body).append("\nendobj\n")
+    }
+    def streamObj(dictCore: String, payload: Array[Byte]): Unit = {
+      val s = new String(payload, ISO_8859_1)
+      obj(s"<< $dictCore /Length ${s.length} >>\nstream\n$s\nendstream")
+    }
+    sb.append("%PDF-1.4\n")
+    val kids = pages.indices.map(i => s"${4 + i * perPage} 0 R").mkString(" ")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj(s"<< /Type /Pages /Kids [ $kids ] /Count ${pages.length} >>")
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val base = 4 + i * perPage // page, content, form0 [, form1] [, image]
+      val form0 = base + 2
+      val imageId = base + perPage - 1
+      val h = text.length / 2
+      val xentries = s"/Fm0 $form0 0 R" +
+        (if (withImage) s" /Im0 $imageId 0 R" else "")
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 3 0 R >> /XObject << $xentries >> >> " +
+        s"/Contents ${base + 1} 0 R >>")
+      val imDo = if (withImage) " /Im0 Do" else ""
+      streamObj("", // page content: first half direct, rest via the form
+        (s"BT /F1 12 Tf 72 720 Td (${escape(text.substring(0, h))}) Tj ET" +
+          s" /Fm0 Do$imDo").getBytes(ISO_8859_1))
+      val fontRes = "/Resources << /Font << /F1 3 0 R >> "
+      if (nested) {
+        val h2 = h + (text.length - h) / 2
+        streamObj(s"/Type /XObject /Subtype /Form /BBox [ 0 0 612 792 ] " +
+          fontRes + s"/XObject << /Fm1 ${form0 + 1} 0 R >> >> ",
+          (s"BT /F1 12 Tf (${escape(text.substring(h, h2))}) Tj ET /Fm1 Do")
+            .getBytes(ISO_8859_1))
+        streamObj(s"/Type /XObject /Subtype /Form /BBox [ 0 0 612 792 ] " +
+          fontRes + ">> ",
+          s"BT /F1 12 Tf (${escape(text.substring(h2))}) Tj ET".getBytes(ISO_8859_1))
+      } else {
+        val res = if (inheritRes) "" else fontRes + ">> "
+        val raw = s"BT /F1 12 Tf (${escape(text.substring(h))}) Tj ET"
+          .getBytes(ISO_8859_1)
+        if (compressForm)
+          streamObj(s"/Type /XObject /Subtype /Form /BBox [ 0 0 612 792 ] " +
+            res + "/Filter /FlateDecode", deflate(raw))
+        else
+          streamObj(s"/Type /XObject /Subtype /Form /BBox [ 0 0 612 792 ] " + res, raw)
+      }
+      if (withImage)
+        streamObj("/Type /XObject /Subtype /Image /Width 1 /Height 1 " +
+          "/ColorSpace /DeviceGray /BitsPerComponent 8", Array[Byte](0x42))
+    }
+    val xrefOff = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
   /** PDF 1.5+ shape (ISO 32000 §7.5.7-§7.5.8): non-stream objects packed
     * into a `/Type /ObjStm` object stream, and the cross-reference TABLE
     * replaced by a `/Type /XRef` cross-reference STREAM — binary
@@ -1390,26 +1467,58 @@ object Pdf {
       b.result()
     }
     require(kidRefs.nonEmpty, "corrupt PDF: empty page tree")
-    kidRefs.map { pid =>
-      val page = objs.getOrElse(pid,
-        throw new IllegalArgumentException(s"corrupt PDF: missing page object $pid"))
-      val cid = ref(page, "/Contents")
-      val contents = objs.getOrElse(cid,
+    /** Extract the text of one content stream under `owner`'s resources
+      * (a page, or a Form XObject carrying its own /Resources). `Do`
+      * operators recurse: Form XObjects contribute their own stream's
+      * text decoded under their own resources — or, when the form has
+      * no /Resources entry, the INVOKER's (the PDF 1.1 inheritance
+      * shape still common in the wild); Image XObjects contribute
+      * nothing; other subtypes and cycles throw. */
+    def ownedText(owner: String, contentOid: Int, visited: Set[Int]): String = {
+      val contents = objs.getOrElse(contentOid,
         throw new IllegalArgumentException("corrupt PDF: missing contents object"))
       val sAt = contents.indexOf("stream")
       require(sAt >= 0, "corrupt PDF: contents without stream")
       val dict = contents.substring(0, sAt)
-      val stream = decodeStream(dict, unseal(cid, streamData(contents)))
-      val fonts = fontRefs(page, objs).map { case (n, oid) => n -> fontDecodeOf(oid) }
-      extractText(stream, fonts)
+      val stream = decodeStream(dict, unseal(contentOid, streamData(contents)))
+      val fonts = fontRefs(owner, objs).map { case (n, oid) => n -> fontDecodeOf(oid) }
+      val xobjs = resourceRefs(owner, objs, "/XObject")
+      extractText(stream, fonts, name => {
+        val oid = xobjs.getOrElse(name, throw new IllegalArgumentException(
+          s"corrupt PDF: Do of /$name not in the resources /XObject dict"))
+        require(!visited.contains(oid), "corrupt PDF: recursive Form XObject")
+        val body = objs.getOrElse(oid, throw new IllegalArgumentException(
+          s"corrupt PDF: missing XObject $oid"))
+        // subtype / resources checks read only the DICT region — the
+        // stream payload could contain those byte sequences by chance
+        val bSt = body.indexOf("stream")
+        val bDict = if (bSt >= 0) body.substring(0, bSt) else body
+        if (imagePat.matcher(bDict).find()) "" // images carry no text
+        else {
+          require(formPat.matcher(bDict).find(),
+            s"corrupt PDF: Do of /$name which is neither Form nor Image")
+          val formOwner = if (bDict.contains("/Resources")) body else owner
+          ownedText(formOwner, oid, visited + oid)
+        }
+      })
+    }
+    kidRefs.map { pid =>
+      val page = objs.getOrElse(pid,
+        throw new IllegalArgumentException(s"corrupt PDF: missing page object $pid"))
+      ownedText(page, ref(page, "/Contents"), Set.empty)
     }
   }
 
-  /** The page's /Resources /Font entries as name → font object id.
-    * Both the resources dict and the font dict may be inline or
-    * indirect (ISO 32000 §7.8.3); a page without resources or fonts
-    * simply has none (valid for pages showing no text). */
-  private def fontRefs(page: String, objs: Map[Int, String]): Map[String, Int] = {
+  private val imagePat = java.util.regex.Pattern.compile("/Subtype\\s*/Image\\b")
+  private val formPat = java.util.regex.Pattern.compile("/Subtype\\s*/Form\\b")
+
+  /** The page's (or form's) /Resources <kind> entries as name → object
+    * id, kind ∈ {"/Font", "/XObject"}. Both the resources dict and the
+    * inner dict may be inline or indirect (ISO 32000 §7.8.3); a page
+    * without resources or without that kind simply has none (valid for
+    * pages showing no text / invoking no XObjects). */
+  private def resourceRefs(page: String, objs: Map[Int, String],
+                           kind: String): Map[String, Int] = {
     def resolve(s: String, from: Int): String = {
       var i = from
       while (i < s.length && s(i).isWhitespace) i += 1
@@ -1425,14 +1534,21 @@ object Pdf {
     val rAt = page.indexOf("/Resources")
     if (rAt < 0) return Map.empty
     val res = resolve(page, rAt + "/Resources".length)
-    val fAt = res.indexOf("/Font")
+    // the key must end at a delimiter ("/Font" must not match "/FontFile")
+    var fAt = res.indexOf(kind)
+    while (fAt >= 0 && fAt + kind.length < res.length &&
+           !nameDelim(res(fAt + kind.length)) && !res(fAt + kind.length).isWhitespace)
+      fAt = res.indexOf(kind, fAt + 1)
     if (fAt < 0) return Map.empty
-    val fdict = resolve(res, fAt + "/Font".length)
+    val fdict = resolve(res, fAt + kind.length)
     val m = fontEntryPat.matcher(fdict)
     val b = Map.newBuilder[String, Int]
     while (m.find()) b += m.group(1) -> m.group(2).toInt
     b.result()
   }
+
+  private def fontRefs(page: String, objs: Map[Int, String]): Map[String, Int] =
+    resourceRefs(page, objs, "/Font")
 
   private val fontEntryPat =
     java.util.regex.Pattern.compile("/([A-Za-z0-9.+-]+)\\s+(\\d+)\\s+0\\s+R")
@@ -1632,7 +1748,20 @@ object Pdf {
     * corrupt the corpus. Fonts without a CMap keep the identity path. */
   private[graft] def extractText(
       stream: String,
-      fonts: Map[String, Option[(Int, Map[Int, String])]]): String = {
+      fonts: Map[String, Option[(Int, Map[Int, String])]]): String =
+    extractText(stream, fonts, _ => "")
+
+  /** Full form: `resolveForm` is invoked for every `Do` operator with
+    * the XObject's resource name and must return the TEXT the invoked
+    * object contributes — a Form XObject's recursively-extracted
+    * content stream, "" for images (decodePages wires this; the
+    * shorter overloads no-op it, which only spec-level raw-stream
+    * calls use). `Do` executes OUTSIDE BT/ET — it is a graphics-state
+    * operator, so the append is unconditional. */
+  private[graft] def extractText(
+      stream: String,
+      fonts: Map[String, Option[(Int, Map[Int, String])]],
+      resolveForm: String => String): String = {
     val out = new StringBuilder
     var i = 0
     var inText = false
@@ -1678,6 +1807,10 @@ object Pdf {
         inText = true; lastString = null; i += 2
       } else if (stream.startsWith("ET", i) && wordAt(stream, i, 2)) {
         inText = false; i += 2
+      } else if (stream.startsWith("Do", i) && wordAt(stream, i, 2)) {
+        require(lastName != null, "corrupt PDF: Do without an XObject name")
+        out.append(resolveForm(lastName))
+        lastName = null; i += 2
       } else if (stream.startsWith("Tf", i) && wordAt(stream, i, 2)) {
         // `/Name size Tf`: the name operand selects the font; a name
         // missing from the resources dict keeps the identity decode (the

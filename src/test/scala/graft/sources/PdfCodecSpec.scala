@@ -698,6 +698,36 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("UniJIS-UCS2-H"))
   }
 
+  test("round trip: Form XObjects (Do) — direct, nested, inherited resources, compressed + image") {
+    val pages = Seq("text split between the page and a form xobject",
+      "second page with its own form")
+    for (v <- 0 to 3)
+      assert(Pdf.decodePages(Pdf.encodeForms(pages, v)) === pages, s"variant $v")
+    // the nested variant really nests (two forms per page) and the
+    // image variant really carries an image that contributes no text
+    val nested = new String(Pdf.encodeForms(pages, 1), "ISO-8859-1")
+    assert(nested.contains("/Fm1"))
+    val img = new String(Pdf.encodeForms(pages, 3), "ISO-8859-1")
+    assert(img.contains("/Subtype /Image"))
+  }
+
+  test("Form XObject failures stay loud") {
+    val pages = Seq("cycle test page")
+    // self-referencing form: point Fm0's own /XObject entry back at itself
+    val doc = new String(Pdf.encodeForms(pages, 1), "ISO-8859-1")
+    // form0 (object 6) invokes /Fm1 7 0 R; poison it to invoke itself
+    val cyclic = doc.replace("/Fm1 7 0 R", "/Fm1 6 0 R")
+    val e = intercept[IllegalArgumentException](
+      Pdf.decodePages(cyclic.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("recursive"))
+    // Do of a name missing from the /XObject dict
+    val missing = doc.replace("<< /Fm0 6 0 R >>", "<< /FmX 6 0 R >>")
+    assertThrows[IllegalArgumentException](
+      Pdf.decodePages(missing.getBytes("ISO-8859-1")))
+    // a bare Do with no name operand is corrupt
+    assertThrows[IllegalArgumentException](Pdf.extractText("BT (x) Tj ET Do"))
+  }
+
   test("encode is deterministic and xref offsets resolve") {
     val pages = Seq("alpha", "beta")
     val a = Pdf.encode(pages)
