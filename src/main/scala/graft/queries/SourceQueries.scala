@@ -1002,14 +1002,15 @@ object SourceQueries {
     * an extractor that ignores `Do` silently LOSES that text (PyMuPDF
     * walks forms, app.py:123-132). Docs cycle four staged variants by
     * id: self-resourced form, NESTED forms (form invoking form),
-    * resource-INHERITING form (the PDF 1.1 shape), and a
-    * Flate-compressed form stream alongside an Image XObject `Do`
-    * (which must contribute nothing) — all under q01's VERBATIM oracle.
-    * Cycles, unknown XObject names, and non-Form/Image subtypes throw
-    * loudly (PdfCodecSpec). */
+    * resource-INHERITING form (the PDF 1.1 shape), a Flate-compressed
+    * form stream alongside an Image XObject `Do` (which must contribute
+    * nothing), and an INLINE IMAGE whose binary payload reads as
+    * `(BT x Tj` (the tokenizer must skip BI..ID..EI wholesale) — all
+    * under q01's VERBATIM oracle. Cycles, unknown XObject names, and
+    * non-Form/Image subtypes throw loudly (PdfCodecSpec). */
   def pdfFormXObjectRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdfforms") { staging =>
+    val blobRoot = stagedBlobs(dir, "pdfforms2") { staging =>
       Tables.documents(spark, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), expr(
@@ -1018,7 +1019,7 @@ object SourceQueries {
         .as[(Long, Seq[String])]
         .foreachPartition { it: Iterator[(Long, Seq[String])] =>
           it.foreach { case (id, pages) =>
-            val bytes = graft.sources.Pdf.encodeForms(pages, (id % 4).toInt)
+            val bytes = graft.sources.Pdf.encodeForms(pages, (id % 5).toInt)
             java.nio.file.Files.write(
               new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
           }

@@ -467,13 +467,17 @@ object Pdf {
     * nested forms (form invokes form); 2 = the form has NO /Resources
     * and inherits the page's (the PDF 1.1 shape still common in the
     * wild); 3 = Flate-compressed form stream plus an Image XObject
-    * `Do` on the page (must contribute no text). */
+    * `Do` on the page (must contribute no text); 4 = variant 0 plus an
+    * INLINE IMAGE (`BI…ID…EI`, §8.9.7) whose binary payload contains
+    * bytes that read as `(`, `BT` and `Tj` — the tokenizer must skip
+    * it wholesale, not parse phantom text out of pixel data. */
   private[graft] def encodeForms(pages: Seq[String], variant: Int): Array[Byte] = {
-    require(variant >= 0 && variant <= 3, s"encodeForms: unknown variant $variant")
+    require(variant >= 0 && variant <= 4, s"encodeForms: unknown variant $variant")
     val nested = variant == 1
     val inheritRes = variant == 2
     val compressForm = variant == 3
     val withImage = variant == 3
+    val withInline = variant == 4
     val perPage = 2 + (if (nested) 2 else 1) + (if (withImage) 1 else 0)
     val sb = new StringBuilder
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
@@ -501,9 +505,13 @@ object Pdf {
         s"/Resources << /Font << /F1 3 0 R >> /XObject << $xentries >> >> " +
         s"/Contents ${base + 1} 0 R >>")
       val imDo = if (withImage) " /Im0 Do" else ""
+      // poisoned inline image: 8 payload bytes that READ as "(BT x Tj" —
+      // a tokenizer that fails to skip BI..EI emits phantom text
+      val inline = if (withInline)
+        " BI /W 4 /H 2 /BPC 8 /CS /G ID (BT x Tj EI" else ""
       streamObj("", // page content: first half direct, rest via the form
         (s"BT /F1 12 Tf 72 720 Td (${escape(text.substring(0, h))}) Tj ET" +
-          s" /Fm0 Do$imDo").getBytes(ISO_8859_1))
+          s"$inline /Fm0 Do$imDo").getBytes(ISO_8859_1))
       val fontRes = "/Resources << /Font << /F1 3 0 R >> "
       if (nested) {
         val h2 = h + (text.length - h) / 2
@@ -1807,6 +1815,27 @@ object Pdf {
         inText = true; lastString = null; i += 2
       } else if (stream.startsWith("ET", i) && wordAt(stream, i, 2)) {
         inText = false; i += 2
+      } else if (stream.startsWith("BI", i) && wordAt(stream, i, 2)) {
+        // inline image (ISO 32000 §8.9.7): BI <dict entries> ID <binary>
+        // EI — the payload is RAW BYTES that can contain '(', "BT", "Tj"
+        // by chance, so it must be skipped, not tokenized. The payload
+        // ends at whitespace + "EI" + delimiter/end (the lenient scan
+        // every real parser uses, since /L is optional).
+        var j = i + 2
+        while (j < stream.length && !(stream.startsWith("ID", j) && wordAt(stream, j, 2)))
+          j += 1
+        require(j < stream.length, "corrupt PDF: inline image without ID")
+        j += 3 // ID + the single whitespace byte that follows it
+        var end = -1
+        while (end < 0 && j + 1 < stream.length) {
+          if (stream(j).isWhitespace && stream.startsWith("EI", j + 1) &&
+              (j + 3 >= stream.length || nameDelim(stream(j + 3)) ||
+                stream(j + 3).isWhitespace))
+            end = j + 3
+          else j += 1
+        }
+        require(end >= 0, "corrupt PDF: inline image without EI")
+        i = end
       } else if (stream.startsWith("Do", i) && wordAt(stream, i, 2)) {
         require(lastName != null, "corrupt PDF: Do without an XObject name")
         out.append(resolveForm(lastName))

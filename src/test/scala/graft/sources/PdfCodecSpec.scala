@@ -701,8 +701,14 @@ class PdfCodecSpec extends AnyFunSuite {
   test("round trip: Form XObjects (Do) — direct, nested, inherited resources, compressed + image") {
     val pages = Seq("text split between the page and a form xobject",
       "second page with its own form")
-    for (v <- 0 to 3)
+    for (v <- 0 to 4)
       assert(Pdf.decodePages(Pdf.encodeForms(pages, v)) === pages, s"variant $v")
+    // the inline-image variant's poisoned payload really is in the bytes
+    // (reads as "(BT x Tj") yet contributes no phantom text above
+    assert(new String(Pdf.encodeForms(pages, 4), "ISO-8859-1").contains("ID (BT x Tj EI"))
+    // a content stream missing the EI terminator is corrupt, not ignored
+    assertThrows[IllegalArgumentException](
+      Pdf.extractText("BT (a) Tj ET BI /W 1 /H 1 ID x"))
     // the nested variant really nests (two forms per page) and the
     // image variant really carries an image that contributes no text
     val nested = new String(Pdf.encodeForms(pages, 1), "ISO-8859-1")
