@@ -830,10 +830,15 @@ object SourceQueries {
     * decrypt-then-inflate order run under the bit-exact gate. The /U
     * authentication check runs per file — a real password or a
     * tampered /U or ciphertext throws loudly (PdfCodecSpec pins
-    * those). q01's oracle applies VERBATIM. */
+    * those). Round 14 widened the cycle to SIX shapes: the last two
+    * are encrypted OBJECT-STREAM documents (PDF 1.5 xref streams,
+    * objects packed in an ObjStm whose payload is encrypted once with
+    * the ObjStm's key, members not re-encrypted, /Encrypt + /ID in the
+    * XRef dict — the modern encrypted default, ISO 32000 §7.5.7/§7.6.2)
+    * under RC4-128 and AESV2. q01's oracle applies VERBATIM. */
   def pdfEncryptedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdfenc4") { staging =>
+    val blobRoot = stagedBlobs(dir, "pdfenc6") { staging =>
       Tables.documents(spark, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), expr(
@@ -842,11 +847,16 @@ object SourceQueries {
         .as[(Long, Seq[String])]
         .foreachPartition { it: Iterator[(Long, Seq[String])] =>
           it.foreach { case (id, pages) =>
+            val bytes = (id % 6) match {
+              case 0 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 2)
+              case 1 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 3)
+              case 2 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 4)
+              case 3 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 6)
+              case 4 => graft.sources.Pdf.encodeObjStm(pages, encryptRev = 3)
+              case _ => graft.sources.Pdf.encodeObjStm(pages, encryptRev = 4)
+            }
             java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
-              graft.sources.Pdf.encode(pages, compress = true,
-                encryptRev = (id % 4) match {
-                  case 0 => 2; case 1 => 3; case 2 => 4; case _ => 6 }))
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
           }
         }
     }

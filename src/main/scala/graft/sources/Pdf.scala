@@ -556,9 +556,27 @@ object Pdf {
     * 5+P..4+2P content streams; 5+2P = the XRef stream, whose dict
     * carries /Root (there is no `trailer` keyword in this shape). */
   private[graft] def encodeObjStm(pages: Seq[String],
-                                  xrefPredictor: Boolean = true): Array[Byte] = {
+                                  xrefPredictor: Boolean = true,
+                                  encryptRev: Int = 0): Array[Byte] = {
     val P = pages.length
     require(P > 0, "encodeObjStm: at least one page")
+    require(Set(0, 3, 4).contains(encryptRev),
+      s"encodeObjStm: unsupported encryption revision $encryptRev (0, 3 = RC4-128, 4 = AESV2)")
+    // standard-handler parameters (empty user password), as in encode():
+    // the ObjStm payload and the content streams are each encrypted ONCE
+    // with their owning object's key; the xref stream and the /Encrypt
+    // dict are never encrypted (ISO 32000 §7.5.8.2, §7.6.2)
+    val permP = -4
+    val id0 = if (encryptRev == 0) Array.empty[Byte]
+      else md5(pages.mkString(" ").getBytes(ISO_8859_1)).take(16)
+    val (encO, encU, fileKey) =
+      if (encryptRev == 0) (Array.empty[Byte], Array.empty[Byte], Array.empty[Byte])
+      else stdSecurity(3, permP, id0)
+    def seal(oid: Int, payload: Array[Byte]): Array[Byte] = encryptRev match {
+      case 0 => payload
+      case 3 => cryptObject(fileKey, oid, payload)
+      case _ => aesSeal(fileKey, oid, payload)
+    }
     val embedded: Seq[(Int, String)] =
       Seq(
         2 -> "<< /Type /Catalog /Pages 3 0 R >>",
@@ -574,7 +592,8 @@ object Pdf {
     val header = embedded.map(_._1).zip(offs)
       .map { case (id, o) => s"$id $o" }.mkString("", " ", "\n")
     val first = header.length
-    val objStmComp = new String(deflate((header + bodies.mkString).getBytes(ISO_8859_1)), ISO_8859_1)
+    val objStmComp = new String(
+      seal(1, deflate((header + bodies.mkString).getBytes(ISO_8859_1))), ISO_8859_1)
 
     val sb = new StringBuilder
     val topOffsets = scala.collection.mutable.Map[Int, Int]()
@@ -587,11 +606,21 @@ object Pdf {
       s"/Length ${objStmComp.length} /Filter /FlateDecode >>\nstream\n$objStmComp\nendstream")
     pages.zipWithIndex.foreach { case (text, i) =>
       val stream = s"BT /F1 12 Tf 72 720 Td (${escape(text)}) Tj ET"
-      val c = new String(deflate(stream.getBytes(ISO_8859_1)), ISO_8859_1)
+      val c = new String(seal(5 + P + i, deflate(stream.getBytes(ISO_8859_1))), ISO_8859_1)
       obj(5 + P + i,
         s"<< /Length ${c.length} /Filter /FlateDecode >>\nstream\n$c\nendstream")
     }
-    val xrefId = 5 + 2 * P
+    val encId = if (encryptRev == 0) -1 else 5 + 2 * P
+    if (encryptRev != 0) {
+      val core = s"/O ${hexStr(encO)} /U ${hexStr(encU)} /P $permP"
+      obj(encId, encryptRev match {
+        case 3 => s"<< /Filter /Standard /V 2 /R 3 /Length 128 $core >>"
+        case _ => "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+          "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+          s"/StmF /StdCF /StrF /StdCF $core >>"
+      })
+    }
+    val xrefId = 5 + 2 * P + (if (encryptRev == 0) 0 else 1)
     val size = xrefId + 1
     val xrefOff = sb.length
     // /W [ 1 4 2 ]: 7-byte rows — type, 4-byte BE field2, 2-byte BE field3
@@ -609,6 +638,7 @@ object Pdf {
       row(id, 2, 1L, j)                         // type 2: (objstm 1, index j)
     }
     (0 until P).foreach(i => row(5 + P + i, 1, topOffsets(5 + P + i).toLong, 0))
+    if (encryptRev != 0) row(encId, 1, topOffsets(encId).toLong, 0)
     row(xrefId, 1, xrefOff.toLong, 0)
     val (xrefData, xrefParms) =
       if (xrefPredictor)
@@ -616,7 +646,12 @@ object Pdf {
           " /DecodeParms << /Predictor 12 /Columns 7 >>")
       else (rows, "")
     val xrefComp = new String(deflate(xrefData), ISO_8859_1)
-    obj(xrefId, s"<< /Type /XRef /Size $size /W [ 1 4 2 ] /Root 2 0 R " +
+    // /Encrypt + /ID ride the XRef dict — the trailer region of a
+    // cross-reference-stream document; the xref stream is NOT encrypted
+    val encDecl =
+      if (encryptRev == 0) ""
+      else s" /Encrypt $encId 0 R /ID [ ${hexStr(id0)} ${hexStr(id0)} ]"
+    obj(xrefId, s"<< /Type /XRef /Size $size /W [ 1 4 2 ] /Root 2 0 R$encDecl " +
       s"/Length ${xrefComp.length} /Filter /FlateDecode$xrefParms >>\nstream\n$xrefComp\nendstream")
     sb.append(s"startxref\n$xrefOff\n%%EOF\n")
     sb.toString.getBytes(ISO_8859_1)
@@ -1241,16 +1276,23 @@ object Pdf {
     * ObjStm, so one pass suffices. Malformed headers, out-of-range
     * offsets, and member ids colliding with top-level objects all throw
     * — a silently half-expanded document would lose pages. */
-  private def expandObjectStreams(objs: Map[Int, String]): Map[Int, String] = {
+  /** `unseal` decrypts a stream's STORED bytes with the owning object's
+    * key (identity for unencrypted docs): in an encrypted document the
+    * ObjStm payload is encrypted ONCE as that object's stream — its
+    * member objects (and their strings) are NOT encrypted individually
+    * (ISO 32000 §7.5.7), which is why the members need no further
+    * treatment after this expansion. */
+  private def expandObjectStreams(objs: Map[Int, String],
+                                  unseal: (Int, String) => String): Map[Int, String] = {
     val members = Map.newBuilder[Int, String]
-    objs.foreach { case (_, body) =>
+    objs.foreach { case (oid, body) =>
       val sAt = body.indexOf("stream")
       val dict = if (sAt >= 0) body.substring(0, sAt) else body
       if (objStmPat.matcher(dict).find()) {
         require(sAt >= 0, "corrupt PDF: ObjStm without stream data")
         val n = dictInt(dict, "N")
         val first = dictInt(dict, "First")
-        val data = decodeStream(dict, streamData(body))
+        val data = decodeStream(dict, unseal(oid, streamData(body)))
         require(first <= data.length, "corrupt PDF: ObjStm /First beyond stream end")
         val header = data.substring(0, first).trim
         val nums = if (header.isEmpty) Array.empty[String] else header.split("\\s+")
@@ -1367,12 +1409,10 @@ object Pdf {
     val doc = new String(bytes, ISO_8859_1)
     val plainObjs = objects(doc)
     val fileKey = encryptionKey(doc, plainObjs)
-    require(fileKey.isEmpty || !plainObjs.valuesIterator.exists(objStmPat.matcher(_).find()),
-      "encrypted PDF: object streams inside an encrypted document are not supported")
-    val objs = expandObjectStreams(plainObjs)
     // decryption is OUTERMOST: per-object key first, then the declared
-    // filter chain (ISO 32000 §7.6.2) — same order for content streams
-    // and /ToUnicode CMap streams
+    // filter chain (ISO 32000 §7.6.2) — same order for content streams,
+    // /ToUnicode CMap streams, and ObjStm payloads (whose members are
+    // then already plaintext, §7.5.7)
     def unseal(oid: Int, stored: String): String = fileKey.fold(stored) { case (k, mode) =>
       val raw = stored.getBytes(ISO_8859_1)
       val plain = mode match {
@@ -1382,6 +1422,7 @@ object Pdf {
       }
       new String(plain, ISO_8859_1)
     }
+    val objs = expandObjectStreams(plainObjs, unseal)
     // /ToUnicode CMaps resolved once per CMap object (fonts are shared
     // across pages; re-parsing per page would be O(pages × cmap))
     val cmapCache = scala.collection.mutable.Map[Int, (Int, Map[Int, String])]()

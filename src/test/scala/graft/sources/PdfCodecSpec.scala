@@ -734,6 +734,27 @@ class PdfCodecSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Pdf.extractText("BT (x) Tj ET Do"))
   }
 
+  test("round trip: ENCRYPTED object-stream documents (PDF 1.5 + RC4/AESV2)") {
+    // the modern encrypted shape: objects packed in an ObjStm whose
+    // payload is encrypted once with the ObjStm's key; members are NOT
+    // re-encrypted (ISO 32000 §7.5.7); /Encrypt + /ID in the XRef dict
+    val pages = Seq("encrypted and packed into an object stream",
+      "second page (with) \\ delims")
+    assert(Pdf.decodePages(Pdf.encodeObjStm(pages, encryptRev = 3)) === pages)
+    assert(Pdf.decodePages(Pdf.encodeObjStm(pages, encryptRev = 4)) === pages)
+    // and the unencrypted form still round-trips
+    assert(Pdf.decodePages(Pdf.encodeObjStm(pages)) === pages)
+    // genuinely encrypted: the page text is not in the clear bytes
+    val doc = new String(Pdf.encodeObjStm(pages, encryptRev = 3), "ISO-8859-1")
+    assert(!doc.contains("encrypted and packed"))
+    assert(doc.contains("/Encrypt"))
+    // tampered ObjStm ciphertext must fail loudly, not decode garbage
+    val sAt = doc.indexOf("stream\n") + 7
+    val poisoned = doc.substring(0, sAt + 4) +
+      (doc(sAt + 4) ^ 0x41).toChar + doc.substring(sAt + 5)
+    assertThrows[Exception](Pdf.decodePages(poisoned.getBytes("ISO-8859-1")))
+  }
+
   test("encode is deterministic and xref offsets resolve") {
     val pages = Seq("alpha", "beta")
     val a = Pdf.encode(pages)
