@@ -1053,6 +1053,53 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60r: structured page trees + split /Contents PDF ingestion ----------
+  /** Two page-level structures virtually every real generator emits and
+    * a naive reader breaks on (ISO 32000 §7.7.3): NESTED page trees
+    * (balanced /Pages interiors — a flat-root walk crashes on the
+    * interior node), /Resources INHERITANCE down the tree (§7.7.3.4 —
+    * leaves without their own dict), and /Contents ARRAYS whose split
+    * streams concatenate into the page content (§7.7.3.3 — reading only
+    * the first element silently LOSES text). Docs cycle four staged
+    * variants by id (self-resourced depth-2 tree, root-inherited
+    * resources, flat + split contents, nested + inherited + split +
+    * Flate) — all under q01's VERBATIM oracle; cyclic trees and
+    * non-Page leaves throw loudly (PdfCodecSpec). */
+  def pdfPageTreeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "pdftree") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            val bytes = graft.sources.Pdf.encodePageTree(pages, (id % 4).toInt)
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
+          }
+        }
+    }
+    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+    decoded
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- q60o: docx2txt loader-path parity (tables, headers, footers) ---------
   /** The reference's SPLITTER path reads .docx through `Docx2txtLoader`
     * (app.py:172), whose engine — docx2txt — extracts table cell text
@@ -1684,6 +1731,7 @@ object SourceQueries {
     "q60n_pdf_composite_font" -> ((s, d) => pdfCompositeFontRoundtrip(s, d)),
     "q60p_pdf_simple_encoding" -> ((s, d) => pdfSimpleEncodingRoundtrip(s, d)),
     "q60q_pdf_form_xobjects" -> ((s, d) => pdfFormXObjectRoundtrip(s, d)),
+    "q60r_pdf_page_tree" -> ((s, d) => pdfPageTreeRoundtrip(s, d)),
     "q60o_docx_full_text" -> ((s, d) => docxFullTextRoundtrip(s, d)),
     "q109_wet_pipeline" -> ((s, d) => wetPipeline(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
@@ -1733,6 +1781,9 @@ object SourceQueries {
     "q60p_pdf_simple_encoding" -> pagesConcatOracle,
     // q60q: same contract with text split across Form XObjects (Do)
     "q60q_pdf_form_xobjects" -> pagesConcatOracle,
+    // q60r: same contract over nested page trees / inherited resources /
+    // split /Contents arrays
+    "q60r_pdf_page_tree" -> pagesConcatOracle,
     // q60o: the docx2txt loader-path text, reconstructed verbatim in SQL
     "q60o_docx_full_text" -> docxFullTextOracle,
     // q109: the composed WARC→WET job reproduces q60l's contract exactly —

@@ -544,6 +544,86 @@ object Pdf {
     sb.toString.getBytes(ISO_8859_1)
   }
 
+  /** Structured page trees + split content streams (ISO 32000 §7.7.3):
+    * variant 0 = a DEPTH-2 balanced tree (root → /Pages interior nodes
+    * of ≤3 kids → leaves), each page self-resourced; 1 = the same tree
+    * with /Resources ONLY on the root node — every leaf decodes through
+    * §7.7.3.4 INHERITANCE; 2 = a flat tree whose pages carry /Contents
+    * ARRAYS (the text split across 1-3 streams, the incremental-editor
+    * shape — reading only the first element silently loses text); 3 =
+    * nested + inherited + split + FlateDecode-compressed streams. */
+  private[graft] def encodePageTree(pages: Seq[String], variant: Int): Array[Byte] = {
+    require(variant >= 0 && variant <= 3, s"encodePageTree: unknown variant $variant")
+    require(pages.nonEmpty, "encodePageTree: at least one page")
+    val nested = variant != 2
+    val inheritRes = variant == 1 || variant == 3
+    val split = variant >= 2
+    val compress = variant == 3
+    val fontRes = "/Resources << /Font << /F1 3 0 R >> >> "
+    val bodies = scala.collection.mutable.LinkedHashMap[Int, String]()
+    var next = 4
+    def alloc(): Int = { val id = next; next += 1; id }
+    val groups = if (nested) pages.grouped(3).toSeq else Seq(pages)
+    val groupIds = if (nested) groups.map(_ => alloc()) else Seq.empty[Int]
+    val pageInfo = pages.map { text =>
+      val pid = alloc()
+      val parts =
+        if (!split || text.length < 9) Seq(text)
+        else {
+          val t = text.length / 3
+          Seq(text.substring(0, t), text.substring(t, 2 * t), text.substring(2 * t))
+        }
+      (pid, parts.map { p =>
+        (alloc(), s"BT /F1 12 Tf 72 720 Td (${escape(p)}) Tj ET")
+      })
+    }
+    bodies(1) = "<< /Type /Catalog /Pages 2 0 R >>"
+    val rootKids = (if (nested) groupIds else pageInfo.map(_._1))
+      .map(id => s"$id 0 R").mkString(" ")
+    bodies(2) = s"<< /Type /Pages /Kids [ $rootKids ] /Count ${pages.length} " +
+      (if (inheritRes) fontRes else "") + ">>"
+    bodies(3) = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if (nested) {
+      var pi = 0
+      groups.zip(groupIds).foreach { case (grp, gid) =>
+        val kidIds = pageInfo.slice(pi, pi + grp.length).map(_._1)
+        pi += grp.length
+        bodies(gid) = s"<< /Type /Pages /Parent 2 0 R " +
+          s"/Kids [ ${kidIds.map(id => s"$id 0 R").mkString(" ")} ] /Count ${grp.length} >>"
+      }
+    }
+    pageInfo.zipWithIndex.foreach { case ((pid, contents), i) =>
+      val parent = if (nested) groupIds(i / 3) else 2
+      val contDecl =
+        if (contents.length == 1) s"/Contents ${contents.head._1} 0 R"
+        else s"/Contents [ ${contents.map(c => s"${c._1} 0 R").mkString(" ")} ]"
+      bodies(pid) = s"<< /Type /Page /Parent $parent 0 R /MediaBox [ 0 0 612 792 ] " +
+        (if (inheritRes) "" else fontRes) + s"$contDecl >>"
+      contents.foreach { case (cid, streamText) =>
+        if (compress) {
+          val c = new String(deflate(streamText.getBytes(ISO_8859_1)), ISO_8859_1)
+          bodies(cid) =
+            s"<< /Length ${c.length} /Filter /FlateDecode >>\nstream\n$c\nendstream"
+        } else
+          bodies(cid) =
+            s"<< /Length ${streamText.length} >>\nstream\n$streamText\nendstream"
+      }
+    }
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    sb.append("%PDF-1.4\n")
+    (1 until next).foreach { id =>
+      offsets += sb.length
+      sb.append(s"$id 0 obj\n").append(bodies(id)).append("\nendobj\n")
+    }
+    val xrefOff = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
   /** PDF 1.5+ shape (ISO 32000 §7.5.7-§7.5.8): non-stream objects packed
     * into a `/Type /ObjStm` object stream, and the cross-reference TABLE
     * replaced by a `/Type /XRef` cross-reference STREAM — binary
@@ -1504,18 +1584,55 @@ object Pdf {
     val rootAt = doc.lastIndexOf("/Root")
     require(rootAt >= 0, "corrupt PDF: trailer has no /Root")
     val catalog = objs(ref(doc.substring(rootAt), "/Root"))
-    val pagesObj = objs(ref(catalog, "/Pages"))
-    val kidsAt = pagesObj.indexOf("/Kids")
-    require(kidsAt >= 0, "corrupt PDF: page tree has no /Kids")
-    val kidsEnd = pagesObj.indexOf(']', kidsAt)
-    require(kidsEnd >= 0, "corrupt PDF: unterminated /Kids array")
-    val kidRefs = {
-      val m = refPat.matcher(pagesObj.substring(kidsAt, kidsEnd))
-      val b = Seq.newBuilder[Int]
-      while (m.find()) b += m.group(1).toInt
-      b.result()
+    /** Depth-first page-tree walk (ISO 32000 §7.7.3): interior /Pages
+      * nodes recurse into their /Kids IN ORDER — real generators emit
+      * balanced trees, not flat roots — and /Resources INHERITS down
+      * the tree (§7.7.3.4): a leaf without its own /Resources decodes
+      * under the nearest ancestor's. Returns (resource owner dict,
+      * page dict) per leaf. Degenerate trees (depth > 64, no /Kids,
+      * non-Page leaves) throw. */
+    def pageLeaves(oid: Int, inherited: String, depth: Int): Seq[(String, String)] = {
+      require(depth < 64, "corrupt PDF: page tree deeper than 64 levels (cycle?)")
+      val node = objs.getOrElse(oid, throw new IllegalArgumentException(
+        s"corrupt PDF: missing page tree node $oid"))
+      if (pagesTypePat.matcher(node).find()) {
+        val kAt = node.indexOf("/Kids")
+        require(kAt >= 0, "corrupt PDF: page tree has no /Kids")
+        val kEnd = node.indexOf(']', kAt)
+        require(kEnd >= 0, "corrupt PDF: unterminated /Kids array")
+        val m = refPat.matcher(node.substring(kAt, kEnd))
+        val b = Seq.newBuilder[Int]
+        while (m.find()) b += m.group(1).toInt
+        val kids = b.result()
+        require(kids.nonEmpty, "corrupt PDF: empty page tree")
+        val inh = if (node.contains("/Resources")) node else inherited
+        kids.flatMap(k => pageLeaves(k, inh, depth + 1))
+      } else {
+        require(pageTypePat.matcher(node).find(),
+          "corrupt PDF: page tree leaf is not /Type /Page")
+        Seq((if (node.contains("/Resources")) node else inherited, node))
+      }
     }
-    require(kidRefs.nonEmpty, "corrupt PDF: empty page tree")
+    /** The page's /Contents: a single stream ref or an ARRAY of refs
+      * whose streams concatenate into the page's content (§7.7.3.3 —
+      * the split-content shape incremental editors emit; reading only
+      * the first element silently loses text). */
+    def contentsOf(page: String): Seq[Int] = {
+      val cAt = page.indexOf("/Contents")
+      require(cAt >= 0, "corrupt PDF: page without /Contents")
+      var i = cAt + "/Contents".length
+      while (i < page.length && page(i).isWhitespace) i += 1
+      if (i < page.length && page(i) == '[') {
+        val end = page.indexOf(']', i)
+        require(end >= 0, "corrupt PDF: unterminated /Contents array")
+        val m = refPat.matcher(page.substring(i, end))
+        val b = Seq.newBuilder[Int]
+        while (m.find()) b += m.group(1).toInt
+        val ids = b.result()
+        require(ids.nonEmpty, "corrupt PDF: empty /Contents array")
+        ids
+      } else Seq(ref(page.substring(cAt), "/Contents"))
+    }
     /** Extract the text of one content stream under `owner`'s resources
       * (a page, or a Form XObject carrying its own /Resources). `Do`
       * operators recurse: Form XObjects contribute their own stream's
@@ -1523,13 +1640,17 @@ object Pdf {
       * no /Resources entry, the INVOKER's (the PDF 1.1 inheritance
       * shape still common in the wild); Image XObjects contribute
       * nothing; other subtypes and cycles throw. */
-    def ownedText(owner: String, contentOid: Int, visited: Set[Int]): String = {
-      val contents = objs.getOrElse(contentOid,
-        throw new IllegalArgumentException("corrupt PDF: missing contents object"))
-      val sAt = contents.indexOf("stream")
-      require(sAt >= 0, "corrupt PDF: contents without stream")
-      val dict = contents.substring(0, sAt)
-      val stream = decodeStream(dict, unseal(contentOid, streamData(contents)))
+    def ownedText(owner: String, contentOids: Seq[Int], visited: Set[Int]): String = {
+      // a /Contents array's streams concatenate into ONE content stream;
+      // the division falls on token boundaries (§7.8.2), so a whitespace
+      // join preserves the token sequence exactly
+      val stream = contentOids.map { contentOid =>
+        val contents = objs.getOrElse(contentOid,
+          throw new IllegalArgumentException("corrupt PDF: missing contents object"))
+        val sAt = contents.indexOf("stream")
+        require(sAt >= 0, "corrupt PDF: contents without stream")
+        decodeStream(contents.substring(0, sAt), unseal(contentOid, streamData(contents)))
+      }.mkString("\n")
       val fonts = fontRefs(owner, objs).map { case (n, oid) => n -> fontDecodeOf(oid) }
       val xobjs = resourceRefs(owner, objs, "/XObject")
       extractText(stream, fonts, name => {
@@ -1547,19 +1668,19 @@ object Pdf {
           require(formPat.matcher(bDict).find(),
             s"corrupt PDF: Do of /$name which is neither Form nor Image")
           val formOwner = if (bDict.contains("/Resources")) body else owner
-          ownedText(formOwner, oid, visited + oid)
+          ownedText(formOwner, Seq(oid), visited + oid)
         }
       })
     }
-    kidRefs.map { pid =>
-      val page = objs.getOrElse(pid,
-        throw new IllegalArgumentException(s"corrupt PDF: missing page object $pid"))
-      ownedText(page, ref(page, "/Contents"), Set.empty)
+    pageLeaves(ref(catalog, "/Pages"), "", 0).map { case (owner, page) =>
+      ownedText(owner, contentsOf(page), Set.empty)
     }
   }
 
   private val imagePat = java.util.regex.Pattern.compile("/Subtype\\s*/Image\\b")
   private val formPat = java.util.regex.Pattern.compile("/Subtype\\s*/Form\\b")
+  private val pagesTypePat = java.util.regex.Pattern.compile("/Type\\s*/Pages\\b")
+  private val pageTypePat = java.util.regex.Pattern.compile("/Type\\s*/Page\\b")
 
   /** The page's (or form's) /Resources <kind> entries as name → object
     * id, kind ∈ {"/Font", "/XObject"}. Both the resources dict and the

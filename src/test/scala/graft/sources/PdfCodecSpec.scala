@@ -755,6 +755,29 @@ class PdfCodecSpec extends AnyFunSuite {
     assertThrows[Exception](Pdf.decodePages(poisoned.getBytes("ISO-8859-1")))
   }
 
+  test("round trip: nested page trees, inherited resources, /Contents arrays") {
+    val pages = (1 to 7).map(i => s"page $i of a deeper tree with enough text to split")
+    for (v <- 0 to 3)
+      assert(Pdf.decodePages(Pdf.encodePageTree(pages, v)) === pages, s"variant $v")
+    // the nested variant really nests (interior /Pages nodes) and the
+    // split variant really carries /Contents arrays
+    val nested = new String(Pdf.encodePageTree(pages, 0), "ISO-8859-1")
+    assert(nested.contains("/Type /Pages /Parent 2 0 R"))
+    val splitDoc = new String(Pdf.encodePageTree(pages, 2), "ISO-8859-1")
+    assert(splitDoc.contains("/Contents [ "))
+    // the inherited variant's leaves genuinely carry NO /Resources
+    val inh = new String(Pdf.encodePageTree(pages, 1), "ISO-8859-1")
+    assert(!inh.split("endobj").exists(o =>
+      o.contains("/Type /Page ") && o.contains("/Resources")))
+    // single page / short text degenerate shapes
+    assert(Pdf.decodePages(Pdf.encodePageTree(Seq("tiny"), 3)) === Seq("tiny"))
+    // a cyclic page tree throws instead of looping
+    val cyclic = nested.replaceFirst("/Kids \\[ 4 0 R 5 0 R 6 0 R \\]", "/Kids [ 2 0 R ]")
+    val e = intercept[IllegalArgumentException](
+      Pdf.decodePages(cyclic.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("deeper than"))
+  }
+
   test("encode is deterministic and xref offsets resolve") {
     val pages = Seq("alpha", "beta")
     val a = Pdf.encode(pages)
