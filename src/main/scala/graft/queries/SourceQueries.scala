@@ -1622,7 +1622,13 @@ object SourceQueries {
     import spark.implicits._
     val date = "2024-01-01T00:00:00Z"
     val constPara = "R&D <ok> \"q\" 10<20 done"
-    val blobRoot = stagedBlobs(dir, "warchtml") { staging =>
+    // response records carry the HTTP response AS STORED ON THE WIRE
+    // (RFC 9112 — what Common Crawl response records actually hold),
+    // cycling the four framings by doc: identity+Content-Length, chunked
+    // transfer coding, gzip content coding, chunked-over-gzip. The WET
+    // step must unwrap all four (Warc.httpBody); treating the payload as
+    // bare HTML would put status lines and chunk-size hex in the corpus.
+    val blobRoot = stagedBlobs(dir, "warchttp") { staging =>
       Tables.documents(spark, dir)
         .filter(length(col("text")) > 0)
         .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
@@ -1637,8 +1643,10 @@ object SourceQueries {
             val records = docs.map { case (id, paras) =>
               graft.sources.Warc.Record("response", s"<urn:graft:resp/$id>",
                 s"urn:graft:doc/$id", date,
-                graft.sources.Html.encodePage(s"Title $id", s"Doc $id", constPara +: paras)
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                graft.sources.Warc.httpWrap(
+                  graft.sources.Html.encodePage(s"Title $id", s"Doc $id", constPara +: paras)
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                  (id % 4).toInt))
             }
             java.nio.file.Files.write(
               new java.io.File(staging, f"crawl_$bucket%02d.warc").toPath,
@@ -1654,7 +1662,8 @@ object SourceQueries {
           .map { r =>
             (r.targetUri.stripPrefix("urn:graft:doc/").toLong,
               graft.sources.Html.extractText(
-                new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
+                new String(graft.sources.Warc.httpBody(r.payload),
+                  java.nio.charset.StandardCharsets.UTF_8)))
           }
       }
       .toDF("doc_id", "extracted")

@@ -111,4 +111,112 @@ object Warc {
     }
     records.result()
   }
+
+  // ---- HTTP response payloads (the Common Crawl response-record shape) ----
+
+  private val Iso = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** Wrap a body as the HTTP/1.1 response a crawler stored on the wire
+    * (RFC 9112): status line + headers + CRLFCRLF + framed body.
+    * `framing`: 0 = identity + Content-Length; 1 = Transfer-Encoding
+    * chunked (hex size lines, 500-byte chunks, zero-terminator); 2 =
+    * Content-Encoding gzip + Content-Length; 3 = chunked OVER gzip —
+    * the four wire shapes a WET conversion must unwrap. */
+  private[graft] def httpWrap(body: Array[Byte], framing: Int): Array[Byte] = {
+    require(framing >= 0 && framing <= 3, s"httpWrap: unknown framing $framing")
+    val encoded =
+      if (framing == 2 || framing == 3) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(body); gz.close()
+        bos.toByteArray
+      } else body
+    val chunked = framing == 1 || framing == 3
+    val framed =
+      if (!chunked) encoded
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        encoded.grouped(500).foreach { c =>
+          out.write(s"${c.length.toHexString}\r\n".getBytes(Iso))
+          out.write(c); out.write("\r\n".getBytes(Iso))
+        }
+        out.write("0\r\n\r\n".getBytes(Iso))
+        out.toByteArray
+      }
+    val hdr = new StringBuilder("HTTP/1.1 200 OK\r\n")
+      .append("Content-Type: text/html; charset=utf-8\r\n")
+    if (framing == 2 || framing == 3) hdr.append("Content-Encoding: gzip\r\n")
+    if (chunked) hdr.append("Transfer-Encoding: chunked\r\n")
+    else hdr.append(s"Content-Length: ${framed.length}\r\n")
+    hdr.append("\r\n")
+    hdr.toString.getBytes(Iso) ++ framed
+  }
+
+  /** Unwrap an HTTP response payload to its entity body: parse the
+    * status line + headers, de-chunk if `Transfer-Encoding: chunked`,
+    * gunzip/inflate if `Content-Encoding` says so. A payload that does
+    * not start with `HTTP/` passes through unchanged (metadata /
+    * resource / legacy raw records); a MALFORMED HTTP response (no
+    * header terminator, bad chunk framing, unknown encodings) throws
+    * loudly — silently treating headers as text would poison a corpus. */
+  private[graft] def httpBody(payload: Array[Byte]): Array[Byte] = {
+    if (payload.length < 5 ||
+        new String(payload, 0, 5, Iso) != "HTTP/") return payload
+    var sep = -1
+    var i = 0
+    while (sep < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') sep = i
+      i += 1
+    }
+    require(sep >= 0, "HTTP: response without header terminator")
+    val headers = new String(payload, 0, sep, Iso).split("\r\n").drop(1)
+      .map { l =>
+        val c = l.indexOf(':')
+        require(c > 0, s"HTTP: malformed header line '$l'")
+        l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim
+      }.toMap
+    var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+    if (headers.get("transfer-encoding").exists(_.toLowerCase.contains("chunked"))) {
+      val out = new java.io.ByteArrayOutputStream()
+      var p = 0
+      var done = false
+      while (!done) {
+        var e = p
+        while (e + 1 < body.length && !(body(e) == '\r' && body(e + 1) == '\n')) e += 1
+        require(e + 1 < body.length, "HTTP: chunk size line without CRLF")
+        val sizeLine = new String(body, p, e - p, Iso)
+        val semi = sizeLine.indexOf(';') // chunk extensions are ignored
+        val size = Integer.parseInt(
+          (if (semi >= 0) sizeLine.substring(0, semi) else sizeLine).trim, 16)
+        p = e + 2
+        if (size == 0) done = true // trailers, if any, are discarded
+        else {
+          require(p + size + 2 <= body.length, "HTTP: chunk overruns payload")
+          out.write(body, p, size)
+          require(body(p + size) == '\r' && body(p + size + 1) == '\n',
+            "HTTP: chunk data without CRLF terminator")
+          p = p + size + 2
+        }
+      }
+      body = out.toByteArray
+    } else headers.get("content-length").foreach { cl =>
+      val n = cl.toInt
+      require(n <= body.length, "HTTP: Content-Length overruns payload")
+      body = java.util.Arrays.copyOfRange(body, 0, n)
+    }
+    headers.get("content-encoding").map(_.toLowerCase) match {
+      case None | Some("identity") => body
+      case Some("gzip") | Some("x-gzip") =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      case Some(other) =>
+        throw new IllegalArgumentException(s"HTTP: unsupported Content-Encoding '$other'")
+    }
+  }
 }

@@ -104,4 +104,33 @@ class WarcCodecSpec extends AnyFunSuite {
     val rs = Seq(rec(1, "abc"), rec(2, "def"))
     assert(Warc.encode(rs).toSeq === Warc.encode(rs).toSeq)
   }
+
+  test("HTTP payloads: all four wire framings unwrap to the body") {
+    val body = ("<html><body>" + "x" * 1700 + "</body></html>").getBytes("UTF-8")
+    for (f <- 0 to 3)
+      assert(Warc.httpBody(Warc.httpWrap(body, f)).toSeq === body.toSeq, s"framing $f")
+    // chunked framing really chunks (1700+ bytes → >1 chunk) and gzip
+    // really compresses (body absent from the wire bytes)
+    val chunked = new String(Warc.httpWrap(body, 1), "ISO-8859-1")
+    assert(chunked.contains("Transfer-Encoding: chunked"))
+    assert(chunked.contains("1f4\r\n")) // 500-byte chunk size line
+    val gz = Warc.httpWrap(body, 2)
+    assert(!new String(gz, "ISO-8859-1").contains("xxxxxxxx"))
+  }
+
+  test("HTTP payloads: non-HTTP passes through, malformed throws") {
+    val raw = "<html>legacy raw record</html>".getBytes("UTF-8")
+    assert(Warc.httpBody(raw).toSeq === raw.toSeq)
+    // no header terminator
+    assertThrows[IllegalArgumentException](
+      Warc.httpBody("HTTP/1.1 200 OK\r\nContent-Length: 3".getBytes("ISO-8859-1")))
+    // bad chunk framing (size lies)
+    assertThrows[Exception](Warc.httpBody(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nhi\r\n0\r\n\r\n"
+        .getBytes("ISO-8859-1")))
+    // unknown content coding stays loud
+    assertThrows[IllegalArgumentException](Warc.httpBody(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: br\r\nContent-Length: 2\r\n\r\nhi"
+        .getBytes("ISO-8859-1")))
+  }
 }
