@@ -513,40 +513,10 @@ object SourceQueries {
     * reproduces q01's output exactly, so q01's oracle applies VERBATIM —
     * any codec bug (xref, string escapes, page order, operator
     * tokenizing) breaks the bit-exact match loudly. */
-  def pdfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdf") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
-          .as("pages"))
-        .as[(Long, Seq[String])]
-        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
-          it.foreach { case (id, pages) =>
-            java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
-              graft.sources.Pdf.encode(pages))
-          }
-        }
+  def pdfRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    pagedPdfRoundtrip(spark, dir, "pdf") { (_, pages) =>
+      graft.sources.Pdf.encode(pages)
     }
-    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
-        (id, pages.length.toLong, pages.mkString)
-      }
-      .toDF("doc_id", "n_pages", "reassembled")
-    decoded
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"),
-        (col("reassembled") === col("text")).as("roundtrip_ok"),
-        length(col("reassembled")).cast("bigint").as("n_chars"))
-      .orderBy(col("doc_id"))
-  }
 
   // --- q60f: compressed (FlateDecode) PDF ingestion -------------------------
   /** q60d's contract against the shape virtually every REAL-WORLD PDF
@@ -557,40 +527,10 @@ object SourceQueries {
     * so q01's oracle applies VERBATIM, and any inflate/length/framing bug
     * breaks the bit-exact match loudly. Unsupported filters still throw
     * (PdfCodecSpec pins that contract). */
-  def pdfFlateRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdfz") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
-          .as("pages"))
-        .as[(Long, Seq[String])]
-        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
-          it.foreach { case (id, pages) =>
-            java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
-              graft.sources.Pdf.encode(pages, compress = true))
-          }
-        }
+  def pdfFlateRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    pagedPdfRoundtrip(spark, dir, "pdfz") { (_, pages) =>
+      graft.sources.Pdf.encode(pages, compress = true)
     }
-    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
-        (id, pages.length.toLong, pages.mkString)
-      }
-      .toDF("doc_id", "n_pages", "reassembled")
-    decoded
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"),
-        (col("reassembled") === col("text")).as("roundtrip_ok"),
-        length(col("reassembled")).cast("bigint").as("n_chars"))
-      .orderBy(col("doc_id"))
-  }
 
   // --- q60h: predictor-wrapped FlateDecode PDF ingestion --------------------
   /** q60f's contract against the NEXT-most-common real-world stream
@@ -604,40 +544,10 @@ object SourceQueries {
     * applies VERBATIM; a predictor/geometry/short-row bug breaks the
     * bit-exact match loudly. Unsupported predictor values and non-8-bit
     * components still throw (PdfCodecSpec pins that contract). */
-  def pdfPredictorRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdfpred") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
-          .as("pages"))
-        .as[(Long, Seq[String])]
-        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
-          it.foreach { case (id, pages) =>
-            java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
-              graft.sources.Pdf.encode(pages, compress = true, predictor = 12, columns = 24))
-          }
-        }
+  def pdfPredictorRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    pagedPdfRoundtrip(spark, dir, "pdfpred") { (_, pages) =>
+      graft.sources.Pdf.encode(pages, compress = true, predictor = 12, columns = 24)
     }
-    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
-        (id, pages.length.toLong, pages.mkString)
-      }
-      .toDF("doc_id", "n_pages", "reassembled")
-    decoded
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"),
-        (col("reassembled") === col("text")).as("roundtrip_ok"),
-        length(col("reassembled")).cast("bigint").as("n_chars"))
-      .orderBy(col("doc_id"))
-  }
 
   // --- q60i: filter-chain / LZWDecode PDF ingestion -------------------------
   /** q60f's contract against the remaining real-world lossless stream
@@ -652,49 +562,19 @@ object SourceQueries {
     * extraction are unchanged → q01's oracle applies VERBATIM; a bit-
     * packing, table-reset, or chain-order bug breaks the match loudly.
     * Unsupported filters and chain shapes still throw (PdfCodecSpec). */
-  def pdfFilterChainRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdfchain") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
-          .as("pages"))
-        .as[(Long, Seq[String])]
-        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
-          it.foreach { case (id, pages) =>
-            val bytes = (id % 4) match {
-              case 0 => graft.sources.Pdf.encode(pages, compress = true,
-                filterChain = Seq("LZWDecode"))
-              case 1 => graft.sources.Pdf.encode(pages, compress = true,
-                filterChain = Seq("ASCIIHexDecode", "FlateDecode"))
-              case 2 => graft.sources.Pdf.encode(pages, compress = true,
-                filterChain = Seq("ASCII85Decode", "FlateDecode"))
-              case _ => graft.sources.Pdf.encode(pages, compress = true,
-                predictor = 2, columns = 24, filterChain = Seq("LZWDecode"))
-            }
-            java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
-          }
-        }
-    }
-    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
-        (id, pages.length.toLong, pages.mkString)
+  def pdfFilterChainRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    pagedPdfRoundtrip(spark, dir, "pdfchain") { (id, pages) =>
+      (id % 4) match {
+        case 0 => graft.sources.Pdf.encode(pages, compress = true,
+          filterChain = Seq("LZWDecode"))
+        case 1 => graft.sources.Pdf.encode(pages, compress = true,
+          filterChain = Seq("ASCIIHexDecode", "FlateDecode"))
+        case 2 => graft.sources.Pdf.encode(pages, compress = true,
+          filterChain = Seq("ASCII85Decode", "FlateDecode"))
+        case _ => graft.sources.Pdf.encode(pages, compress = true,
+          predictor = 2, columns = 24, filterChain = Seq("LZWDecode"))
       }
-      .toDF("doc_id", "n_pages", "reassembled")
-    decoded
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"),
-        (col("reassembled") === col("text")).as("roundtrip_ok"),
-        length(col("reassembled")).cast("bigint").as("n_chars"))
-      .orderBy(col("doc_id"))
-  }
+    }
 
   // --- q60j: PDF 1.5 object-stream / xref-stream ingestion ------------------
   /** The PDF 1.5+ packing every modern generator writes (ISO 32000
@@ -708,40 +588,10 @@ object SourceQueries {
     * q01's oracle applies VERBATIM; a header/offset/expansion bug loses
     * pages and breaks the bit-exact match loudly (PdfCodecSpec
     * additionally validates the emitted xref stream entry-by-entry). */
-  def pdfObjStmRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdfobjstm") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
-          .as("pages"))
-        .as[(Long, Seq[String])]
-        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
-          it.foreach { case (id, pages) =>
-            java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
-              graft.sources.Pdf.encodeObjStm(pages, xrefPredictor = id % 2 == 0))
-          }
-        }
+  def pdfObjStmRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    pagedPdfRoundtrip(spark, dir, "pdfobjstm") { (id, pages) =>
+      graft.sources.Pdf.encodeObjStm(pages, xrefPredictor = id % 2 == 0)
     }
-    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
-        (id, pages.length.toLong, pages.mkString)
-      }
-      .toDF("doc_id", "n_pages", "reassembled")
-    decoded
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"),
-        (col("reassembled") === col("text")).as("roundtrip_ok"),
-        length(col("reassembled")).cast("bigint").as("n_chars"))
-      .orderBy(col("doc_id"))
-  }
 
   // --- q60k: tar / tar.gz bundle ingestion ----------------------------------
   /** The container shape corpora ship in at scale: docs are bundled into
@@ -815,6 +665,47 @@ object SourceQueries {
       |       CAST(length(text) AS BIGINT) AS n_chars
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Shared harness for the staged-PDF round-trip family (q60m/n/p/q/r):
+    * page every doc's text into 200-char pages, stage ONE PDF per doc
+    * via `encodeDoc` under a content-addressed blob dir, decode with
+    * the full Pdf.decodePages ladder, and compare VERBATIM against the
+    * source text — q01's oracle contract, so `pagesConcatOracle`
+    * applies to every member unchanged. */
+  private def pagedPdfRoundtrip(spark: SparkSession, dir: String, fmt: String)(
+      encodeDoc: (Long, Seq[String]) => Array[Byte]): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, fmt) { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
+          .as("pages"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, pages) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
+              encodeDoc(id, pages))
+          }
+        }
+    }
+    spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val pages = graft.sources.Pdf.decodePages(bytes)
+        (id, pages.length.toLong, pages.mkString)
+      }
+      .toDF("doc_id", "n_pages", "reassembled")
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_pages"),
+        (col("reassembled") === col("text")).as("roundtrip_ok"),
+        length(col("reassembled")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- q60m: RC4-encrypted PDF ingestion ------------------------------------
   /** The "encrypted but openable" PDFs every large corpus contains:
     * standard security handler with an EMPTY user password (the shape
@@ -836,47 +727,17 @@ object SourceQueries {
     * the ObjStm's key, members not re-encrypted, /Encrypt + /ID in the
     * XRef dict — the modern encrypted default, ISO 32000 §7.5.7/§7.6.2)
     * under RC4-128 and AESV2. q01's oracle applies VERBATIM. */
-  def pdfEncryptedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdfenc6") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
-          .as("pages"))
-        .as[(Long, Seq[String])]
-        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
-          it.foreach { case (id, pages) =>
-            val bytes = (id % 6) match {
-              case 0 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 2)
-              case 1 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 3)
-              case 2 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 4)
-              case 3 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 6)
-              case 4 => graft.sources.Pdf.encodeObjStm(pages, encryptRev = 3)
-              case _ => graft.sources.Pdf.encodeObjStm(pages, encryptRev = 4)
-            }
-            java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
-          }
-        }
-    }
-    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
-        (id, pages.length.toLong, pages.mkString)
+  def pdfEncryptedRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    pagedPdfRoundtrip(spark, dir, "pdfenc6") { (id, pages) =>
+      (id % 6) match {
+        case 0 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 2)
+        case 1 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 3)
+        case 2 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 4)
+        case 3 => graft.sources.Pdf.encode(pages, compress = true, encryptRev = 6)
+        case 4 => graft.sources.Pdf.encodeObjStm(pages, encryptRev = 3)
+        case _ => graft.sources.Pdf.encodeObjStm(pages, encryptRev = 4)
       }
-      .toDF("doc_id", "n_pages", "reassembled")
-    decoded
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"),
-        (col("reassembled") === col("text")).as("roundtrip_ok"),
-        length(col("reassembled")).cast("bigint").as("n_chars"))
-      .orderBy(col("doc_id"))
-  }
+    }
 
   // --- q60n: composite-font (Type0 + /ToUnicode) PDF ingestion --------------
   /** The single largest real-input gap closed: PDFs produced by a
@@ -894,52 +755,20 @@ object SourceQueries {
     * no-CMap identity ladder all run under q01's VERBATIM bit-exact
     * oracle. A malformed CMap, an unmapped code, or a non-Identity
     * predefined CMap throws loudly (PdfCodecSpec). */
-  def pdfCompositeFontRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdftype0b") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
-          .as("pages"))
-        .as[(Long, Seq[String])]
-        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
-          it.foreach { case (id, pages) =>
-            val bytes = (id % 6) match {
-              case 0 => graft.sources.Pdf.encodeType0(pages)
-              case 1 => graft.sources.Pdf.encodeType0(pages, compressCMap = false)
-              case 2 => graft.sources.Pdf.encode(pages, hexStrings = true)
-              case 3 => graft.sources.Pdf.encode(pages, compress = true,
-                hexStrings = true)
-              // predefined Identity CMap, NO /ToUnicode (ISO 32000
-              // §9.7.5.2): codes decode as CIDs = UTF-16 units — the
-              // round-12/13 conformance gap closed
-              case 4 => graft.sources.Pdf.encodeType0(pages, toUnicode = false)
-              case _ => graft.sources.Pdf.encodeType0(pages, toUnicode = false,
-                vertical = true)
-            }
-            java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
-          }
-        }
-    }
-    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
-        (id, pages.length.toLong, pages.mkString)
+  def pdfCompositeFontRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    pagedPdfRoundtrip(spark, dir, "pdftype0b") { (id, pages) =>
+      (id % 6) match {
+        case 0 => graft.sources.Pdf.encodeType0(pages)
+        case 1 => graft.sources.Pdf.encodeType0(pages, compressCMap = false)
+        case 2 => graft.sources.Pdf.encode(pages, hexStrings = true)
+        case 3 => graft.sources.Pdf.encode(pages, compress = true, hexStrings = true)
+        // predefined Identity CMap, NO /ToUnicode (ISO 32000 §9.7.5.2):
+        // codes decode as CIDs = UTF-16 units
+        case 4 => graft.sources.Pdf.encodeType0(pages, toUnicode = false)
+        case _ => graft.sources.Pdf.encodeType0(pages, toUnicode = false,
+          vertical = true)
       }
-      .toDF("doc_id", "n_pages", "reassembled")
-    decoded
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"),
-        (col("reassembled") === col("text")).as("roundtrip_ok"),
-        length(col("reassembled")).cast("bigint").as("n_chars"))
-      .orderBy(col("doc_id"))
-  }
+    }
 
   // --- q60p: simple-font /Encoding /Differences PDF ingestion ---------------
   /** The single most common LEGACY-PDF text shape (round-12/13's #1
@@ -958,59 +787,30 @@ object SourceQueries {
     * all run under q01's VERBATIM bit-exact oracle. Unknown encodings
     * and unmapped codes throw loudly (PdfCodecSpec). */
   def pdfSimpleEncodingRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import graft.sources.Pdf.SimpleEncoding
-    val blobRoot = stagedBlobs(dir, "pdfsimpleenc") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
-          .as("pages"))
-        .as[(Long, Seq[String])]
-        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
-          it.foreach { case (id, pages) =>
-            val bytes = (id % 5) match {
-              case 0 => graft.sources.Pdf.encode(pages,
-                encoding = Some(SimpleEncoding(base = Some("WinAnsiEncoding"))))
-              case 1 => graft.sources.Pdf.encode(pages,
-                encoding = Some(SimpleEncoding(base = Some("MacRomanEncoding"))))
-              case 2 => graft.sources.Pdf.encode(pages,
-                encoding = Some(SimpleEncoding(remapFrom = 128)))
-              case 3 => graft.sources.Pdf.encode(pages, hexStrings = true,
-                encoding = Some(SimpleEncoding(base = Some("WinAnsiEncoding"),
-                  remapFrom = 160)))
-              case _ => graft.sources.Pdf.encode(pages, compress = true,
-                encoding = Some(SimpleEncoding(base = Some("MacRomanEncoding"),
-                  remapFrom = 140, indirect = true)))
-            }
-            java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
-          }
-        }
-    }
-    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
-        (id, pages.length.toLong, pages.mkString)
+    pagedPdfRoundtrip(spark, dir, "pdfsimpleenc") { (id, pages) =>
+      (id % 5) match {
+        case 0 => graft.sources.Pdf.encode(pages,
+          encoding = Some(SimpleEncoding(base = Some("WinAnsiEncoding"))))
+        case 1 => graft.sources.Pdf.encode(pages,
+          encoding = Some(SimpleEncoding(base = Some("MacRomanEncoding"))))
+        case 2 => graft.sources.Pdf.encode(pages,
+          encoding = Some(SimpleEncoding(remapFrom = 128)))
+        case 3 => graft.sources.Pdf.encode(pages, hexStrings = true,
+          encoding = Some(SimpleEncoding(base = Some("WinAnsiEncoding"),
+            remapFrom = 160)))
+        case _ => graft.sources.Pdf.encode(pages, compress = true,
+          encoding = Some(SimpleEncoding(base = Some("MacRomanEncoding"),
+            remapFrom = 140, indirect = true)))
       }
-      .toDF("doc_id", "n_pages", "reassembled")
-    decoded
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"),
-        (col("reassembled") === col("text")).as("roundtrip_ok"),
-        length(col("reassembled")).cast("bigint").as("n_chars"))
-      .orderBy(col("doc_id"))
+    }
   }
 
   // --- q60q: Form XObject (Do) PDF ingestion ---------------------------------
   /** Text split between page content streams and FORM XOBJECTS invoked
     * via `Do` (ISO 32000 §8.10) — the letterhead/stamp/template shape;
     * an extractor that ignores `Do` silently LOSES that text (PyMuPDF
-    * walks forms, app.py:123-132). Docs cycle four staged variants by
+    * walks forms, app.py:123-132). Docs cycle five staged variants by
     * id: self-resourced form, NESTED forms (form invoking form),
     * resource-INHERITING form (the PDF 1.1 shape), a Flate-compressed
     * form stream alongside an Image XObject `Do` (which must contribute
@@ -1018,40 +818,10 @@ object SourceQueries {
     * `(BT x Tj` (the tokenizer must skip BI..ID..EI wholesale) — all
     * under q01's VERBATIM oracle. Cycles, unknown XObject names, and
     * non-Form/Image subtypes throw loudly (PdfCodecSpec). */
-  def pdfFormXObjectRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdfforms2") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
-          .as("pages"))
-        .as[(Long, Seq[String])]
-        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
-          it.foreach { case (id, pages) =>
-            val bytes = graft.sources.Pdf.encodeForms(pages, (id % 5).toInt)
-            java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
-          }
-        }
+  def pdfFormXObjectRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    pagedPdfRoundtrip(spark, dir, "pdfforms3") { (id, pages) =>
+      graft.sources.Pdf.encodeForms(pages, (id % 5).toInt)
     }
-    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
-        (id, pages.length.toLong, pages.mkString)
-      }
-      .toDF("doc_id", "n_pages", "reassembled")
-    decoded
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"),
-        (col("reassembled") === col("text")).as("roundtrip_ok"),
-        length(col("reassembled")).cast("bigint").as("n_chars"))
-      .orderBy(col("doc_id"))
-  }
 
   // --- q60r: structured page trees + split /Contents PDF ingestion ----------
   /** Two page-level structures virtually every real generator emits and
@@ -1065,40 +835,10 @@ object SourceQueries {
     * resources, flat + split contents, nested + inherited + split +
     * Flate) — all under q01's VERBATIM oracle; cyclic trees and
     * non-Page leaves throw loudly (PdfCodecSpec). */
-  def pdfPageTreeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "pdftree") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, length(text) - 1, 200), s -> substring(text, s + 1, 200))")
-          .as("pages"))
-        .as[(Long, Seq[String])]
-        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
-          it.foreach { case (id, pages) =>
-            val bytes = graft.sources.Pdf.encodePageTree(pages, (id % 4).toInt)
-            java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath, bytes)
-          }
-        }
+  def pdfPageTreeRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    pagedPdfRoundtrip(spark, dir, "pdftree") { (id, pages) =>
+      graft.sources.Pdf.encodePageTree(pages, (id % 4).toInt)
     }
-    val decoded = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
-        (id, pages.length.toLong, pages.mkString)
-      }
-      .toDF("doc_id", "n_pages", "reassembled")
-    decoded
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_pages"),
-        (col("reassembled") === col("text")).as("roundtrip_ok"),
-        length(col("reassembled")).cast("bigint").as("n_chars"))
-      .orderBy(col("doc_id"))
-  }
 
   // --- q60o: docx2txt loader-path parity (tables, headers, footers) ---------
   /** The reference's SPLITTER path reads .docx through `Docx2txtLoader`

@@ -505,10 +505,12 @@ object Pdf {
         s"/Resources << /Font << /F1 3 0 R >> /XObject << $xentries >> >> " +
         s"/Contents ${base + 1} 0 R >>")
       val imDo = if (withImage) " /Im0 Do" else ""
-      // poisoned inline image: 8 payload bytes that READ as "(BT x Tj" —
-      // a tokenizer that fails to skip BI..EI emits phantom text
+      // poisoned inline image: the 11 payload bytes "(BT EI x Tj" contain
+      // " EI " mid-data AND read as show operators — only the declared
+      // /L makes the skip exact (the lenient-scan fallback, which this
+      // payload would defeat, is pinned separately in spec)
       val inline = if (withInline)
-        " BI /W 4 /H 2 /BPC 8 /CS /G ID (BT x Tj EI" else ""
+        " BI /W 4 /H 2 /BPC 8 /CS /G /L 11 ID (BT EI x Tj EI" else ""
       streamObj("", // page content: first half direct, rest via the form
         (s"BT /F1 12 Tf 72 720 Td (${escape(text.substring(0, h))}) Tj ET" +
           s"$inline /Fm0 Do$imDo").getBytes(ISO_8859_1))
@@ -1681,6 +1683,7 @@ object Pdf {
   private val formPat = java.util.regex.Pattern.compile("/Subtype\\s*/Form\\b")
   private val pagesTypePat = java.util.regex.Pattern.compile("/Type\\s*/Pages\\b")
   private val pageTypePat = java.util.regex.Pattern.compile("/Type\\s*/Page\\b")
+  private val inlineLenPat = java.util.regex.Pattern.compile("/L\\s+(\\d+)")
 
   /** The page's (or form's) /Resources <kind> entries as name → object
     * id, kind ∈ {"/Font", "/XObject"}. Both the resources dict and the
@@ -1987,17 +1990,34 @@ object Pdf {
         while (j < stream.length && !(stream.startsWith("ID", j) && wordAt(stream, j, 2)))
           j += 1
         require(j < stream.length, "corrupt PDF: inline image without ID")
+        // honor /L (the data length, PDF 2.0 §8.9.7) when declared: pixel
+        // bytes can contain " EI " by chance, and only the length makes
+        // the skip exact — the lenient terminator scan is the fallback
+        // for the (still common) /L-less form
+        val biDict = stream.substring(i, j)
+        val lm = inlineLenPat.matcher(biDict)
         j += 3 // ID + the single whitespace byte that follows it
-        var end = -1
-        while (end < 0 && j + 1 < stream.length) {
-          if (stream(j).isWhitespace && stream.startsWith("EI", j + 1) &&
-              (j + 3 >= stream.length || nameDelim(stream(j + 3)) ||
-                stream(j + 3).isWhitespace))
-            end = j + 3
-          else j += 1
+        if (lm.find()) {
+          val dataLen = lm.group(1).toInt
+          require(j + dataLen + 3 <= stream.length,
+            "corrupt PDF: inline image /L overruns the content stream")
+          j += dataLen
+          while (j < stream.length && stream(j).isWhitespace) j += 1
+          require(stream.startsWith("EI", j) && wordAt(stream, j, 2),
+            "corrupt PDF: inline image /L not followed by EI")
+          i = j + 2
+        } else {
+          var end = -1
+          while (end < 0 && j + 1 < stream.length) {
+            if (stream(j).isWhitespace && stream.startsWith("EI", j + 1) &&
+                (j + 3 >= stream.length || nameDelim(stream(j + 3)) ||
+                  stream(j + 3).isWhitespace))
+              end = j + 3
+            else j += 1
+          }
+          require(end >= 0, "corrupt PDF: inline image without EI")
+          i = end
         }
-        require(end >= 0, "corrupt PDF: inline image without EI")
-        i = end
       } else if (stream.startsWith("Do", i) && wordAt(stream, i, 2)) {
         require(lastName != null, "corrupt PDF: Do without an XObject name")
         out.append(resolveForm(lastName))

@@ -170,14 +170,25 @@ object Warc {
       i += 1
     }
     require(sep >= 0, "HTTP: response without header terminator")
-    val headers = new String(payload, 0, sep, Iso).split("\r\n").drop(1)
+    val headerSeq = new String(payload, 0, sep, Iso).split("\r\n").drop(1)
       .map { l =>
         val c = l.indexOf(':')
         require(c > 0, s"HTTP: malformed header line '$l'")
         l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim
-      }.toMap
+      }.toSeq
+    // duplicated framing headers are the classic smuggling/corruption
+    // shape — reject, same discipline as the WARC header parser above
+    val dups = headerSeq.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"HTTP: duplicate header(s) ${dups.mkString(", ")}")
+    val headers = headerSeq.toMap
     var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
-    if (headers.get("transfer-encoding").exists(_.toLowerCase.contains("chunked"))) {
+    // only the chunked transfer coding exists in practice; anything else
+    // (or a compound list) would leave transfer-coded bytes in the body —
+    // throw rather than hand compressed framing to the corpus
+    val te = headers.get("transfer-encoding").map(_.trim.toLowerCase)
+    require(te.forall(t => t == "chunked" || t == "identity"),
+      s"HTTP: unsupported Transfer-Encoding '${te.get}'")
+    if (te.contains("chunked")) {
       val out = new java.io.ByteArrayOutputStream()
       var p = 0
       var done = false

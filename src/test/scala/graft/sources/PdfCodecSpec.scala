@@ -703,9 +703,19 @@ class PdfCodecSpec extends AnyFunSuite {
       "second page with its own form")
     for (v <- 0 to 4)
       assert(Pdf.decodePages(Pdf.encodeForms(pages, v)) === pages, s"variant $v")
-    // the inline-image variant's poisoned payload really is in the bytes
-    // (reads as "(BT x Tj") yet contributes no phantom text above
-    assert(new String(Pdf.encodeForms(pages, 4), "ISO-8859-1").contains("ID (BT x Tj EI"))
+    // the inline-image variant's poisoned payload really is in the bytes:
+    // it contains " EI " mid-data (defeats a lenient scan) and reads as
+    // show operators, yet contributed no phantom text above — /L wins
+    assert(new String(Pdf.encodeForms(pages, 4), "ISO-8859-1")
+      .contains("/L 11 ID (BT EI x Tj EI"))
+    // the /L-less lenient path still works when the payload is benign
+    assert(Pdf.extractText("BT (a) Tj ET BI /W 1 /H 1 ID  ÿ EI BT (b) Tj ET")
+      === "ab")
+    // /L that overruns the stream, or /L not followed by EI, is corrupt
+    assertThrows[IllegalArgumentException](
+      Pdf.extractText("BI /W 1 /H 1 /L 99 ID xy EI"))
+    assertThrows[IllegalArgumentException](
+      Pdf.extractText("BI /W 1 /H 1 /L 1 ID xy EI"))
     // a content stream missing the EI terminator is corrupt, not ignored
     assertThrows[IllegalArgumentException](
       Pdf.extractText("BT (a) Tj ET BI /W 1 /H 1 ID x"))
