@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.{Collections, Multimodal, Png}
+import graft.sources.{Collections, Jpeg, Multimodal, Png}
+import scala.jdk.CollectionConverters._
 
 /** Source/sink-shaped operators (SURVEY §2.1): ordered page reassembly
   * (O1/O2 analog), hybrid full-outer combine (O24), and the multimodal
@@ -1033,6 +1034,103 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --- q60s: real JPEG ingestion (metadata scan + entropy round trip) -------
+  /** The OTHER image leg: JPEG is the format crawled corpora actually
+    * contain (PNG is the minority), and an image-curation pipeline's
+    * first pass is exactly this scan — dimensions, progressive vs
+    * baseline, component count, Exif orientation — run over billions of
+    * blobs WITHOUT entropy-decoding any of them. Each doc stages as a
+    * structurally genuine JPEG (sources/Jpeg.scala: marker segments,
+    * JFIF/Exif APPn, DQT/SOF/DHT/DRI/SOS, byte-stuffed scan data whose
+    * payload is the doc's text) cycling FIVE wild shapes by id: JFIF
+    * grayscale baseline + comment; Exif-II color baseline; Exif-MM
+    * progressive TWO-SCAN with an offset-stored ImageDescription; JFIF
+    * color baseline with restart markers + a second DQT; Exif-II
+    * grayscale progressive with restarts. Geometry and orientation are
+    * doc_id/n_chars arithmetic, so the oracle predicts every column
+    * exactly; meta_ok/payload_ok pin the COM text and the unstuffed
+    * scan bytes (the preamble plants phantom EOI/RST patterns that only
+    * correct unstuffing survives). One task per blob, decode in a map —
+    * the same file-per-task discipline as the rest of the codec family;
+    * at 100 TB the scan is embarrassingly parallel and shuffles only
+    * the 10-column metadata rows, never image bytes. */
+  def jpegMetadataScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = stagedBlobs(dir, "jpg") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, text) =>
+            val v = (id % 5).toInt
+            val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val w = 16 + (id % 240).toInt
+            val h = 16 + (text.length % 480)
+            val orient = Some((id % 8).toInt + 1)
+            val desc = Some(s"doc $id")
+            val com = Some(text.substring(0, math.min(40, text.length)))
+            val bytes = v match {
+              case 0 => Jpeg.encode(payload, w, h, components = 1, comment = com)
+              case 1 => Jpeg.encode(payload, w, h, exifOrientation = orient)
+              case 2 => Jpeg.encode(payload, w, h, progressive = true,
+                exifOrientation = orient, exifBigEndian = true, exifDescription = desc)
+              case 3 => Jpeg.encode(payload, w, h, comment = com, dri = 64,
+                extraDqt = true)
+              case 4 => Jpeg.encode(payload, w, h, components = 1,
+                progressive = true, exifOrientation = orient,
+                exifDescription = desc, dri = 32)
+            }
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.jpg").toPath, bytes)
+          }
+        }
+    }
+    spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.jpg", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = Jpeg.decode(bytes)
+        val v = (id % 5).toInt
+        val payloadStr = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+        // the staged COM text was the payload's first 40 chars and the
+        // Exif description "doc <id>" — pin both VALUES (absence
+        // included) against what this doc's variant staged
+        val expComment = if (v == 0 || v == 3) Some(payloadStr.take(40)) else None
+        val expDesc = if (v == 2 || v == 4) Some(s"doc $id") else None
+        (id, m.width.toLong, m.height.toLong, m.components.toLong,
+          m.progressive, m.nScans.toLong, m.orientation.toLong,
+          m.comment == expComment && m.description == expDesc, payloadStr)
+      }
+      .toDF("doc_id", "width", "height", "n_components", "progressive",
+        "n_scans", "orientation", "meta_ok", "payload_text")
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_components"),
+        col("progressive"), col("n_scans"), col("orientation"), col("meta_ok"),
+        (col("payload_text") === col("text")).as("payload_ok"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val jpegMetadataOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, length(text) AS n, doc_id % 5 AS v, text
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id,
+      |  CAST(16 + doc_id % 240 AS BIGINT) AS width,
+      |  CAST(16 + n % 480 AS BIGINT) AS height,
+      |  CAST(CASE WHEN v IN (0, 4) THEN 1 ELSE 3 END AS BIGINT) AS n_components,
+      |  v IN (2, 4) AS progressive,
+      |  CAST(CASE WHEN v IN (2, 4) THEN 2 ELSE 1 END AS BIGINT) AS n_scans,
+      |  CAST(CASE WHEN v IN (1, 2, 4) THEN doc_id % 8 + 1 ELSE 1 END AS BIGINT)
+      |    AS orientation,
+      |  true AS meta_ok,
+      |  true AS payload_ok,
+      |  CAST(n AS BIGINT) AS n_chars
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // --- q80: Hive-partitioned ORC lake + partition pruning --------------------
   /** The lake-layout scan primitive: events written ONCE as ORC,
     * hive-partitioned by event_type (`partitionBy` → one directory per
@@ -1243,6 +1341,78 @@ object SourceQueries {
     spark.read.schema(schema)
       .option("timestampFormat", tsFmt)
       .json(gzDir.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        sum(length(col("props"))).as("props_chars"),
+        sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  // --- q89c: zstd-compressed JSONL lake -------------------------------------
+  /** The compression hop LLM corpora actually ship in: Dolma, RedPajama,
+    * FineWeb and the post-2023 crawl derivatives distribute
+    * `.jsonl.zst`, not `.json.gz`. Hadoop's ZStandardCodec needs a
+    * native libhadoop build this (and most) clusters lack, so the lake
+    * is written and read through zstd-jni (the SAME library Spark's own
+    * shuffle/ORC/parquet zstd paths use — already on every executor
+    * classpath): write side streams each partition through a
+    * ZstdOutputStream in `foreachPartition` (8 parts — like gzip, zstd
+    * frames are not splittable, so write-side partition count IS the
+    * read-side parallelism knob); read side is `binaryFile` →
+    * per-task frame decode → `from_json` with a declared schema.
+    * Frame magic is verified per blob, q89's escape/µs-timestamp
+    * discipline is unchanged, and its oracle applies VERBATIM — the
+    * codec hop is the delta under test. */
+  def jsonlZstdRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val root = stagedBlobs(dir, "jsonlzst", srcTable = "events") { staging =>
+      val outDir = new java.io.File(staging, "events_jsonl_zst")
+      outDir.mkdirs()
+      Tables.events(spark, dir)
+        .repartition(8) // read-side parallelism for an unsplittable codec
+        .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")),
+          Map("timestampFormat" -> tsFmt).asJava).as("line"))
+        .as[String]
+        .foreachPartition { it: Iterator[String] =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.File(outDir, f"part_$pid%05d.jsonl.zst")
+            val os = new com.github.luben.zstd.ZstdOutputStream(
+              new java.io.BufferedOutputStream(new java.io.FileOutputStream(f)), 3)
+            try it.foreach { l =>
+              os.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              os.write('\n')
+            } finally os.close()
+          }
+        }
+    }
+    val zDir = new java.io.File(root, "events_jsonl_zst")
+    require(zDir.listFiles().exists(_.getName.endsWith(".jsonl.zst")),
+      "q89c: staged lake is not zstd-compressed")
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val lines = spark.read.format("binaryFile").load(zDir.getAbsolutePath)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        require(bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 &&
+          (bytes(1) & 0xff) == 0xb5 && (bytes(2) & 0xff) == 0x2f &&
+          (bytes(3) & 0xff) == 0xfd, "q89c: blob is not a zstd frame")
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        txt.split("\n").iterator.filter(_.nonEmpty)
+      }
+    lines
+      .select(from_json(col("value"), schema,
+        Map("timestampFormat" -> tsFmt).asJava).as("e"))
+      .select(col("e.*"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -1485,12 +1655,14 @@ object SourceQueries {
     "q109_wet_pipeline" -> ((s, d) => wetPipeline(s, d)),
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
+    "q60s_jpeg_metadata" -> ((s, d) => jpegMetadataScan(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
     "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d)),
     "q87_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d)),
     "q89_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d)),
     "q89b_jsonl_gzip" -> ((s, d) => jsonlGzipRoundtrip(s, d)),
+    "q89c_jsonl_zstd" -> ((s, d) => jsonlZstdRoundtrip(s, d)),
     "q94_pdf_preview" -> ((s, d) => pdfPreview(s, d)),
     "q100_warc_ingest" -> ((s, d) => warcIngest(s, d))
   )
@@ -1543,6 +1715,9 @@ object SourceQueries {
     // q60e's decoded pixels equal the text bytes, so q60's full
     // pooled-bucket oracle applies verbatim — the PNG codec is the delta
     "q60e_png_roundtrip" -> multimodalDecodeOracle,
+    // q60s: geometry/orientation/progression are doc_id arithmetic, the
+    // COM/Exif/scan payloads are pinned in-query — predicted exactly
+    "q60s_jpeg_metadata" -> jpegMetadataOracle,
     "q79_dsv2_blobs" -> dsv2BlobScanOracle,
     "q79b_blob_rollup" -> blobLakeRollupOracle,
     "q80_partitioned_lake" -> partitionedLakeOracle,
@@ -1550,6 +1725,8 @@ object SourceQueries {
     "q89_jsonl_roundtrip" -> jsonlRoundtripOracle,
     // q89b: the gzip codec hop reproduces q89's contract exactly
     "q89b_jsonl_gzip" -> jsonlRoundtripOracle,
+    // q89c: the zstd codec hop reproduces q89's contract exactly
+    "q89c_jsonl_zstd" -> jsonlRoundtripOracle,
     "q94_pdf_preview" -> pdfPreviewOracle,
     "q100_warc_ingest" -> warcIngestOracle
   )
