@@ -117,6 +117,40 @@ object Sketches {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Difference-hash perceptual fingerprint over a sample stream (the
+    * image-dedup classic: dHash): the stream is split into 64 equal-width
+    * buckets (boundaries ⌊b·n/64⌋ — floor arithmetic so any engine
+    * reproduces them exactly), and bit j (0..62) is set when bucket j+1's
+    * MEAN exceeds bucket j's. The comparison is the integer cross-multiply
+    * `sum[j+1]·cnt[j] > sum[j]·cnt[j+1]` — no division, no floats — so
+    * the fingerprint is bit-exact across engines (the DuckDB oracle
+    * recomputes it from ord() codes). 63 bits keeps the value positive in
+    * signed-64 engines. Requires n ≥ 64 so every bucket is non-empty. */
+  def dhash63(samples: Array[Int]): Long = {
+    val n = samples.length
+    require(n >= 64, s"dhash63 needs >= 64 samples, got $n")
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var b = 0
+    while (b < 64) {
+      val lo = b * n / 64
+      val hi = (b + 1) * n / 64
+      var s = 0L
+      var i = lo
+      while (i < hi) { s += samples(i); i += 1 }
+      sums(b) = s
+      cnts(b) = hi - lo
+      b += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 63) {
+      if (sums(j + 1) * cnts(j) > sums(j) * cnts(j + 1)) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** SimHash band keys: 4 × 16-bit bands; near-identical docs (hamming ≤ a
     * few bits) collide on at least one band with high probability. */
   def simhashBands(text: String): Array[Long] = simhashBandsOf(simhash64(text))

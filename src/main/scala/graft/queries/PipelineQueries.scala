@@ -617,6 +617,122 @@ object PipelineQueries {
        |WHERE hamming <= 15 ORDER BY id1, id2""".stripMargin
   }
 
+  // ---- near-dup: image perceptual hash (dHash) over decoded pixels --------
+  /** The IMAGE leg of the near-dup family (the LAION-style pipeline
+    * stage): find EDITED RE-ENCODES of the same image — the copies exact
+    * byte dedup (q30's sha256) can never see, because every staged file
+    * differs bytewise. Each doc stages as TWO genuine PNGs: the original
+    * (pixels = its text bytes, the q60e discipline so the DuckDB oracle
+    * recomputes everything from ord() codes) and an edited twin
+    * (contrast ×2, brightness +2, alternating ±1 dither — the
+    * brightness/contrast/re-encode edit family perceptual hashes exist
+    * for). Both are REALLY decoded on the executors (CRC walk, inflate,
+    * unfilter) and fingerprinted with [[Sketches.dhash63]]: 64
+    * equal-width buckets, bit = adjacent bucket MEANS compared by
+    * integer cross-multiply — a comparison that is EXACTLY invariant
+    * under pixel scale+shift (both sides scale identically), so the
+    * edit perturbs only the dither's tie-breaking (measured twin
+    * hamming 0-2 across the corpus; crop/resize robustness is a smooth-
+    * signal property real photos have and these noise-like synthetic
+    * pixels deliberately do not). Near-pairs via the q33b banded-LSH
+    * discipline: 4 bands (16+16+16+15 bits) equi-joined, exactly-once
+    * emission through the first-colliding-band filter, hamming ≤ 10
+    * verified with the codegen'd bit_count — at sf0.01 the bands
+    * surface ~2× the true pairs as candidates and the verify kills the
+    * rest, with full recall of every edited twin.
+    * Scale: decode+hash is map-only over the blob lake (no image bytes
+    * ever shuffle — only (doc_id, fp) pairs); candidates are an
+    * equi-join on 65k-bucket band keys, never all-pairs. */
+  def imageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = SourceQueries.stagedBlobs(dir, "pngmut") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+          it.foreach { case (id, bytes) =>
+            val px = bytes.map(b => b & 0xff)
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%07d.png").toPath,
+              graft.sources.Png.encode(px))
+            // the edited re-encode: contrast x2, brightness +2, dither
+            val edited = Array.tabulate(px.length)(i => 2 * px(i) + 2 + i % 2)
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_${id + 1000000L}%07d.png").toPath,
+              graft.sources.Png.encode(edited))
+          }
+        }
+    }
+    val hashed = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        (id, Sketches.dhash63(graft.sources.Png.decodeToSamples(bytes)))
+      }
+      .toDF("doc_id", "fp")
+      .cache()
+    def bandKey(fpCol: Column, b: Int): Column =
+      if (b < 3) shiftright(fpCol, 16 * b).bitwiseAND(lit(0xffffL))
+      else shiftright(fpCol, 48).bitwiseAND(lit(0x7fffL))
+    val exploded = hashed.select(col("doc_id"), col("fp"),
+      explode(expr(
+        "array(struct(0 as band, (fp & 65535) as bkey)," +
+          " struct(1 as band, (shiftright(fp, 16) & 65535) as bkey)," +
+          " struct(2 as band, (shiftright(fp, 32) & 65535) as bkey)," +
+          " struct(3 as band, (shiftright(fp, 48) & 32767) as bkey))")).as("bs"))
+      .select(col("doc_id"), col("fp"), col("bs.band"), col("bs.bkey"))
+    val a = exploded.select(col("band"), col("bkey"), col("doc_id").as("id1"), col("fp").as("fp1"))
+    val b = exploded.select(col("band"), col("bkey"), col("doc_id").as("id2"), col("fp").as("fp2"))
+    def bandDiffers(j: Int) = bandKey(col("fp1"), j) =!= bandKey(col("fp2"), j)
+    val firstCollision = (0 until 3).map { j =>
+      (col("band") <= j) || bandDiffers(j)
+    }.reduce(_ && _)
+    a.join(b, Seq("band", "bkey")).filter(col("id1") < col("id2"))
+      .filter(firstCollision)
+      .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int"))
+      .filter(col("hamming") <= 10)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val imageNeardupOracle: String = {
+    val bandOr = Seq(
+      "(a.fp & 65535) = (b.fp & 65535)",
+      "((a.fp >> 16) & 65535) = ((b.fp >> 16) & 65535)",
+      "((a.fp >> 32) & 65535) = ((b.fp >> 32) & 65535)",
+      "((a.fp >> 48) & 32767) = ((b.fp >> 48) & 32767)").mkString(" OR ")
+    s"""WITH f AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+       |base AS (SELECT doc_id,
+       |        list_transform(list_filter(string_split(text, ''), c -> c != ''),
+       |                       c -> CAST(ord(c) AS BIGINT)) AS codes
+       |      FROM f),
+       |d AS (SELECT doc_id, codes, len(codes) AS n FROM base
+       |      UNION ALL
+       |      SELECT doc_id + 1000000 AS doc_id,
+       |             list_transform(codes, (x, i) -> 2 * x + 2 + (i - 1) % 2) AS codes,
+       |             len(codes) AS n
+       |      FROM base),
+       |s AS (SELECT doc_id, n,
+       |        list_transform(generate_series(0, 63), b ->
+       |          CAST(list_sum(codes[(b * n // 64) + 1 : ((b + 1) * n) // 64]) AS BIGINT)) AS sums
+       |      FROM d),
+       |fps AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(generate_series(0, 62), j ->
+       |    CASE WHEN sums[j + 2] * ((j + 1) * n // 64 - j * n // 64)
+       |           > sums[j + 1] * ((j + 2) * n // 64 - (j + 1) * n // 64)
+       |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS fp
+       |  FROM s),
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |         CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id AND ($bandOr))
+       |SELECT id1, id2, hamming FROM cand
+       |WHERE hamming <= 10 ORDER BY id1, id2""".stripMargin
+  }
+
   // ---- near-dup: embedding cosine within label blocks ---------------------
   /** Embedding-cosine near-dup, pairs blocked on the label column (the
     * data's natural coarse cluster). Oracle-checked exact variant; the
@@ -2054,6 +2170,7 @@ object PipelineQueries {
     "q33_neardup_simhash" -> ((s, d) => neardupSimhash(s, d)),
     "q33b_neardup_simhash_md5" -> ((s, d) => neardupSimhashPortable(s, d)),
     "q34_neardup_embedding" -> ((s, d) => neardupEmbedding(s, d)),
+    "q116_image_neardup" -> ((s, d) => imageNeardup(s, d)),
     "q35_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q35c_ann_ivf_index" -> ((s, d) => annIvfFromIndex(s, d)),
     "q36_ann_lsh" -> ((s, d) => annLshChecked(s, d)),
@@ -2095,6 +2212,7 @@ object PipelineQueries {
     "q39_ann_ivfpq" -> annWitnessOracle,
     "q39b_ann_ivfpq_index" -> annWitnessOracle,
     "q34_neardup_embedding" -> neardupEmbeddingOracle,
+    "q116_image_neardup" -> imageNeardupOracle,
     "q35_ann_ivf" -> annIvfOracle,
     // q35c: same quantizer arithmetic from the persisted cell lake —
     // the round trip + dynamic partition pruning is the delta under test

@@ -72,4 +72,24 @@ class SketchesSpec extends SparkSuite {
     assert(Sketches.shingles("a b").toSeq === Seq("a b"))
     assert(Sketches.shingles("").isEmpty)
   }
+
+  test("dhash63: exactly invariant under pixel scale+shift; dither flips few bits") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val px = Array.fill(64 + rnd.nextInt(2000))(rnd.nextInt(120))
+      val fp = Sketches.dhash63(px)
+      // contrast x2 + brightness +2: the cross-multiplied mean comparison
+      // scales both sides identically — the fingerprint is bit-identical
+      assert(Sketches.dhash63(px.map(v => 2 * v + 2)) === fp)
+      // the alternating dither only breaks near-ties: hamming stays small
+      val dithered = Array.tabulate(px.length)(i => 2 * px(i) + 2 + i % 2)
+      assert(Sketches.hamming64(Sketches.dhash63(dithered), fp) <= 6)
+      // an unrelated stream lands far away (random bits: expect ~31)
+      val other = Array.fill(px.length)(rnd.nextInt(120))
+      assert(Sketches.hamming64(Sketches.dhash63(other), fp) > 10)
+    }
+    // positivity (63 bits) and the minimum-length contract
+    assert(Sketches.dhash63(Array.tabulate(64)(i => i)) >= 0L)
+    assertThrows[IllegalArgumentException](Sketches.dhash63(Array.fill(63)(1)))
+  }
 }
