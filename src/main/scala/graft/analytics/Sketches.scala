@@ -133,8 +133,9 @@ object Sketches {
     val cnts = new Array[Long](64)
     var b = 0
     while (b < 64) {
-      val lo = b * n / 64
-      val hi = (b + 1) * n / 64
+      // Long arithmetic: b * n wraps Int past ~34M samples (a 40 MP image)
+      val lo = (b.toLong * n / 64).toInt
+      val hi = ((b + 1).toLong * n / 64).toInt
       var s = 0L
       var i = lo
       while (i < hi) { s += samples(i); i += 1 }

@@ -545,6 +545,41 @@ object PipelineQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Banded-LSH near-pair generation over a `(doc_id, fp)` fingerprint
+    * relation — the shared tail of the SimHash (q33b) and image-dHash
+    * (q116) pipelines. `widths` are the per-band bit widths (lowest
+    * band first, summing to ≤ 63); candidates equi-join on (band, key),
+    * every pair is emitted EXACTLY ONCE via the first-colliding-band
+    * filter (no distinct — a codegen filter instead of a multi-million
+    * row shuffle), and survivors are verified with the codegen'd
+    * bit_count at `maxHamming`. Scale contract: the join key space is
+    * 2^width buckets per band; only (id, fp) pairs ever shuffle. */
+  private def bandedLshPairs(fps: DataFrame, widths: Seq[Int],
+                             maxHamming: Int): DataFrame = {
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def mask(w: Int): Long = (1L << w) - 1
+    def bandKey(fpCol: Column, j: Int): Column =
+      shiftright(fpCol, offsets(j)).bitwiseAND(lit(mask(widths(j))))
+    val bandStructs = widths.indices.map(j =>
+      s"struct($j as band, (shiftright(fp, ${offsets(j)}) & ${mask(widths(j))}) as bkey)")
+      .mkString("array(", ",", ")")
+    val exploded = fps.select(col("doc_id"), col("fp"),
+      explode(expr(bandStructs)).as("bs"))
+      .select(col("doc_id"), col("fp"), col("bs.band"), col("bs.bkey"))
+    val a = exploded.select(col("band"), col("bkey"), col("doc_id").as("id1"), col("fp").as("fp1"))
+    val b = exploded.select(col("band"), col("bkey"), col("doc_id").as("id2"), col("fp").as("fp2"))
+    def bandDiffers(j: Int) = bandKey(col("fp1"), j) =!= bandKey(col("fp2"), j)
+    val firstCollision = (0 until widths.length - 1).map { j =>
+      (col("band") <= j) || bandDiffers(j)
+    }.reduce(_ && _)
+    a.join(b, Seq("band", "bkey")).filter(col("id1") < col("id2"))
+      .filter(firstCollision)
+      .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   // ---- near-dup: SimHash, engine-portable hash family ----------------------
   /** q33's algorithm with md5-derived gram hashes so the WHOLE SimHash
     * pipeline — per-bit majority vote → banded candidates → hamming
@@ -574,25 +609,7 @@ object PipelineQueries {
           |  st -> st.f)""".stripMargin))
       .select(col("doc_id"), col("fp"))
       .cache()
-    def bandKey(fpCol: Column, b: Int) =
-      shiftright(fpCol, 15 * b).bitwiseAND(lit(32767L))
-    val exploded = c.select(col("doc_id"), col("fp"),
-      explode(expr(
-        (0 until 4).map(b => s"struct($b as band, (shiftright(fp, ${15 * b}) & 32767) as bkey)")
-          .mkString("array(", ",", ")"))).as("bs"))
-      .select(col("doc_id"), col("fp"), col("bs.band"), col("bs.bkey"))
-    val a = exploded.select(col("band"), col("bkey"), col("doc_id").as("id1"), col("fp").as("fp1"))
-    val b = exploded.select(col("band"), col("bkey"), col("doc_id").as("id2"), col("fp").as("fp2"))
-    def bandDiffers(j: Int) = bandKey(col("fp1"), j) =!= bandKey(col("fp2"), j)
-    val firstCollision = (0 until 3).map { j =>
-      (col("band") <= j) || bandDiffers(j)
-    }.reduce(_ && _)
-    a.join(b, Seq("band", "bkey")).filter(col("id1") < col("id2"))
-      .filter(firstCollision)
-      .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int"))
-      .filter(col("hamming") <= 15)
-      .select(col("id1"), col("id2"), col("hamming"))
-      .orderBy(col("id1"), col("id2"))
+    bandedLshPairs(c, widths = Seq.fill(4)(15), maxHamming = 15)
   }
 
   val neardupSimhashPortableOracle: String = {
@@ -645,10 +662,17 @@ object PipelineQueries {
     * equi-join on 65k-bucket band keys, never all-pairs. */
   def imageNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    // the twin-id convention (id + 1,000,000 — shared with the
+    // corpusMutant family) silently overwrites staged files if real ids
+    // reach the offset: guard LOUDLY before any blob is written
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 1000000L,
+      s"imageNeardup: doc_id $maxId collides with the +1,000,000 twin id space")
     val blobRoot = SourceQueries.stagedBlobs(dir, "pngmut") { staging =>
-      Tables.documents(spark, dir)
-        .filter(length(col("text")) >= 64)
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      base
         .as[(Long, Array[Byte])]
         .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
           it.foreach { case (id, bytes) =>
@@ -656,8 +680,11 @@ object PipelineQueries {
             java.nio.file.Files.write(
               new java.io.File(staging, f"doc_$id%07d.png").toPath,
               graft.sources.Png.encode(px))
-            // the edited re-encode: contrast x2, brightness +2, dither
-            val edited = Array.tabulate(px.length)(i => 2 * px(i) + 2 + i % 2)
+            // the edited re-encode: contrast x2, brightness +2, dither —
+            // clamped at white like every real brightness edit (ASCII
+            // corpora never reach the clamp; non-ASCII bytes would)
+            val edited =
+              Array.tabulate(px.length)(i => math.min(255, 2 * px(i) + 2 + i % 2))
             java.nio.file.Files.write(
               new java.io.File(staging, f"doc_${id + 1000000L}%07d.png").toPath,
               graft.sources.Png.encode(edited))
@@ -674,28 +701,7 @@ object PipelineQueries {
       }
       .toDF("doc_id", "fp")
       .cache()
-    def bandKey(fpCol: Column, b: Int): Column =
-      if (b < 3) shiftright(fpCol, 16 * b).bitwiseAND(lit(0xffffL))
-      else shiftright(fpCol, 48).bitwiseAND(lit(0x7fffL))
-    val exploded = hashed.select(col("doc_id"), col("fp"),
-      explode(expr(
-        "array(struct(0 as band, (fp & 65535) as bkey)," +
-          " struct(1 as band, (shiftright(fp, 16) & 65535) as bkey)," +
-          " struct(2 as band, (shiftright(fp, 32) & 65535) as bkey)," +
-          " struct(3 as band, (shiftright(fp, 48) & 32767) as bkey))")).as("bs"))
-      .select(col("doc_id"), col("fp"), col("bs.band"), col("bs.bkey"))
-    val a = exploded.select(col("band"), col("bkey"), col("doc_id").as("id1"), col("fp").as("fp1"))
-    val b = exploded.select(col("band"), col("bkey"), col("doc_id").as("id2"), col("fp").as("fp2"))
-    def bandDiffers(j: Int) = bandKey(col("fp1"), j) =!= bandKey(col("fp2"), j)
-    val firstCollision = (0 until 3).map { j =>
-      (col("band") <= j) || bandDiffers(j)
-    }.reduce(_ && _)
-    a.join(b, Seq("band", "bkey")).filter(col("id1") < col("id2"))
-      .filter(firstCollision)
-      .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int"))
-      .filter(col("hamming") <= 10)
-      .select(col("id1"), col("id2"), col("hamming"))
-      .orderBy(col("id1"), col("id2"))
+    bandedLshPairs(hashed, widths = Seq(16, 16, 16, 15), maxHamming = 10)
   }
 
   val imageNeardupOracle: String = {
@@ -712,7 +718,7 @@ object PipelineQueries {
        |d AS (SELECT doc_id, codes, len(codes) AS n FROM base
        |      UNION ALL
        |      SELECT doc_id + 1000000 AS doc_id,
-       |             list_transform(codes, (x, i) -> 2 * x + 2 + (i - 1) % 2) AS codes,
+       |             list_transform(codes, (x, i) -> least(255, 2 * x + 2 + (i - 1) % 2)) AS codes,
        |             len(codes) AS n
        |      FROM base),
        |s AS (SELECT doc_id, n,

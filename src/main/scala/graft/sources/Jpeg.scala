@@ -151,7 +151,12 @@ object Jpeg {
     descBytes.foreach { db =>
       w16(0x010e); w16(2)             // ASCII
       w32(db.length)
-      w32(dataOff)
+      // TIFF 6.0: values of <= 4 bytes sit INLINE in the value field
+      // (left-justified, zero-padded); only longer values go via offset
+      if (db.length <= 4) {
+        db.foreach(x => b.write(x & 0xff))
+        for (_ <- db.length until 4) b.write(0)
+      } else w32(dataOff)
     }
     w16(0x0112); w16(3)               // SHORT
     w32(1)
@@ -159,7 +164,7 @@ object Jpeg {
     // in the declared byte order, remainder zero (TIFF 6.0 §2)
     w16(orientation); w16(0)
     w32(0)                            // no IFD1
-    descBytes.foreach(db => b.write(db))
+    descBytes.filter(_.length > 4).foreach(db => b.write(db))
     b.toByteArray
   }
 

@@ -176,10 +176,14 @@ object Warc {
         require(c > 0, s"HTTP: malformed header line '$l'")
         l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim
       }.toSeq
-    // duplicated framing headers are the classic smuggling/corruption
-    // shape — reject, same discipline as the WARC header parser above
-    val dups = headerSeq.groupBy(_._1).filter(_._2.length > 1).keys
-    require(dups.isEmpty, s"HTTP: duplicate header(s) ${dups.mkString(", ")}")
+    // duplicated FRAMING headers are the classic smuggling/corruption
+    // shape — reject those, same discipline as the WARC header parser
+    // above. Non-framing repeats (Set-Cookie, Via, ...) are legal and
+    // ubiquitous on the real wire (RFC 9110 §5.3) — pass them through.
+    val framing = Set("transfer-encoding", "content-length", "content-encoding")
+    val dups = headerSeq.groupBy(_._1)
+      .filter { case (k, vs) => framing(k) && vs.length > 1 }.keys
+    require(dups.isEmpty, s"HTTP: duplicate framing header(s) ${dups.mkString(", ")}")
     val headers = headerSeq.toMap
     var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
     // only the chunked transfer coding exists in practice; anything else

@@ -37,6 +37,16 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(m.description === Some("a camera caption"))
   }
 
+  test("Exif short ImageDescription takes the TIFF inline-value form") {
+    // <= 4 bytes including the NUL must sit IN the value field, both
+    // byte orders (TIFF 6.0 §2) — the offset form would decode garbage
+    for (big <- Seq(false, true); d <- Seq("", "a", "ab", "abc")) {
+      val m = meta(Jpeg.encode(payload, 64, 64, exifOrientation = Some(2),
+        exifBigEndian = big, exifDescription = Some(d)))
+      assert(m.description === Some(d), s"bigEndian=$big desc='$d'")
+    }
+  }
+
   test("progressive two-scan file concatenates its scans") {
     val m = meta(Jpeg.encode(payload, 32, 32, progressive = true,
       exifOrientation = Some(3)))

@@ -132,5 +132,15 @@ class WarcCodecSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Warc.httpBody(
       "HTTP/1.1 200 OK\r\nContent-Encoding: br\r\nContent-Length: 2\r\n\r\nhi"
         .getBytes("ISO-8859-1")))
+    // duplicated FRAMING headers are the smuggling shape — rejected
+    assertThrows[IllegalArgumentException](Warc.httpBody(
+      ("HTTP/1.1 200 OK\r\nContent-Length: 2\r\nContent-Length: 3\r\n\r\nhi")
+        .getBytes("ISO-8859-1")))
+    // duplicated NON-framing headers (Set-Cookie, Via, ...) are legal and
+    // ubiquitous on the real wire (RFC 9110 §5.3) — pass through
+    assert(Warc.httpBody(
+      ("HTTP/1.1 200 OK\r\nSet-Cookie: a=1\r\nSet-Cookie: b=2\r\n" +
+        "Content-Length: 2\r\n\r\nhi").getBytes("ISO-8859-1")).toSeq ===
+      "hi".getBytes("ISO-8859-1").toSeq)
   }
 }
