@@ -32,7 +32,7 @@ import graft.core.Tables
 object RungAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val known = Set("asof", "chunk", "srp", "lakes")
+    val known = Set("asof", "chunk", "srp", "lakes", "blobs")
     val modes = if (args.length > 1) args.drop(1).toSet else known
     require(modes.subsetOf(known),
       s"unknown mode(s) ${(modes -- known).mkString(", ")} — " +
@@ -52,6 +52,7 @@ object RungAudit {
     if (modes("chunk")) chunk(spark, sfDir, report)
     if (modes("srp")) srp(spark, sfDir, report)
     if (modes("lakes")) lakes(spark, sfDir, report)
+    if (modes("blobs")) blobs(spark, sfDir, report)
     spark.stop()
     if (failed) sys.exit(1)
   }
@@ -224,6 +225,41 @@ object RungAudit {
       report(s"lake_${root.getName.split("_")(1)}/${sub.getName}",
         parts.toLong * 2 >= target,
         f"rows=$rows parts=$parts target=$target bytes=${bytes / 1024}KiB")
+    }
+  }
+
+  /** Blob-lake read-path probe (the binaryFile/file-per-task lakes the
+    * parquet probe above cannot see): for each staged blob lake, the
+    * scan's partition count vs min(shuffle parallelism, file count) —
+    * a blob scan that cannot keep every core busy serializes the decode
+    * stage, the q89b/q89c "write-side partitioning IS read parallelism"
+    * contract made measurable. jpg/pngmut are file-per-doc (parallelism
+    * bounded only by packing); jsonlzst is DELIBERATELY 8 unsplittable
+    * frames — its target is its file count, by design. */
+  private def blobs(spark: SparkSession, sfDir: String,
+                    report: (String, Boolean, String) => Unit): Unit = {
+    // ensure the lakes exist (content-addressed: no-ops when staged)
+    Seq("q60s_jpeg_metadata", "q116_image_neardup", "q89c_jsonl_zstd").foreach { q =>
+      SparkEntry.queries(q)(spark, sfDir).count()
+    }
+    val sfName = new java.io.File(sfDir).getName
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    for (fmt <- Seq("jpg", "pngmut", "jsonlzst")) {
+      val root = new java.io.File("/root/repo/target").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(s"blobs_${fmt}_${sfName}_"))
+        .sortBy(_.getName).lastOption.getOrElse(
+          sys.error(s"blob lake blobs_${fmt}_${sfName}_* not staged"))
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      val fs = files(root)
+      val df = spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true") // jsonlzst nests one subdir
+        .load(root.getAbsolutePath)
+      val parts = df.rdd.getNumPartitions
+      val target = math.min(shuffleParts, fs.length.toLong)
+      report(s"blob_$fmt", parts >= target,
+        f"files=${fs.length} parts=$parts target=$target " +
+          f"bytes=${fs.map(_.length()).sum / (1024 * 1024)}MiB")
     }
   }
 }
