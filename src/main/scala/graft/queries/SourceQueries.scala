@@ -666,14 +666,16 @@ object SourceQueries {
       |       CAST(length(text) AS BIGINT) AS n_chars
       |FROM d ORDER BY doc_id""".stripMargin
 
-  /** Shared harness for the staged-PDF round-trip family (q60m/n/p/q/r):
-    * page every doc's text into 200-char pages, stage ONE PDF per doc
-    * via `encodeDoc` under a content-addressed blob dir, decode with
-    * the full Pdf.decodePages ladder, and compare VERBATIM against the
-    * source text — q01's oracle contract, so `pagesConcatOracle`
+  /** Shared harness for the staged paged-container round-trip family
+    * (the PDF shapes q60m/n/p/q/r and the TIFF q60t): page every doc's
+    * text into 200-char pages, stage ONE container file per doc via
+    * `encodeDoc` under a content-addressed blob dir, decode with the
+    * format's full page-decoding ladder, and compare VERBATIM against
+    * the source text — q01's oracle contract, so `pagesConcatOracle`
     * applies to every member unchanged. */
-  private def pagedPdfRoundtrip(spark: SparkSession, dir: String, fmt: String)(
-      encodeDoc: (Long, Seq[String]) => Array[Byte]): DataFrame = {
+  private def pagedBlobRoundtrip(spark: SparkSession, dir: String, fmt: String,
+      ext: String)(encodeDoc: (Long, Seq[String]) => Array[Byte])(
+      decodePages: Array[Byte] => Seq[String]): DataFrame = {
     import spark.implicits._
     val blobRoot = stagedBlobs(dir, fmt) { staging =>
       Tables.documents(spark, dir)
@@ -685,18 +687,18 @@ object SourceQueries {
         .foreachPartition { it: Iterator[(Long, Seq[String])] =>
           it.foreach { case (id, pages) =>
             java.nio.file.Files.write(
-              new java.io.File(staging, f"doc_$id%06d.pdf").toPath,
+              new java.io.File(staging, f"doc_$id%06d.$ext").toPath,
               encodeDoc(id, pages))
           }
         }
     }
     spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
       .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+        regexp_extract(col("path"), s"doc_(\\d+)\\.$ext", 1).cast("long").as("doc_id"),
         col("content"))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val pages = graft.sources.Pdf.decodePages(bytes)
+        val pages = decodePages(bytes)
         (id, pages.length.toLong, pages.mkString)
       }
       .toDF("doc_id", "n_pages", "reassembled")
@@ -706,6 +708,28 @@ object SourceQueries {
         length(col("reassembled")).cast("bigint").as("n_chars"))
       .orderBy(col("doc_id"))
   }
+
+  private def pagedPdfRoundtrip(spark: SparkSession, dir: String, fmt: String)(
+      encodeDoc: (Long, Seq[String]) => Array[Byte]): DataFrame =
+    pagedBlobRoundtrip(spark, dir, fmt, "pdf")(encodeDoc)(
+      bytes => graft.sources.Pdf.decodePages(bytes))
+
+  // --- q60t: multi-page TIFF ingestion ---------------------------------------
+  /** The scanned-document container (fax/scanner/archival corpora ship
+    * multi-page .tif): each doc staged as one multi-page TIFF
+    * (sources/Tiff.scala — chained per-page IFDs, strip layout with a
+    * short final strip, inline + offset value placements), cycling all
+    * FOUR baseline shapes by id: II and MM byte orders × uncompressed
+    * and PackBits (§9 RLE). The page reassembly reproduces q01's
+    * contract exactly, so its oracle applies VERBATIM — an IFD-walk,
+    * strip-geometry, endianness, or RLE bug breaks the bit-exact match
+    * loudly. LZW/JPEG-in-TIFF and non-8-bit layouts throw
+    * (TiffCodecSpec pins those). */
+  def tiffRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    pagedBlobRoundtrip(spark, dir, "tif", "tif") { (id, pages) =>
+      graft.sources.Tiff.encode(pages,
+        bigEndian = id % 2 == 1, packbits = (id / 2) % 2 == 1)
+    }(bytes => graft.sources.Tiff.decodePages(bytes))
 
   // --- q60m: RC4-encrypted PDF ingestion ------------------------------------
   /** The "encrypted but openable" PDFs every large corpus contains:
@@ -1656,6 +1680,7 @@ object SourceQueries {
     "q60g_wav_subformats" -> ((s, d) => wavSubformats(s, d)),
     "q60e_png_roundtrip" -> ((s, d) => pngRoundtrip(s, d)),
     "q60s_jpeg_metadata" -> ((s, d) => jpegMetadataScan(s, d)),
+    "q60t_tiff_multipage" -> ((s, d) => tiffRoundtrip(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
     "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d)),
@@ -1718,6 +1743,8 @@ object SourceQueries {
     // q60s: geometry/orientation/progression are doc_id arithmetic, the
     // COM/Exif/scan payloads are pinned in-query — predicted exactly
     "q60s_jpeg_metadata" -> jpegMetadataOracle,
+    // q60t: same page-reassembly contract over multi-page TIFF containers
+    "q60t_tiff_multipage" -> pagesConcatOracle,
     "q79_dsv2_blobs" -> dsv2BlobScanOracle,
     "q79b_blob_rollup" -> blobLakeRollupOracle,
     "q80_partitioned_lake" -> partitionedLakeOracle,

@@ -134,4 +134,23 @@ class JpegCodecSpec extends AnyFunSuite {
   test("geometry exceeding the 16-bit SOF fields is rejected at encode") {
     assertThrows[IllegalArgumentException](Jpeg.encode(payload, 70000, 10))
   }
+
+  test("seeded fuzz: arbitrary binary payloads round trip across all shapes") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 40) {
+      val p = new Array[Byte](rnd.nextInt(4000))
+      rnd.nextBytes(p) // includes 0xFF runs, NUL, marker-like patterns
+      val m = meta(Jpeg.encode(p,
+        width = 1 + rnd.nextInt(1000), height = 1 + rnd.nextInt(1000),
+        components = if (rnd.nextBoolean()) 1 else 3,
+        progressive = rnd.nextBoolean(),
+        exifOrientation = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(8)) else None,
+        exifBigEndian = rnd.nextBoolean(),
+        exifDescription = if (rnd.nextBoolean()) Some("d" * rnd.nextInt(10)) else None,
+        comment = if (rnd.nextBoolean()) Some("c" * rnd.nextInt(50)) else None,
+        dri = if (rnd.nextBoolean()) 1 + rnd.nextInt(100) else 0,
+        extraDqt = rnd.nextBoolean()))
+      assert(m.payload.toSeq === p.toSeq, s"trial $trial")
+    }
+  }
 }
