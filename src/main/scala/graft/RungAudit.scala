@@ -245,9 +245,12 @@ object RungAudit {
     val sfName = new java.io.File(sfDir).getName
     val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
     for (fmt <- Seq("jpg", "pngmut", "jsonlzst")) {
+      // newest generation by mtime — a regenerated source parquet leaves
+      // the stale content-addressed lake behind, and name order is
+      // arbitrary hash order; the ensure-step above staged the live one
       val root = new java.io.File("/root/repo/target").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith(s"blobs_${fmt}_${sfName}_"))
-        .sortBy(_.getName).lastOption.getOrElse(
+        .sortBy(_.lastModified()).lastOption.getOrElse(
           sys.error(s"blob lake blobs_${fmt}_${sfName}_* not staged"))
       def files(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)

@@ -665,13 +665,16 @@ object PipelineQueries {
     val base = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 64)
       .select(col("doc_id"), col("text").cast("binary").as("content"))
-    // the twin-id convention (id + 1,000,000 — shared with the
-    // corpusMutant family) silently overwrites staged files if real ids
-    // reach the offset: guard LOUDLY before any blob is written
-    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
-    require(maxId < 1000000L,
-      s"imageNeardup: doc_id $maxId collides with the +1,000,000 twin id space")
     val blobRoot = SourceQueries.stagedBlobs(dir, "pngmut") { staging =>
+      // the twin-id convention (id + 1,000,000 — shared with the
+      // corpusMutant family) silently overwrites staged files if real
+      // ids reach the offset: guard LOUDLY before any blob is written.
+      // Inside the populate closure so the extra aggregation runs once
+      // per staged lake, not on every (cached) invocation; max is null
+      // on an empty corpus — nothing to stage, nothing to collide.
+      val maxIdRow = base.agg(max(col("doc_id"))).head()
+      require(maxIdRow.isNullAt(0) || maxIdRow.getLong(0) < 1000000L,
+        s"imageNeardup: doc_id ${maxIdRow.get(0)} collides with the +1,000,000 twin id space")
       base
         .as[(Long, Array[Byte])]
         .foreachPartition { it: Iterator[(Long, Array[Byte])] =>

@@ -727,9 +727,11 @@ object SourceQueries {
     * (TiffCodecSpec pins those). */
   def tiffRoundtrip(spark: SparkSession, dir: String): DataFrame =
     pagedBlobRoundtrip(spark, dir, "tif", "tif") { (id, pages) =>
-      graft.sources.Tiff.encode(pages,
+      graft.sources.Tiff.encode(
+        pages.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
         bigEndian = id % 2 == 1, packbits = (id / 2) % 2 == 1)
-    }(bytes => graft.sources.Tiff.decodePages(bytes))
+    }(bytes => graft.sources.Tiff.decodePages(bytes)
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)))
 
   // --- q60m: RC4-encrypted PDF ingestion ------------------------------------
   /** The "encrypted but openable" PDFs every large corpus contains:
@@ -1181,7 +1183,7 @@ object SourceQueries {
         .as[(Long, Seq[String])]
         .foreachPartition { it: Iterator[(Long, Seq[String])] =>
           it.foreach { case (id, pages) =>
-            val frames = pages.map(_.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            val frames = pages.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             java.nio.file.Files.write(
               new java.io.File(staging, f"doc_$id%06d.avi").toPath,
               graft.sources.Avi.encode(frames,
@@ -1198,7 +1200,7 @@ object SourceQueries {
         val v = graft.sources.Avi.decode(bytes)
         val sampled = v.frames.zipWithIndex.collect { case (f, i) if i % 2 == 0 => f }
         (id, v.width.toLong, v.frames.length.toLong, sampled.length.toLong,
-          sampled.map(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1)).mkString)
+          sampled.map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).mkString)
       }
       .toDF("doc_id", "width", "n_frames", "n_sampled", "sampled_text")
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))

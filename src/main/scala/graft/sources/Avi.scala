@@ -133,7 +133,9 @@ object Avi {
     }
     require(tag(0) == "RIFF" && tag(8) == "AVI ", "not a RIFF/AVI payload")
     val riffLen = r32(4)
-    require(8 + riffLen <= bytes.length, "corrupt AVI: RIFF size overruns payload")
+    // all bound checks in Long: a crafted 32-bit length wraps Int sums
+    require(riffLen >= 4 && 8L + riffLen <= bytes.length,
+      "corrupt AVI: RIFF size overruns payload")
     var width = -1; var height = -1; var usPerFrame = -1
     var avihFrames = -1; var strhFrames = -1
     var frames = Vector.empty[(Int, Array[Byte])] // (offset rel. to movi fourcc, data)
@@ -144,7 +146,7 @@ object Avi {
     while (i < end) {
       val id = tag(i)
       val len = r32(i + 4)
-      require(len >= 0 && i + 8 + len <= end, s"corrupt AVI: chunk $id overruns")
+      require(len >= 0 && i + 8L + len <= end, s"corrupt AVI: chunk $id overruns")
       id match {
         case "LIST" =>
           val typ = tag(i + 8)
@@ -156,7 +158,7 @@ object Avi {
               while (j < lend) {
                 val cid = tag(j)
                 val clen = r32(j + 4)
-                require(clen >= 0 && j + 8 + clen <= lend,
+                require(clen >= 0 && j + 8L + clen <= lend,
                   s"corrupt AVI: hdrl chunk $cid overruns")
                 cid match {
                   case "avih" =>
@@ -171,7 +173,7 @@ object Avi {
                     while (k < send) {
                       val sid = tag(k)
                       val slen = r32(k + 4)
-                      require(slen >= 0 && k + 8 + slen <= send,
+                      require(slen >= 0 && k + 8L + slen <= send,
                         s"corrupt AVI: strl chunk $sid overruns")
                       if (sid == "strh") {
                         require(slen >= 40, "corrupt AVI: strh too short")
@@ -191,7 +193,7 @@ object Avi {
               while (j < lend) {
                 val cid = tag(j)
                 val clen = r32(j + 4)
-                require(clen >= 0 && j + 8 + clen <= lend,
+                require(clen >= 0 && j + 8L + clen <= lend,
                   s"corrupt AVI: movi chunk $cid overruns")
                 require(cid == "00dc", s"unsupported AVI: movi chunk '$cid'")
                 frames :+= ((j - (i + 8),

@@ -85,10 +85,10 @@ object Tiff {
     out.toByteArray
   }
 
-  /** Encode pages (each page's pixels = its string's bytes) as one
+  /** Encode pages (each page = its pixel bytes, verbatim) as one
     * multi-page TIFF. `bigEndian` selects MM; `packbits` selects §9
     * compression (else uncompressed). */
-  def encode(pages: Seq[String], bigEndian: Boolean = false,
+  def encode(pages: Seq[Array[Byte]], bigEndian: Boolean = false,
              packbits: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "TIFF needs at least one page")
     val out = new ByteArrayOutputStream(4096)
@@ -105,8 +105,7 @@ object Tiff {
     w32(8) // IFD0 directly after the header
     // lay pages out one after another: [IFD][entry-overflow][strip data]
     var pos = 8L
-    for ((page, pi) <- pages.zipWithIndex) {
-      val px = page.getBytes(ISO_8859_1).map(b => (b & 0xff).toByte)
+    for ((px, pi) <- pages.zipWithIndex) {
       val height = math.max(1, (px.length + Width - 1) / Width)
       val padded = java.util.Arrays.copyOf(px, height * Width)
       val nStrips = (height + RowsPerStrip - 1) / RowsPerStrip
@@ -167,12 +166,12 @@ object Tiff {
     out.toByteArray
   }
 
-  /** Decode a multi-page TIFF back to its page strings: header, chained
+  /** Decode a multi-page TIFF back to its pages' pixel bytes: header, chained
     * IFD walk (cycle-guarded), both byte orders, inline + offset value
     * placements, strip reassembly, PackBits, padding trim via the
     * ImageDescription length. Unsupported layouts and structural
     * corruption throw. */
-  def decodePages(bytes: Array[Byte]): Seq[String] = {
+  def decodePages(bytes: Array[Byte]): Seq[Array[Byte]] = {
     require(bytes.length >= 8, "not a TIFF payload (too short)")
     val order = new String(bytes, 0, 2, ISO_8859_1)
     val big = order match {
@@ -199,7 +198,7 @@ object Tiff {
     require(r16(2) == 42, "corrupt TIFF: magic is not 42")
     var ifd = r32(4)
     val seen = scala.collection.mutable.Set.empty[Long]
-    val pages = Seq.newBuilder[String]
+    val pages = Seq.newBuilder[Array[Byte]]
     while (ifd != 0) {
       require(seen.add(ifd), s"corrupt TIFF: IFD cycle at $ifd")
       val n = r16(ifd)
@@ -280,7 +279,7 @@ object Tiff {
           s"corrupt TIFF: strip $s has ${data.length} bytes, expected $expected")
         px.write(data)
       }
-      pages += new String(px.toByteArray, 0, trueLen, ISO_8859_1)
+      pages += java.util.Arrays.copyOfRange(px.toByteArray, 0, trueLen)
       ifd = r32(ifd + 2 + 12 * n)
     }
     val out = pages.result()

@@ -40,6 +40,15 @@ class AviCodecSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Avi.decode("XXXX".getBytes ++ good.drop(4)))
     // truncation
     assertThrows[IllegalArgumentException](Avi.decode(good.dropRight(10)))
+    // a crafted near-Int.MaxValue chunk length must hit the overrun
+    // require (Long bound math), not wrap into a negative scan position
+    val wrap = good.clone()
+    // first top-level chunk's length field sits at offset 16 (RIFF(8) +
+    // 'AVI '(4) + fourcc(4)); 0x7FFFFFF4 little-endian
+    wrap(16) = 0xf4.toByte; wrap(17) = 0xff.toByte
+    wrap(18) = 0xff.toByte; wrap(19) = 0x7f.toByte
+    val eo = intercept[IllegalArgumentException](Avi.decode(wrap))
+    assert(eo.getMessage.contains("overruns"))
     // header frame-count lie: avih dwTotalFrames is 16 bytes into avih's
     // body; avih is the first chunk inside hdrl (RIFF(12) + LIST hdr(12))
     val lie = good.clone()

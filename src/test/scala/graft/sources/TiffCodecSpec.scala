@@ -7,16 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * loud-failure contracts for corrupt or unsupported files. */
 class TiffCodecSpec extends AnyFunSuite {
 
-  private val pages = Seq(
+  private val pages: Seq[Array[Byte]] = Seq(
     "The quick brown fox jumps over the lazy dog. " * 5,
     "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa runs compress well " + "b" * 200,
     "short",
     "x") // final page shorter than one row
+    .map(_.getBytes("UTF-8"))
 
   test("multi-page roundtrip: both byte orders, both compressions") {
-    for (big <- Seq(false, true); pb <- Seq(false, true))
-      assert(Tiff.decodePages(Tiff.encode(pages, big, pb)) === pages,
-        s"bigEndian=$big packbits=$pb")
+    for (big <- Seq(false, true); pb <- Seq(false, true)) {
+      val got = Tiff.decodePages(Tiff.encode(pages, big, pb))
+      assert(got.length === pages.length, s"bigEndian=$big packbits=$pb")
+      got.zip(pages).foreach { case (g, w) =>
+        assert(g.toSeq === w.toSeq, s"bigEndian=$big packbits=$pb") }
+    }
   }
 
   test("packbits: exact inverse on adversarial inputs") {
@@ -50,13 +54,15 @@ class TiffCodecSpec extends AnyFunSuite {
     for (trial <- 1 to 30) {
       val ps = (0 until 1 + rnd.nextInt(6)).map { _ =>
         val b = new Array[Byte](rnd.nextInt(1500))
-        rnd.nextBytes(b)
-        // ISO-8859-1 makes any byte sequence a lossless string
-        new String(b.map(x => (x & 0xff).toByte), "ISO-8859-1")
+        rnd.nextBytes(b) // arbitrary binary pixels, incl. NUL and 0xFF
+        b
       }
-      for (big <- Seq(false, true); pb <- Seq(false, true))
-        assert(Tiff.decodePages(Tiff.encode(ps, big, pb)) === ps,
-          s"trial $trial big=$big pb=$pb")
+      for (big <- Seq(false, true); pb <- Seq(false, true)) {
+        val got = Tiff.decodePages(Tiff.encode(ps, big, pb))
+        assert(got.length === ps.length, s"trial $trial big=$big pb=$pb")
+        got.zip(ps).foreach { case (g, w) =>
+          assert(g.toSeq === w.toSeq, s"trial $trial big=$big pb=$pb") }
+      }
     }
   }
 
