@@ -1440,6 +1440,59 @@ object SourceQueries {
       .orderBy(col("event_type"))
   }
 
+  // --- q118: schema-evolved lake read (mergeSchema) --------------------------
+  /** The read path a year of 100 TB ingest forces on every consumer:
+    * the lake accumulates GENERATIONS with different schemas (here
+    * gen=1 written before the `props` column existed, gen=2 after),
+    * and one scan must union them — `mergeSchema=true` reconciles the
+    * parquet footers at planning time and back-fills the missing
+    * column with NULLs. The aggregation exercises exactly the
+    * null-semantics a consumer must get right (count vs count-non-null,
+    * coalesced sums); the oracle replays it from the original table
+    * with the generation rule inlined, so a dropped generation, a
+    * mis-merged schema, or wrong null-fill breaks the bit-exact match.
+    * The generation directory doubles as a hive partition column, so
+    * generation-targeted reads still prune at the listing. */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = stagedBlobs(dir, "evolake", srcTable = "events") { staging =>
+      val lake = new java.io.File(staging, "events_evo")
+      val e = Tables.events(spark, dir)
+      // generation 1 predates the props column; generation 2 carries it
+      e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(lake, "gen=1").getAbsolutePath)
+      e.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(lake, "gen=2").getAbsolutePath)
+    }
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(new java.io.File(root, "events_evo").getAbsolutePath)
+    require(merged.columns.contains("props") && merged.columns.contains("gen"),
+      s"q118: merged schema lost columns: ${merged.columns.mkString(",")}")
+    merged
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("props")).as("n_with_props"), // null-filled gen-1 rows excluded
+        sum(coalesce(length(col("props")), lit(0))).as("props_chars"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        countDistinct(col("gen")).cast("bigint").as("n_generations"))
+      .orderBy(col("event_type"))
+  }
+
+  val schemaEvolutionOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_with_props,
+      |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN length(props) ELSE 0 END) AS BIGINT)
+      |    AS props_chars,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(2 AS BIGINT) AS n_generations
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- q89c: zstd-compressed JSONL lake -------------------------------------
   /** The compression hop LLM corpora actually ship in: Dolma, RedPajama,
     * FineWeb and the post-2023 crawl derivatives distribute
@@ -1753,6 +1806,7 @@ object SourceQueries {
     "q89_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d)),
     "q89b_jsonl_gzip" -> ((s, d) => jsonlGzipRoundtrip(s, d)),
     "q89c_jsonl_zstd" -> ((s, d) => jsonlZstdRoundtrip(s, d)),
+    "q118_schema_evolution" -> ((s, d) => schemaEvolutionRead(s, d)),
     "q94_pdf_preview" -> ((s, d) => pdfPreview(s, d)),
     "q100_warc_ingest" -> ((s, d) => warcIngest(s, d))
   )
@@ -1821,6 +1875,8 @@ object SourceQueries {
     "q89b_jsonl_gzip" -> jsonlRoundtripOracle,
     // q89c: the zstd codec hop reproduces q89's contract exactly
     "q89c_jsonl_zstd" -> jsonlRoundtripOracle,
+    // q118: the generation rule is inlined so the oracle needs no lake
+    "q118_schema_evolution" -> schemaEvolutionOracle,
     "q94_pdf_preview" -> pdfPreviewOracle,
     "q100_warc_ingest" -> warcIngestOracle
   )
