@@ -355,9 +355,12 @@ object SourceQueries {
     * breaks the bit-exact match loudly. doc_id rides in the file name,
     * recovered from the source's `path` column. On a cluster the blob dir
     * would be DFS; local-mode it's a shared local dir. */
-  def multimodalBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+  /** The PCM16 WAV lake (one file per doc, samples = text bytes) —
+    * shared by q60b's ingestion check and q60v's trim stage; staged
+    * once per corpus fingerprint. */
+  private def wavLake(spark: SparkSession, dir: String): java.io.File = {
     import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "wav") { staging =>
+    stagedBlobs(dir, "wav") { staging =>
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])]
@@ -370,7 +373,10 @@ object SourceQueries {
           }
         }
     }
-    val blobs = spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
+  }
+
+  def multimodalBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = spark.read.format("binaryFile").load(wavLake(spark, dir).getAbsolutePath)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.wav", 1).cast("long").as("doc_id"),
         col("content"))
@@ -378,6 +384,59 @@ object SourceQueries {
       .select(col("doc_id"), col("n_samples"), col("frame_checksum"), col("n_frames"))
       .orderBy(col("doc_id"))
   }
+
+  // --- q60v: audio silence trim (the VAD stage of audio curation) -----------
+  /** The audio feature-extract/trim stage every speech-corpus pipeline
+    * runs before training: decode each WAV (the REAL RIFF codec, shared
+    * q60b lake), strip leading and trailing SILENCE (samples at the
+    * floor value — here the space byte, the corpus' silence analog),
+    * and fingerprint the kept middle. Trim-boundary semantics are
+    * pinned one-sidedly: an all-silence clip counts entirely as
+    * leading. The oracle mirrors the whole stage with ltrim/rtrim +
+    * the q43 rolling hash over the kept text, so an off-by-one at
+    * either boundary, a mis-decode, or a checksum drift breaks the
+    * bit-exact match loudly. Map-only over the blob lake — only the
+    * 6-column summary shuffles, never audio samples. */
+  def audioSilenceTrim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(wavLake(spark, dir).getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val s = Multimodal.decodeSamples(bytes)
+        val silence = 32 // the corpus' silence-floor sample (space byte)
+        var lo = 0
+        while (lo < s.length && s(lo) == silence) lo += 1
+        var hi = s.length
+        while (hi > lo && s(hi - 1) == silence) hi -= 1
+        var checksum = 0L
+        var i = lo
+        while (i < hi) { checksum = (checksum * 31 + s(i)) % 2147483647L; i += 1 }
+        (id, s.length.toLong, lo.toLong, (s.length - hi).toLong,
+          (hi - lo).toLong, checksum)
+      }
+      .toDF("doc_id", "n_samples", "n_leading", "n_trailing", "n_kept", "kept_checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  val audioSilenceTrimOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, length(text) AS n,
+      |         length(text) - length(ltrim(text, ' ')) AS lead,
+      |         trim(text, ' ') AS kept
+      |  FROM documents)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(lead AS BIGINT) AS n_leading,
+      |  CAST(n - lead - length(kept) AS BIGINT) AS n_trailing,
+      |  CAST(length(kept) AS BIGINT) AS n_kept,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(kept, ''), c -> c != ''),
+      |                     c -> CAST(ord(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS kept_checksum
+      |FROM d ORDER BY doc_id""".stripMargin
 
   /** Same byte arithmetic as q60's oracle, minus the pooled buckets (the
     * ingestion check is about the source path, not the pooling). */
@@ -1799,6 +1858,7 @@ object SourceQueries {
     "q60s_jpeg_metadata" -> ((s, d) => jpegMetadataScan(s, d)),
     "q60t_tiff_multipage" -> ((s, d) => tiffRoundtrip(s, d)),
     "q60u_avi_frame_sample" -> ((s, d) => aviFrameSample(s, d)),
+    "q60v_audio_trim" -> ((s, d) => audioSilenceTrim(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
     "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d)),
@@ -1866,6 +1926,8 @@ object SourceQueries {
     "q60t_tiff_multipage" -> pagesConcatOracle,
     // q60u: header geometry + sampled-frame reassembly predicted exactly
     "q60u_avi_frame_sample" -> aviFrameSampleOracle,
+    // q60v: ltrim/rtrim + rolling hash mirror the whole trim stage
+    "q60v_audio_trim" -> audioSilenceTrimOracle,
     "q79_dsv2_blobs" -> dsv2BlobScanOracle,
     "q79b_blob_rollup" -> blobLakeRollupOracle,
     "q80_partitioned_lake" -> partitionedLakeOracle,
