@@ -58,6 +58,7 @@ def main():
             spark_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             spark_cols = [d[0] for d in spark_rel.description]
+            spark_desc = list(spark_rel.description)
             spark_rows = spark_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark result: {e}")
@@ -66,6 +67,7 @@ def main():
         try:
             duck_rel = con.execute(sql)
             duck_cols = [d[0] for d in duck_rel.description]
+            duck_desc = list(duck_rel.description)
             duck_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
@@ -79,6 +81,20 @@ def main():
         if len(spark_rows) != len(duck_rows):
             print(f"FAIL {name}: rows spark={len(spark_rows)} "
                   f"duck={len(duck_rows)}")
+            failures += 1
+            continue
+        # driver-parity guard: the driver hashes through arrow/pandas,
+        # where a DuckDB HUGEINT (any uncast sum() of integers) or
+        # DECIMAL result column reprs differently from Spark's BIGINT/
+        # DOUBLE even when every value is equal — rows+schema match but
+        # the hash flips (round-14 q115/q118). Compare declared types.
+        sp_ty = {d[0]: str(d[1]) for d in spark_desc}
+        du_ty = {d[0]: str(d[1]) for d in duck_desc}
+        ty_mismatch = [(c, sp_ty[c], du_ty[c]) for c in sorted(sp_ty)
+                       if c in du_ty and sp_ty[c] != du_ty[c]]
+        if ty_mismatch:
+            print(f"FAIL {name}: result-type mismatch (driver hash would "
+                  f"flip): {ty_mismatch}")
             failures += 1
             continue
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)

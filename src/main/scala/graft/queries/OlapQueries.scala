@@ -639,7 +639,64 @@ object OlapQueries {
       |  round(CAST(sum(CAST((pa - pb) * (ln(pa) - ln(pb)) AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- q120: distributed global rank + ntile ---------------------------------
+  /** The global-ordering primitive OLAP engines hand out for free on one
+    * node and clusters must EARN: exact `row_number()` and `ntile(10)`
+    * over a corpus-wide total order — with NO single-partition window
+    * over the corpus. Shape: `repartitionByRange` on the sort key (the
+    * range sampler balances partitions), per-range row counts roll up to
+    * a P-row offsets table (P = shuffle partitions — the only
+    * single-partition window input), and each row's global rank is its
+    * range offset + its in-range `row_number`. The ntile allocation is
+    * then pure arithmetic on (rank, N) — first N%10 tiles get one extra
+    * row, the exact SQL-standard rule DuckDB replays. Both consumers of
+    * the range shuffle share ONE exchange (ReusedExchange,
+    * GlobalRankSpec) — the scan runs once, and the shuffled payload is
+    * 24-byte (doc_id, n_chars) pairs, never text. At 10^10 rows this
+    * costs two slim shuffles; a naive `Window.orderBy` would serialize
+    * the planet through one task. */
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(desc("n_chars"), asc("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // P rows: the single-partition windows are over RANGE totals; the
+    // corpus total rides along as a full-frame sum so the ntile
+    // arithmetic needs no third pass over the data
+    val offsets = d.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("n_total", sum(col("cnt")).over(wAll))
+      .select(col("pid"), col("off"), col("n_total"))
+    val wIn = Window.partitionBy(col("pid"))
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    d.join(broadcast(offsets), Seq("pid"))
+      .withColumn("global_rank", col("off") + row_number().over(wIn).cast("long"))
+      .withColumn("decile", expr(
+        """CASE WHEN global_rank <= (n_total % 10) * (n_total div 10 + 1)
+          |     THEN (global_rank - 1) div (n_total div 10 + 1) + 1
+          |     ELSE (n_total % 10) +
+          |          (global_rank - 1 - (n_total % 10) * (n_total div 10 + 1))
+          |            div (n_total div 10) + 1 END""".stripMargin))
+      .select(col("doc_id"), col("n_chars"), col("global_rank"), col("decile"))
+      .orderBy(col("global_rank"))
+  }
+
+  /** DuckDB's native global window replays both functions over the same
+    * total order — rank arithmetic and the ntile fill rule are exact. */
+  val globalRankOracle: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(row_number() OVER w AS BIGINT) AS global_rank,
+      |  CAST(ntile(10) OVER w AS BIGINT) AS decile
+      |FROM documents
+      |WINDOW w AS (ORDER BY n_chars DESC, doc_id)
+      |ORDER BY global_rank""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_global_rank" -> ((s, d) => globalRank(s, d)),
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
     "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
     "q68_approx_quantiles" -> ((s, d) => approxQuantilesChecked(s, d)),
@@ -654,6 +711,7 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q120_global_rank" -> globalRankOracle,
     "q68_approx_quantiles" -> approxQuantilesCheckedOracle,
     "q84_zorder_layout" -> zorderLayoutOracle,
     "q105_layout_skipping" -> layoutSkippingOracle,

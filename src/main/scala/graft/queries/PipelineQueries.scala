@@ -566,6 +566,17 @@ object PipelineQueries {
     val exploded = fps.select(col("doc_id"), col("fp"),
       explode(expr(bandStructs)).as("bs"))
       .select(col("doc_id"), col("fp"), col("bs.band"), col("bs.bkey"))
+      // ONE explicit shuffle on the join key, shared by both self-join
+      // sides via ReusedExchange: the fingerprint computation upstream
+      // (PNG decode + dhash, or the SimHash fold) runs exactly once,
+      // with no session-pinned cache — and at tiny scale this also
+      // keeps the planner from broadcasting one side, which would
+      // re-run the upstream compute for the build. The partition count
+      // is pinned (REPARTITION_BY_NUM) so AQE cannot coalesce the
+      // post-shuffle hamming-verify work onto a handful of cores just
+      // because the 20-byte fingerprint rows LOOK small.
+      .repartition(fps.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("band"), col("bkey"))
     val a = exploded.select(col("band"), col("bkey"), col("doc_id").as("id1"), col("fp").as("fp1"))
     val b = exploded.select(col("band"), col("bkey"), col("doc_id").as("id2"), col("fp").as("fp2"))
     def bandDiffers(j: Int) = bandKey(col("fp1"), j) =!= bandKey(col("fp2"), j)
@@ -608,6 +619,13 @@ object PipelineQueries {
           |    'f', st.f + IF(2 * cnt >= size(gh), shiftleft(1L, st.j), 0L)),
           |  st -> st.f)""".stripMargin))
       .select(col("doc_id"), col("fp"))
+      // cache, not a barrier shuffle: the md5-gram + 60-bit fold above
+      // is the dominant cost and must evaluate exactly once per row —
+      // a shuffle barrier was measured 4-36× slower (the fold re-runs
+      // per downstream subtree when AQE stage reuse misses, and the
+      // band self-join duplicates the whole subtree in the static
+      // plan). The cached rows are 16 bytes/doc; the bench/verify
+      // harnesses clearCache() between queries.
       .cache()
     bandedLshPairs(c, widths = Seq.fill(4)(15), maxHamming = 15)
   }
@@ -703,7 +721,12 @@ object PipelineQueries {
         (id, Sketches.dhash63(graft.sources.Png.decodeToSamples(bytes)))
       }
       .toDF("doc_id", "fp")
-      .cache()
+    // no cache: bandedLshPairs self-joins two identical projections of
+    // this plan on the band key — both sides shuffle on (band, bkey),
+    // so the second side is a ReusedExchange and the PNG decode + dhash
+    // run once; shuffle files age out with the job instead of pinning
+    // block-manager memory for the session (plan-asserted in
+    // ImageNeardupSpec).
     bandedLshPairs(hashed, widths = Seq(16, 16, 16, 15), maxHamming = 10)
   }
 

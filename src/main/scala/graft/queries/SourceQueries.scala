@@ -1231,9 +1231,12 @@ object SourceQueries {
     * so a frame-order, alignment, index, or sampling bug breaks the
     * bit-exact match loudly. One task per blob; only sampled text and
     * 4 metadata columns shuffle, never video bytes. */
-  def aviFrameSample(spark: SparkSession, dir: String): DataFrame = {
+  /** The AVI lake (one file per non-empty doc, frames = 200-char text
+    * pages) — shared by q60u's frame sampling and q60w's scene-cut
+    * stage; staged once per corpus fingerprint. */
+  private def aviLake(spark: SparkSession, dir: String): java.io.File = {
     import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "avi") { staging =>
+    stagedBlobs(dir, "avi") { staging =>
       Tables.documents(spark, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), expr(
@@ -1250,6 +1253,11 @@ object SourceQueries {
           }
         }
     }
+  }
+
+  def aviFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobRoot = aviLake(spark, dir)
     spark.read.format("binaryFile").load(blobRoot.getAbsolutePath)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.avi", 1).cast("long").as("doc_id"),
@@ -1277,6 +1285,74 @@ object SourceQueries {
       |    s -> substring(text, s + 1, 200)), '') AS sampled_text,
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
+
+  // --- q60w: video scene-cut detection (segmentation stage) ------------------
+  /** The segmentation stage that follows q60u's keyframe thinning in a
+    * video-curation pipeline: decode each AVI (REAL container walk,
+    * shared q60u lake), compute a per-frame intensity metric (byte sum —
+    * the histogram-delta stand-in, the corpus is ASCII so byte == code
+    * point like every ord()-based oracle here), and declare a SCENE CUT
+    * wherever consecutive frames' metrics differ by more than the
+    * threshold. Output is the per-doc cut summary a sampler needs:
+    * scene count, first cut, and a rolling hash over all cut indices so
+    * a single misplaced boundary breaks the bit-exact match loudly.
+    * Map-only over the blob lake — one task per blob, only the 6-column
+    * summary shuffles, never video bytes; at 100 TB this is the same
+    * embarrassingly-parallel shape as q60u/q60v. */
+  def videoSceneCut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val threshold = 300L // |Δ byte-sum| above this = cut (tuned so the
+    //                      corpus yields a mix of cut and no-cut pairs)
+    spark.read.format("binaryFile").load(aviLake(spark, dir).getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.avi", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val v = graft.sources.Avi.decode(bytes)
+        val ms = v.frames.map(f => f.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        val cuts = (1 until ms.length).filter(i =>
+          math.abs(ms(i) - ms(i - 1)) > threshold)
+        var checksum = 0L
+        cuts.foreach(i => checksum = (checksum * 31 + i) % 2147483647L)
+        (id, ms.length.toLong, cuts.length.toLong, cuts.length.toLong + 1L,
+          cuts.headOption.map(_.toLong).getOrElse(-1L), checksum)
+      }
+      .toDF("doc_id", "n_frames", "n_cuts", "n_scenes", "first_cut", "cuts_checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The whole stage mirrored frame-by-frame: DuckDB recomputes each
+    * 200-char frame's byte-sum metric, the same |Δ| > 300 rule, and the
+    * same rolling hash over 0-based cut indices. */
+  val videoSceneCutOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n
+      |  FROM documents WHERE length(text) > 0),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, n - 1, 200), s ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(
+      |          list_filter(string_split(substring(text, s + 1, 200), ''),
+      |                      c -> c != ''),
+      |          c -> CAST(ord(c) AS BIGINT))),
+      |        (a, b) -> a + b)) AS ms
+      |  FROM d),
+      |c AS (
+      |  SELECT doc_id, len(ms) AS n_frames,
+      |    list_filter(generate_series(2, len(ms)),
+      |                i -> abs(ms[i] - ms[i - 1]) > 300) AS cuts
+      |  FROM f)
+      |SELECT doc_id,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(len(cuts) AS BIGINT) AS n_cuts,
+      |  CAST(len(cuts) + 1 AS BIGINT) AS n_scenes,
+      |  CAST(coalesce(cuts[1] - 1, -1) AS BIGINT) AS first_cut,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(cuts, i -> CAST(i - 1 AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS cuts_checksum
+      |FROM c ORDER BY doc_id""".stripMargin
 
   // --- q80: Hive-partitioned ORC lake + partition pruning --------------------
   /** The lake-layout scan primitive: events written ONCE as ORC,
@@ -1545,11 +1621,13 @@ object SourceQueries {
 
   val schemaEvolutionOracle: String =
     """SELECT event_type, count(*) AS n_events,
-      |  sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_with_props,
-      |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN length(props) ELSE 0 END) AS BIGINT)
+      |  CAST(sum(CASE WHEN event_id % 2 = 1 AND props IS NOT NULL
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS n_with_props,
+      |  CAST(sum(CASE WHEN event_id % 2 = 1
+      |               THEN coalesce(length(props), 0) ELSE 0 END) AS BIGINT)
       |    AS props_chars,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-      |  CAST(2 AS BIGINT) AS n_generations
+      |  CAST(count(DISTINCT event_id % 2) AS BIGINT) AS n_generations
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --- q89c: zstd-compressed JSONL lake -------------------------------------
@@ -1630,6 +1708,67 @@ object SourceQueries {
       |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
       |  CAST(sum(length(props)) AS BIGINT) AS props_chars,
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- q119: CSV ingest with corrupt-record quarantine -----------------------
+  /** The messy-ingest stage every 100 TB pipeline runs before anything
+    * else: a CSV lake where some rows are MALFORMED (here: `value` is
+    * the literal `N/A` on every event_id divisible by 97 — the classic
+    * export artifact), read under a declared schema in PERMISSIVE mode
+    * with `columnNameOfCorruptRecord`, so bad rows are QUARANTINED into
+    * a side column instead of killing the job (FAILFAST) or silently
+    * vanishing (DROPMALFORMED). The aggregation proves the quarantine
+    * accounting: per event_type, total rows, quarantined rows, the
+    * value sum over clean rows only, and an id-sum over the quarantined
+    * rows (they stay addressable for re-processing — the whole point of
+    * quarantine vs drop). The oracle replays it from the original
+    * events table with the corruption rule inlined, so a row lost,
+    * double-counted, or mis-routed breaks the bit-exact match loudly.
+    *
+    * Scale shape: single-line CSV is SPLITTABLE — the scan parallelizes
+    * by HDFS block like parquet; parse + quarantine routing are
+    * map-side, only the per-type partial aggregates shuffle. */
+  def csvQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val root = stagedBlobs(dir, "csvq", srcTable = "events") { staging =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          // the malformed export: a non-numeric token in a DOUBLE field
+          when(col("event_id") % 97 === 0, lit("N/A"))
+            .otherwise(col("value").cast("string")).as("value"),
+          col("props"))
+        .repartition(8)
+        .write.option("timestampFormat", tsFmt)
+        .mode("overwrite")
+        .csv(new java.io.File(staging, "events_csv").getAbsolutePath)
+    }
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING, _quarantine STRING"
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .option("timestampFormat", tsFmt)
+      .csv(new java.io.File(root, "events_csv").getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_quarantine")).as("n_quarantined"),
+        sum(when(col("_quarantine").isNull, col("value").cast("decimal(18,2)")))
+          .cast("double").as("good_value_total"),
+        sum(when(col("_quarantine").isNotNull, col("event_id")).otherwise(lit(0L)))
+          .as("quarantined_id_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val csvQuarantineOracle: String =
+    """SELECT event_type, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quarantined,
+      |  CAST(sum(CASE WHEN event_id % 97 <> 0
+      |               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS good_value_total,
+      |  CAST(sum(CASE WHEN event_id % 97 = 0 THEN event_id ELSE 0 END) AS BIGINT)
+      |    AS quarantined_id_sum
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --- q94: PDF page-1 preview render at 0.5× (app.py:217-225) --------------
@@ -1859,6 +1998,8 @@ object SourceQueries {
     "q60t_tiff_multipage" -> ((s, d) => tiffRoundtrip(s, d)),
     "q60u_avi_frame_sample" -> ((s, d) => aviFrameSample(s, d)),
     "q60v_audio_trim" -> ((s, d) => audioSilenceTrim(s, d)),
+    "q60w_scene_cut" -> ((s, d) => videoSceneCut(s, d)),
+    "q119_csv_quarantine" -> ((s, d) => csvQuarantine(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
     "q80_partitioned_lake" -> ((s, d) => partitionedLake(s, d)),
@@ -1928,6 +2069,10 @@ object SourceQueries {
     "q60u_avi_frame_sample" -> aviFrameSampleOracle,
     // q60v: ltrim/rtrim + rolling hash mirror the whole trim stage
     "q60v_audio_trim" -> audioSilenceTrimOracle,
+    // q60w: frame metrics + cut rule + cut-index hash all recomputed
+    "q60w_scene_cut" -> videoSceneCutOracle,
+    // q119: quarantine rule inlined so the oracle needs no CSV lake
+    "q119_csv_quarantine" -> csvQuarantineOracle,
     "q79_dsv2_blobs" -> dsv2BlobScanOracle,
     "q79b_blob_rollup" -> blobLakeRollupOracle,
     "q80_partitioned_lake" -> partitionedLakeOracle,

@@ -1197,25 +1197,40 @@ object TextQueries {
   def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
     val L = 256L
     val B = 4096L
-    // cached: d feeds BOTH the bucket-totals aggregate and the join —
-    // without it each side re-runs the tokenizing text scan; the cached
-    // rows are 24 bytes/doc (the q36b signature-cache precedent)
+    // d feeds BOTH the bucket-totals aggregate and the join. Instead of
+    // cache() (which pins blocks for the life of the session unless the
+    // caller unpersists), shuffle d by `bucket` ONCE: both consumers
+    // need exactly hashpartitioning(bucket), so Catalyst plans the
+    // second branch as a ReusedExchange over the same shuffle — the
+    // tokenizing scan runs once, and the shuffle files age out with the
+    // job instead of living in the block-manager cache.
     val d = Tables.documents(spark, dir)
       .withColumn("n", expr("size(filter(split(text, ' '), x -> x != ''))").cast("long"))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"))
       .withColumn("bucket", expr(s"doc_id div $B"))
-      .cache()
-    val wB = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // docs/4096 rows: the single-partition window is over bucket TOTALS
-    val boffs = d.groupBy(col("bucket")).agg(sum(col("n")).as("btoks"))
-      .withColumn("boff", coalesce(sum(col("btoks")).over(wB), lit(0L)))
-      .select(col("bucket"), col("boff"))
+      // explicit, so the join-side InferFiltersFromConstraints doesn't
+      // add it to only ONE consumer and break exchange-subtree equality
+      .filter(col("bucket").isNotNull)
+      .repartition(col("bucket"))
+    // in-bucket running prefix AND bucket total in one windowed pass
+    // over the shuffled rows — no second aggregate subtree, so both
+    // consumers below share ONE canonical exchange
     val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    d.join(broadcast(boffs), Seq("bucket"))
-      .withColumn("off", col("boff") + coalesce(sum(col("n")).over(wIn), lit(0L)))
+    val marked = d
+      .withColumn("inoff", coalesce(sum(col("n")).over(wIn), lit(0L)))
+      .withColumn("btoks", sum(col("n")).over(Window.partitionBy(col("bucket"))))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // docs/4096 rows: the single-partition window is over bucket TOTALS,
+    // carried by each bucket's first row (the only row with inoff = 0)
+    val boffs = marked.filter(col("inoff") === 0L)
+      .select(col("bucket"), col("btoks"))
+      .withColumn("boff", coalesce(sum(col("btoks")).over(wB), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    marked.join(broadcast(boffs), Seq("bucket"))
+      .withColumn("off", col("boff") + col("inoff"))
       .withColumn("seq_id",
         explode(expr(s"sequence(off div $L, (off + n - 1) div $L)")))
       .select(col("doc_id"), col("seq_id"),
@@ -1238,8 +1253,8 @@ object TextQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
       |  FROM d)
       |SELECT doc_id, s.seq_id,
-      |  greatest(0, s.seq_id * 256 - off) AS tok_start,
-      |  least(n, (s.seq_id + 1) * 256 - off) AS tok_end
+      |  CAST(greatest(0, s.seq_id * 256 - off) AS BIGINT) AS tok_start,
+      |  CAST(least(n, (s.seq_id + 1) * 256 - off) AS BIGINT) AS tok_end
       |FROM offs, LATERAL (
       |  SELECT unnest(generate_series(CAST(off // 256 AS BIGINT),
       |                                CAST((off + n - 1) // 256 AS BIGINT))) AS seq_id) s

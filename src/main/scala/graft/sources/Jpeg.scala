@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.ByteArrayOutputStream
-import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 
 /** Real JPEG/JFIF container codec, pure JVM.
   *
@@ -146,7 +146,7 @@ object Jpeg {
     val n = 1 + description.size
     w16(n)
     // entries must be ascending by tag: 0x010E ImageDescription, 0x0112
-    val descBytes = description.map(d => (d + "\u0000").getBytes(ISO_8859_1))
+    val descBytes = description.map(d => (d + "\u0000").getBytes(UTF_8))
     val dataOff = 8 + 2 + 12 * n + 4  // value area after the next-IFD link
     descBytes.foreach { db =>
       w16(0x010e); w16(2)             // ASCII
@@ -199,7 +199,7 @@ object Jpeg {
       case Some(o) => seg(out, 0xe1, exifApp1(o, exifDescription, exifBigEndian))
       case None    => seg(out, 0xe0, jfifApp0)
     }
-    comment.foreach(c => seg(out, 0xfe, c.getBytes(ISO_8859_1)))
+    comment.foreach(c => seg(out, 0xfe, c.getBytes(UTF_8)))
     seg(out, 0xdb, dqt(0))
     if (extraDqt) seg(out, 0xdb, dqt(1))
     seg(out, if (progressive) 0xc2 else 0xc0, sof(height, width, components))
@@ -281,7 +281,7 @@ object Jpeg {
             "corrupt Exif: ImageDescription value overruns segment")
           require(count >= 1 && seg(t + off + count - 1) == 0,
             "corrupt Exif: ImageDescription is not NUL-terminated")
-          description = Some(new String(seg, t + off, count - 1, ISO_8859_1))
+          description = Some(new String(seg, t + off, count - 1, UTF_8))
         case _ => () // unknown tag — skip (public extension point)
       }
     }
@@ -333,7 +333,7 @@ object Jpeg {
             case 0xe1 =>
               val (o, d) = parseExif(body)
               orientation = o; description = d
-            case 0xfe => comment = Some(new String(body, ISO_8859_1))
+            case 0xfe => comment = Some(new String(body, UTF_8))
             case 0xdb =>
               // one or more 65-byte (8-bit) tables per segment
               var off = 0

@@ -650,7 +650,7 @@ object Pdf {
     // dict are never encrypted (ISO 32000 §7.5.8.2, §7.6.2)
     val permP = -4
     val id0 = if (encryptRev == 0) Array.empty[Byte]
-      else md5(pages.mkString(" ").getBytes(ISO_8859_1)).take(16)
+      else md5(pages.mkString("\u0000").getBytes(ISO_8859_1)).take(16)
     val (encO, encU, fileKey) =
       if (encryptRev == 0) (Array.empty[Byte], Array.empty[Byte], Array.empty[Byte])
       else stdSecurity(3, permP, id0)

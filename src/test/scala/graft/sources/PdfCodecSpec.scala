@@ -709,7 +709,7 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(new String(Pdf.encodeForms(pages, 4), "ISO-8859-1")
       .contains("/L 11 ID (BT EI x Tj EI"))
     // the /L-less lenient path still works when the payload is benign
-    assert(Pdf.extractText("BT (a) Tj ET BI /W 1 /H 1 ID  ÿ EI BT (b) Tj ET")
+    assert(Pdf.extractText("BT (a) Tj ET BI /W 1 /H 1 ID \u0000ÿ EI BT (b) Tj ET")
       === "ab")
     // /L that overruns the stream, or /L not followed by EI, is corrupt
     assertThrows[IllegalArgumentException](
