@@ -583,7 +583,13 @@ object PipelineQueries {
     val firstCollision = (0 until widths.length - 1).map { j =>
       (col("band") <= j) || bandDiffers(j)
     }.reduce(_ && _)
-    a.join(b, Seq("band", "bkey")).filter(col("id1") < col("id2"))
+    // shuffled-hash, not sort-merge: both sides are already hash-
+    // partitioned on (band, bkey) by the shared exchange, bucket
+    // populations are bounded by the band-key space, and skipping the
+    // two per-partition sorts is pure win — equal-key matching needs no
+    // order
+    a.join(b.hint("shuffle_hash"), Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
       .filter(firstCollision)
       .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int"))
       .filter(col("hamming") <= maxHamming)

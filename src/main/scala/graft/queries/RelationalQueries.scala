@@ -451,7 +451,145 @@ object RelationalQueries {
       |  UNION ALL SELECT * FROM unchanged UNION ALL SELECT * FROM inserted)
       |ORDER BY c_custkey, valid_from_us""".stripMargin
 
+  // --- q121: market-basket co-occurrence over a BUCKETED lake table ---------
+  /** The co-occurrence primitive (market-basket / co-click / co-cite)
+    * and, with it, the 100 TB CO-LOCATION strategy as a first-class
+    * oracle-checked operator instead of a spec-only claim: lineitem is
+    * staged ONCE as a metastore table `bucketBy(8, l_orderkey)` +
+    * `sortBy` (fingerprint-keyed name, created if absent — the
+    * stagedBlobs discipline for tables), and the pair generation is a
+    * SELF-JOIN on the bucket key with a merge hint: both sides read
+    * the SAME co-located buckets, so the quadratic-per-order pair
+    * expansion runs with ZERO exchange below the join (plan-asserted
+    * in BucketedBasketSpec; the only shuffles are the pair aggregate's)
+    * — on a cluster the join never moves fact bytes at all. Pair blowup
+    * is bounded by lines-per-order (≤7 here, single digits in any real
+    * basket corpus), so the expansion is O(n·k), not O(n²). Support
+    * threshold 2 keeps the output the interesting co-occurrences. */
+  /** lineitem staged ONCE per corpus fingerprint as a metastore table
+    * bucketed+sorted on l_orderkey — the co-location layout q121's pair
+    * expansion and q122's edge build both read shuffle-free. */
+  private def bucketedLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fp(c))
+      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
+    val tbl = s"lineitem_bkt_${new java.io.File(dir).getName.replace('.', '_')}_" +
+      java.lang.Long.toHexString(fp(src))
+    if (!spark.catalog.tableExists(tbl)) {
+      // a NEW session's in-memory catalog starts empty, but the managed
+      // location from a prior session may still exist — saveAsTable
+      // refuses an orphaned location, so clear it first
+      val wh = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (wh.exists()) rm(wh)
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey", "l_partkey")
+        .saveAsTable(tbl)
+    }
+    spark.table(tbl)
+  }
+
+  /** The co-located pair expansion both q121 and q122 start from:
+    * same-order part pairs (p1 < p2) via the bucket-key self-join —
+    * zero exchange below the merge join. */
+  private def colocatedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = bucketedLineitem(spark, dir)
+    val a = t.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = t.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b.hint("merge"), Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+  }
+
+  def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    colocatedPairs(spark, dir)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("p1"), col("p2"))
+
+  val basketPairsOracle: String =
+    """SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY p1, p2""".stripMargin
+
+  // --- q122: fixed-point PageRank over the co-occurrence graph --------------
+  /** Iterative graph analytics as a first-class oracle-checked operator:
+    * 5 PageRank iterations (damping 0.85) over the undirected part
+    * co-occurrence graph q121 surfaces — in FIXED-POINT micro-units
+    * (rank 1.0 = 1,000,000; contribution = `r div deg`; update =
+    * `150000 + (17 * Σ) div 20`). All-integer arithmetic is the
+    * determinism trick production ranking systems use: double
+    * summation is order-dependent across partitionings, integer sums
+    * are not, so the result is BIT-EXACT on any cluster layout and
+    * DuckDB replays it with 5 unrolled CTEs. Shape per iteration: one
+    * hash-join edges⋈ranks (src), one aggregate on dst, one left join
+    * back to nodes — at 100 TB the edge list partitions by src and the
+    * per-iteration shuffles carry 16-byte (node, rank) pairs only.
+    * Edges/degrees are lazily checkpointed once (q48's discipline) so
+    * the 5 rounds and the bucketed edge build don't replan into one
+    * mega-stage; isolated parts (single-line orders only) settle at
+    * the 0.15 floor like every dangling node. */
+  def pagerankFixedPoint(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = colocatedPairs(spark, dir).select(col("p1"), col("p2")).distinct()
+    val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint(false) // materialized once, read by all 5 rounds
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = bucketedLineitem(spark, dir)
+      .select(col("l_partkey").as("node")).distinct()
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 5) {
+      val sums = edges
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes.join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          expr("150000 + (17 * coalesce(s, 0)) div 20").as("r"))
+    }
+    r.orderBy(col("node"))
+  }
+
+  /** 5 unrolled iterations in DuckDB; `//` and `div` agree on the
+    * non-negative fixed-point values, integer sums are order-free. */
+  val pagerankFixedPointOracle: String = {
+    val base =
+      """WITH p AS (
+        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT p1 AS src, p2 AS dst FROM p
+        |      UNION ALL SELECT p2, p1 FROM p),
+        |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |n AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(150000 + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst, sum(r${i - 1}.r // dg.deg) AS s
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |           JOIN dg ON e.src = dg.src
+         |    GROUP BY 1) c ON n.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT node, r FROM r5 ORDER BY node"
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_basket_pairs" -> ((s, d) => basketPairs(s, d)),
+    "q122_pagerank" -> ((s, d) => pagerankFixedPoint(s, d)),
     "q1_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
     "q2_star_revenue" -> ((s, d) => starRevenue(s, d)),
     "q3_order_priority" -> ((s, d) => orderPriorityStats(s, d)),
@@ -471,6 +609,8 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q121_basket_pairs" -> basketPairsOracle,
+    "q122_pagerank" -> pagerankFixedPointOracle,
     "q1_pricing_summary" -> pricingSummaryOracle,
     "q2_star_revenue" -> starRevenueOracle,
     "q3_order_priority" -> orderPriorityStatsOracle,
