@@ -32,7 +32,7 @@ import graft.core.Tables
 object RungAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val known = Set("asof", "chunk", "srp", "lakes", "blobs")
+    val known = Set("asof", "chunk", "srp", "lakes", "blobs", "buckets")
     val modes = if (args.length > 1) args.drop(1).toSet else known
     require(modes.subsetOf(known),
       s"unknown mode(s) ${(modes -- known).mkString(", ")} — " +
@@ -53,6 +53,7 @@ object RungAudit {
     if (modes("srp")) srp(spark, sfDir, report)
     if (modes("lakes")) lakes(spark, sfDir, report)
     if (modes("blobs")) blobs(spark, sfDir, report)
+    if (modes("buckets")) buckets(spark, sfDir, report)
     spark.stop()
     if (failed) sys.exit(1)
   }
@@ -264,5 +265,31 @@ object RungAudit {
         f"files=${fs.length} parts=$parts target=$target " +
           f"bytes=${fs.map(_.length()).sum / (1024 * 1024)}MiB")
     }
+  }
+
+  /** Bucketed-table read-path probe (q121/q122's co-location artifact):
+    * at the rung, the pair expansion's merge join must STILL run with
+    * zero exchange below it (co-location is only worth staging if it
+    * holds at scale), and the bucket layout must be the declared 8
+    * files — the write-side parallelism knob, like jsonlzst's frames. */
+  private def buckets(spark: SparkSession, sfDir: String,
+                      report: (String, Boolean, String) => Unit): Unit = {
+    val out = SparkEntry.queries("q121_basket_pairs")(spark, sfDir)
+    // execute THIS QueryExecution so AQE finalizes before the plan read
+    val rows = out.queryExecution.executedPlan.execute().count()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val idx = plan.indexOf("SortMergeJoin")
+    val shuffleFree = idx >= 0 && !plan.substring(idx).contains("Exchange")
+    val sfName = new java.io.File(sfDir).getName.replace('.', '_')
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val tblDir = wh.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(s"lineitem_bkt_${sfName}_"))
+      .sortBy(_.lastModified()).lastOption
+      .getOrElse(sys.error(s"bucketed table lineitem_bkt_${sfName}_* not staged"))
+    val bucketFiles = tblDir.listFiles().count(_.getName.endsWith(".parquet"))
+    report("bucket_lineitem", shuffleFree && bucketFiles == 8,
+      f"pairs=$rows bucketFiles=$bucketFiles shuffleFreeJoin=$shuffleFree")
   }
 }

@@ -491,6 +491,11 @@ object RelationalQueries {
       if (wh.exists()) rm(wh)
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey"))
+        // align write tasks to buckets (same Murmur3 pmod the bucketizer
+        // uses): exactly ONE file per bucket, so the sorted-bucket scan
+        // serves the merge join without a re-sort; at 100 TB the bucket
+        // count is the scaling knob (thousands), 8 matches this corpus
+        .repartition(8, col("l_orderkey"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey", "l_partkey")
         .saveAsTable(tbl)
     }
