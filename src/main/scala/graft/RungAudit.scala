@@ -32,7 +32,7 @@ import graft.core.Tables
 object RungAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val known = Set("asof", "chunk", "srp", "lakes", "blobs", "buckets")
+    val known = Set("asof", "chunk", "srp", "lakes", "blobs", "buckets", "gc")
     val modes = if (args.length > 1) args.drop(1).toSet else known
     require(modes.subsetOf(known),
       s"unknown mode(s) ${(modes -- known).mkString(", ")} — " +
@@ -54,6 +54,7 @@ object RungAudit {
     if (modes("lakes")) lakes(spark, sfDir, report)
     if (modes("blobs")) blobs(spark, sfDir, report)
     if (modes("buckets")) buckets(spark, sfDir, report)
+    if (modes("gc")) gc(spark, sfDir, report)
     spark.stop()
     if (failed) sys.exit(1)
   }
@@ -245,7 +246,7 @@ object RungAudit {
     }
     val sfName = new java.io.File(sfDir).getName
     val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
-    for (fmt <- Seq("jpg", "pngmut", "jsonlzst")) {
+    for (fmt <- Seq("jpg2", "pngmut", "jsonlzst")) {
       // newest generation by mtime — a regenerated source parquet leaves
       // the stale content-addressed lake behind, and name order is
       // arbitrary hash order; the ensure-step above staged the live one
@@ -281,15 +282,86 @@ object RungAudit {
       .split("== Initial Plan ==").head
     val idx = plan.indexOf("SortMergeJoin")
     val shuffleFree = idx >= 0 && !plan.substring(idx).contains("Exchange")
-    val sfName = new java.io.File(sfDir).getName.replace('.', '_')
+    // resolve the EXACT fingerprinted table the query read (shared name
+    // helper — never a stale same-prefix sibling, ADVICE r15)
+    val tbl = graft.queries.RelationalQueries.bucketedTableName(sfDir)
     val wh = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
-    val tblDir = wh.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith(s"lineitem_bkt_${sfName}_"))
-      .sortBy(_.lastModified()).lastOption
-      .getOrElse(sys.error(s"bucketed table lineitem_bkt_${sfName}_* not staged"))
+    val tblDir = new java.io.File(wh, tbl)
+    require(tblDir.isDirectory, s"bucketed table $tbl not staged")
     val bucketFiles = tblDir.listFiles().count(_.getName.endsWith(".parquet"))
     report("bucket_lineitem", shuffleFree && bucketFiles == 8,
-      f"pairs=$rows bucketFiles=$bucketFiles shuffleFreeJoin=$shuffleFree")
+      f"pairs=$rows bucketFiles=$bucketFiles shuffleFreeJoin=$shuffleFree tbl=$tbl")
+
+    // q122 probe (VERDICT r15 task 6): the five PageRank iterations must
+    // reuse the checkpointed src-partitioned edge layout — exchange count
+    // in the final plan stays CONSTANT per iteration (rank-side shuffle +
+    // dst aggregate, never an edge re-shuffle), and the measured shuffle
+    // volume is proportional to (node, rank) pairs, not 5× the edge list.
+    val sc = spark.sparkContext
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    val pr = SparkEntry.queries("q122_pagerank")(spark, sfDir)
+    val nNodes = pr.queryExecution.executedPlan.execute().count()
+    Thread.sleep(2000) // drain the async listener bus before reading totals
+    sc.removeSparkListener(listener)
+    val prPlan = pr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nExchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(prPlan).length
+    // budget: 2 per iteration (rank join + dst agg) + edge/deg/node
+    // one-time materialization + the final orderBy range exchange
+    val exchangeOk = nExchanges <= 2 * 5 + 6
+    // shuffle volume bound: one-time edge repartition + 5 × two rounds of
+    // 16-byte (node/dst, long) rows, with 4× serialization slack
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val nEdges = 2L * li.as("x")
+      .join(li.as("y"),
+        expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+      .select(col("x.l_partkey"), col("y.l_partkey")).distinct().count()
+    val bound = (nEdges * 24 + 5L * 2 * nNodes * 24) * 4
+    val volumeOk = shuffleWrite.get() < bound
+    report("bucket_q122_iterations", exchangeOk && volumeOk,
+      f"nodes=$nNodes edges<=$nEdges exchanges=$nExchanges (<=16) " +
+        f"shuffleMiB=${shuffleWrite.get() / (1024 * 1024)} " +
+        f"boundMiB=${bound / (1024 * 1024)} recs=${shuffleRecs.get()}")
+  }
+
+  /** Staging-GC probe (VERDICT r15 task 4): after the bucketed table and
+    * a blob lake are (re)staged, each family must hold exactly ONE live
+    * artifact — old-fingerprint generations are reaped at staging time —
+    * and the sweep stats report the bytes reclaimed this run. */
+  private def gc(spark: SparkSession, sfDir: String,
+                 report: (String, Boolean, String) => Unit): Unit = {
+    // touch the two staging families this process exercises
+    SparkEntry.queries("q121_basket_pairs")(spark, sfDir).count(): Unit
+    val sfName = new java.io.File(sfDir).getName
+    val sfTbl = sfName.replace('.', '_')
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val bktGens = Option(wh.listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.startsWith(s"lineitem_bkt_${sfTbl}_") &&
+        !f.getName.startsWith("."))
+    val target = new java.io.File("/root/repo/target")
+    val families = Option(target.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith("blobs_") && n.contains(s"_${sfName}_"))
+      .groupBy(_.split(s"_${sfName}_").head)
+    val multi = families.filter(_._2.length > 1)
+    val (gcDirs, gcBytes) = graft.core.Staging.sweepStats
+    report("staging_gc", bktGens == 1 && multi.isEmpty,
+      f"bucketGens=$bktGens blobFamilies=${families.size} " +
+        f"multiGenFamilies=${multi.keys.mkString(",")} " +
+        f"reclaimedDirs=$gcDirs reclaimedMiB=${gcBytes / (1024 * 1024)}")
   }
 }

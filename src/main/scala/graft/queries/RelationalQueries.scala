@@ -469,35 +469,60 @@ object RelationalQueries {
   /** lineitem staged ONCE per corpus fingerprint as a metastore table
     * bucketed+sorted on l_orderkey — the co-location layout q121's pair
     * expansion and q122's edge build both read shuffle-free. */
+  /** Exact fingerprinted name of the bucketed-lineitem table for a
+    * corpus dir — shared with RungAudit's buckets probe so the audit
+    * resolves the SAME artifact the query read, never a stale sibling
+    * (ADVICE r15). */
+  private[graft] def bucketedTableName(dir: String): String =
+    s"lineitem_bkt_${new java.io.File(dir).getName.replace('.', '_')}_" +
+      graft.core.Staging.hexFingerprint(new java.io.File(s"$dir/lineitem.parquet"))
+
   private def bucketedLineitem(spark: SparkSession, dir: String): DataFrame = {
-    val src = new java.io.File(s"$dir/lineitem.parquet")
-    def fp(f: java.io.File): Long =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
-          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fp(c))
-      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
-    val tbl = s"lineitem_bkt_${new java.io.File(dir).getName.replace('.', '_')}_" +
-      java.lang.Long.toHexString(fp(src))
-    if (!spark.catalog.tableExists(tbl)) {
-      // a NEW session's in-memory catalog starts empty, but the managed
-      // location from a prior session may still exist — saveAsTable
-      // refuses an orphaned location, so clear it first
-      val wh = new java.io.File(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
+    import graft.core.Staging
+    val tbl = bucketedTableName(dir)
+    if (!spark.catalog.tableExists(tbl)) synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        val whRoot = new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        val loc = new java.io.File(whRoot, tbl)
+        if (!loc.exists()) {
+          // ATOMIC publish (ADVICE r15): never rm+rewrite the final path —
+          // a concurrent session (bench+verify, parallel suites) could be
+          // mid-read or mid-write there. Write the bucketed files through
+          // a throwaway EXTERNAL table at a dot-prefixed temp location,
+          // drop the metadata (external drop keeps files), then rename the
+          // dir into place; a lost race keeps the winner's copy.
+          val uuid = java.util.UUID.randomUUID().toString.take(8)
+          val tmpTbl = s"${tbl}_stg_$uuid"
+          val tmpLoc = new java.io.File(whRoot, s".${tbl}_tmp_$uuid")
+          Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_partkey"))
+            // align write tasks to buckets (same Murmur3 pmod the bucketizer
+            // uses): exactly ONE file per bucket, so the sorted-bucket scan
+            // serves the merge join without a re-sort; at 100 TB the bucket
+            // count is the scaling knob (thousands), 8 matches this corpus
+            .repartition(8, col("l_orderkey"))
+            .write.option("path", tmpLoc.getAbsolutePath)
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey", "l_partkey")
+            .saveAsTable(tmpTbl)
+          spark.sql(s"DROP TABLE `$tmpTbl`")
+          Staging.publish(tmpLoc, loc)
+        }
+        // register an external bucketed table over the published location;
+        // the bucket spec in the catalog is what lets FileSourceStrategy
+        // serve the merge join from the sorted buckets with zero exchange
+        spark.sql(
+          s"""CREATE TABLE `$tbl` (l_orderkey BIGINT, l_partkey BIGINT)
+             |USING PARQUET
+             |CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey, l_partkey)
+             |INTO 8 BUCKETS
+             |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+        // reap old-fingerprint generations (regenerated corpus) and
+        // orphaned temp dirs — one live artifact per (sf) family
+        val (d, b) = Staging.sweepStale(whRoot,
+          s"lineitem_bkt_${new java.io.File(dir).getName.replace('.', '_')}_", tbl)
+        Staging.recordSweep(d, b)
       }
-      if (wh.exists()) rm(wh)
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-        // align write tasks to buckets (same Murmur3 pmod the bucketizer
-        // uses): exactly ONE file per bucket, so the sorted-bucket scan
-        // serves the merge join without a re-sort; at 100 TB the bucket
-        // count is the scaling knob (thousands), 8 matches this corpus
-        .repartition(8, col("l_orderkey"))
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey", "l_partkey")
-        .saveAsTable(tbl)
     }
     spark.table(tbl)
   }
@@ -546,20 +571,36 @@ object RelationalQueries {
     * the 0.15 floor like every dangling node. */
   def pagerankFixedPoint(spark: SparkSession, dir: String): DataFrame = {
     val pairs = colocatedPairs(spark, dir).select(col("p1"), col("p2")).distinct()
+    // Edges are REPARTITIONED BY src before the one-time checkpoint:
+    // localCheckpoint preserves outputPartitioning, so every iteration's
+    // join on src reuses the edge layout with ZERO edge-side exchange —
+    // the per-iteration shuffles carry only the (node, rank) pairs and
+    // the (dst, partial-sum) aggregate, 16-byte rows both (RungAudit
+    // `buckets` probes this at the rung: exchange count stays constant
+    // per iteration and shuffle bytes ∝ nodes, not edges).
     val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint(false) // materialized once, read by all 5 rounds
+    // derived from the src-partitioned edges → aggregates map-side local
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // distinct() leaves nodes hash-partitioned on node; the checkpoint
+    // pins that layout so the per-iteration left join never re-shuffles it
     val nodes = bucketedLineitem(spark, dir)
       .select(col("l_partkey").as("node")).distinct()
+      .localCheckpoint(false)
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to 5) {
       val sums = edges
-        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        // shuffled-hash, not SMJ: all sides are already hash-partitioned
+        // on src, so SMJ's per-partition sorts are pure waste (round-15
+        // q116 lesson); build side is the 16-byte rank table
+        .join(r.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      r = nodes.join(sums.withColumnRenamed("dst", "node").hint("shuffle_hash"),
+          Seq("node"), "left")
         .select(col("node"),
           expr("150000 + (17 * coalesce(s, 0)) div 20").as("r"))
     }

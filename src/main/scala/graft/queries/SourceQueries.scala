@@ -309,36 +309,36 @@ object SourceQueries {
     * published with an atomic rename; if a concurrent run won the rename,
     * theirs is used. On a cluster the blob dir would be DFS; local-mode
     * it's a shared local dir. */
+  /** The published lake root for (corpus, fmt) WITHOUT populating it —
+    * the exact path stagedBlobs would return. Audits and specs resolve
+    * artifacts through this instead of prefix+mtime scans (ADVICE r15:
+    * CsvQuarantineSpec could pick up a stale generation). */
+  private[graft] def stagedBlobRoot(dir: String, fmt: String,
+      srcTable: String = "documents"): java.io.File = {
+    val sfName = new java.io.File(dir).getName
+    val srcKey = graft.core.Staging.hexFingerprint(
+      new java.io.File(s"$dir/$srcTable.parquet"))
+    new java.io.File(s"/root/repo/target/blobs_${fmt}_${sfName}_$srcKey")
+  }
+
   private[queries] def stagedBlobs(dir: String, fmt: String, srcTable: String = "documents")(
       populate: java.io.File => Unit): java.io.File = {
+    import graft.core.Staging
     val sfName = new java.io.File(dir).getName
-    val src = new java.io.File(s"$dir/$srcTable.parquet")
-    def fingerprint(f: java.io.File): Long =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
-          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L + fingerprint(c))
-      else f.getName.hashCode.toLong * 31L + f.length() * 1000003L + f.lastModified()
-    val srcKey = java.lang.Long.toHexString(fingerprint(src))
-    val blobRoot = new java.io.File(s"/root/repo/target/blobs_${fmt}_${sfName}_$srcKey")
+    val blobRoot = stagedBlobRoot(dir, fmt, srcTable)
     if (!blobRoot.exists()) {
       val staging = new java.io.File(blobRoot.getParentFile,
         s".blobs_${fmt}_${sfName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       staging.mkdirs()
       populate(staging)
-      if (!staging.renameTo(blobRoot)) {
-        // Lost the publish race (or the rename failed): reclaim the
-        // fully-populated staging dir so repeated races don't accumulate
-        // orphaned blob-set copies under target/.
-        def rm(f: java.io.File): Unit = {
-          // listFiles() returns null if the dir vanished mid-walk — exactly
-          // the concurrent-racer scenario this cleanup exists for
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-          f.delete()
-        }
-        rm(staging)
-        if (!blobRoot.exists()) sys.error(s"could not publish blob dir $blobRoot")
-      }
+      // atomic publish; on a lost race the winner's artifact is kept
+      Staging.publish(staging, blobRoot)
+      // reap old-fingerprint generations of this family (regenerated
+      // corpus) and any orphaned tmp dirs from crashed runs — exactly
+      // one live artifact per (fmt, sf) family survives
+      val (d, b) = Staging.sweepStale(
+        blobRoot.getParentFile, s"blobs_${fmt}_${sfName}_", blobRoot.getName)
+      Staging.recordSweep(d, b)
     }
     blobRoot
   }
@@ -1141,7 +1141,12 @@ object SourceQueries {
     * the 10-column metadata rows, never image bytes. */
   def jpegMetadataScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobRoot = stagedBlobs(dir, "jpg") { staging =>
+    // fmt "jpg2": codec-VERSION tag folded into the lake family name
+    // (ADVICE r15) — the UTF-8 COM/Exif encoder change is not visible to
+    // the source-parquet fingerprint, so the family name itself must
+    // change whenever codec behavior does, or a stale lake staged by the
+    // old encoder silently feeds the new decoder
+    val blobRoot = stagedBlobs(dir, "jpg2") { staging =>
       Tables.documents(spark, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"))

@@ -308,10 +308,10 @@ object StreamQueries {
     val streamPath =
       if (src.isDirectory) src.getAbsolutePath
       else {
-        val key = java.lang.Long.toHexString(
-          src.getName.hashCode.toLong * 31L + src.length() * 1000003L + src.lastModified())
+        val key = graft.core.Staging.hexFingerprint(src)
+        val sfName = new java.io.File(dir).getName
         val staged = new java.io.File(
-          s"/root/repo/target/stream_events_${new java.io.File(dir).getName}_$key")
+          s"/root/repo/target/stream_events_${sfName}_$key")
         val link = new java.io.File(staged, "events.parquet")
         if (!link.isFile) {
           staged.mkdirs()
@@ -331,6 +331,11 @@ object StreamQueries {
                 tmp.delete() // a concurrent run published first
               }
           }
+          // reap old-fingerprint stagings of this family (VERDICT r15
+          // task 4) — one live staged dir per (sf) family
+          val (d, b) = graft.core.Staging.sweepStale(
+            staged.getParentFile, s"stream_events_${sfName}_", staged.getName)
+          graft.core.Staging.recordSweep(d, b)
         }
         staged.getAbsolutePath
       }

@@ -149,7 +149,11 @@ object Jpeg {
     val descBytes = description.map(d => (d + "\u0000").getBytes(UTF_8))
     val dataOff = 8 + 2 + 12 * n + 4  // value area after the next-IFD link
     descBytes.foreach { db =>
-      w16(0x010e); w16(2)             // ASCII
+      // TIFF 6.0 type 2 (ASCII) is 7-bit only; UTF-8 payloads are
+      // declared UNDEFINED (type 7), the Exif escape hatch real writers
+      // use — the ASCII-typed-but-UTF-8 shape was ADVICE r15's flag
+      val dtyp = if (db.forall(x => (x & 0xff) < 0x80)) 2 else 7
+      w16(0x010e); w16(dtyp)          // ASCII or UNDEFINED
       w32(db.length)
       // TIFF 6.0: values of <= 4 bytes sit INLINE in the value field
       // (left-justified, zero-padded); only longer values go via offset
@@ -275,7 +279,8 @@ object Jpeg {
           require(o >= 1 && o <= 8, s"corrupt Exif: orientation $o out of range")
           orientation = Some(o)
         case 0x010e =>
-          require(typ == 2, s"corrupt Exif: ImageDescription type $typ")
+          // type 2 = ASCII; type 7 (UNDEFINED) carries UTF-8 in the wild
+          require(typ == 2 || typ == 7, s"corrupt Exif: ImageDescription type $typ")
           val off = if (count <= 4) e + 8 else r32(e + 8)
           require(t + off + count <= seg.length,
             "corrupt Exif: ImageDescription value overruns segment")

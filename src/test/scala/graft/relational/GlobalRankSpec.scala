@@ -41,4 +41,26 @@ class GlobalRankSpec extends SparkSuite {
     assert(rankWindows.nonEmpty && plan.contains("windowspecdefinition(pid"),
       s"row_number must run per range partition:\n$plan")
   }
+
+  test("offsets consumer REUSES the range exchange; documents scanned once") {
+    // ADVICE r15: the single-scan cost claim rested on an unasserted
+    // ReusedExchange — if reuse breaks, the range sampler re-derives
+    // boundaries for a second scan and correctness of the pid offsets
+    // becomes implicit. Pin it like ImageNeardupSpec does.
+    val out = SparkEntry.queries("q120_global_rank")(spark, sfDir)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // AQE prints a reused stage's subtree verbatim (same ids), so count
+    // PHYSICAL exchanges by distinct plan_id, and detect reuse as a
+    // ShuffleQueryStage id appearing under two parents
+    val dataRangeIds = "Exchange rangepartitioning\\(n_chars[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    val stageIds = "ShuffleQueryStage (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+    val reused = plan.contains("ReusedExchange") ||
+      stageIds.distinct.length < stageIds.length
+    assert(dataRangeIds.nonEmpty && dataRangeIds.distinct.length == 1 && reused,
+      s"both consumers must share ONE physical range exchange " +
+        s"(dataRangeIds=$dataRangeIds reused=$reused):\n$plan")
+  }
 }

@@ -13,15 +13,13 @@ class CsvQuarantineSpec extends SparkSuite {
   private val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
     "event_type STRING, value DOUBLE, props STRING, _quarantine STRING"
 
-  /** Stage the lake via the query itself, then return its path
-    * (stagedBlobs is private[queries]; the staging root's naming
-    * convention blobs_<fmt>_<sf>_<fingerprint> is stable). */
+  /** Stage the lake via the query itself, then resolve its EXACT
+    * fingerprinted root via the same helper stagedBlobs uses — never a
+    * prefix+mtime scan that could pick a stale generation (ADVICE r15). */
   private lazy val lakePath: String = {
     SparkEntry.queries("q119_csv_quarantine")(spark, sfDir).count()
-    val tag = new java.io.File(s"/root/repo/target")
-      .listFiles().filter(_.getName.startsWith("blobs_csvq_sf0.001"))
-      .maxBy(_.lastModified())
-    new java.io.File(tag, "events_csv").getAbsolutePath
+    val root = graft.queries.SourceQueries.stagedBlobRoot(sfDir, "csvq", srcTable = "events")
+    new java.io.File(root, "events_csv").getAbsolutePath
   }
 
   test("quarantined rows carry the raw line; value parses null") {
