@@ -343,6 +343,16 @@ object Bench {
       case _           => (draws.zipWithIndex.minBy(_._1._1)._2, "min_total_fallback")
     }
 
+  /** Round-16 (VERDICT r15 task 5): the draws object every output line —
+    * stdout included, which is what the driver snapshots as
+    * BENCH_r{N}.json — carries an explicit `"record":false` whenever the
+    * accepted draw is a contaminated fallback, so a fallback run can
+    * never masquerade as the round's record: any reader (the judge's
+    * grader included) sees non-record status without having to know the
+    * acceptance slugs. */
+  private[graft] def drawsJson(n: Int, slug: String): String =
+    s""","draws":{"n":$n,"accepted":"$slug","record":${slug == "clean"}}"""
+
   /** Hard stdout budget: the driver captures the LAST 2,000 chars of
     * stdout, so a longer line loses its head — the headline total — which
     * is exactly how BENCH_r10.json ended up `parsed: null`. 100 chars of
@@ -468,7 +478,7 @@ object Bench {
         s"[bench] all $maxDraws draws contaminated — official record is the " +
           "min-total draw, still guard-flagged")
     val (total, results, errors, guard) = draws(drawIdx)
-    val drawsJson = s""","draws":{"n":${draws.length},"accepted":"$drawSlug"}"""
+    val drawsObj = drawsJson(draws.length, drawSlug)
     val local4 =
       if (cpus != "4") {
         // the local[4] leg is the BASELINE.md pass bar: its errors must
@@ -485,7 +495,7 @@ object Bench {
     }
     val fileLine =
       s"""{"metric":"total","value":$total,"unit":"sec","errors":${jsonArr(errors)},""" +
-        s""""sf":"$sfDir","cpus":"$cpus","reps":$reps$drawsJson${guard.fileExtra}$fileL4,"queries":$fileQs}"""
+        s""""sf":"$sfDir","cpus":"$cpus","reps":$reps$drawsObj${guard.fileExtra}$fileL4,"queries":$fileQs}"""
     try {
       java.nio.file.Files.writeString(localPath, fileLine + "\n")
       // the clean baseline is refreshed only under the STRICT eligibility
@@ -493,6 +503,6 @@ object Bench {
       if (guard.cleanEligible) java.nio.file.Files.writeString(cleanPath, fileLine + "\n")
     } catch { case _: Throwable => () } // read-only cwd must not kill the bench
     println(renderStdout(total, results, errors, sfDir, cpus, reps,
-      drawsJson + guard.stdoutExtra, local4))
+      drawsObj + guard.stdoutExtra, local4))
   }
 }

@@ -288,22 +288,21 @@ object StreamQueries {
     * on user_id; the memory sink holds 2 rows/user on the DRIVER — an
     * oracle-harness cost, not the operator's (a production run sinks
     * to a lake table). */
-  def twsSessionState(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  /** The events table as a file-source STREAM with a normalized
+    * TIMESTAMP `ts` — shared by every real-streaming oracle query (q113,
+    * q123). FileStreamSource requires a DIRECTORY basePath ("Option
+    * 'basePath' must be a directory"), but the driver corpus's
+    * events.parquet is a single FILE. Stage it behind a fingerprint-keyed
+    * dir (hard link — zero copy; fallback to copy across filesystems),
+    * the stagedBlobs discipline: a regenerated source misses the key, a
+    * re-run hits it. A directory-shaped events.parquet (other writers)
+    * streams directly. The ts handling mirrors Tables.events'
+    * footer-adaptive logic (driver corpus is TIMESTAMP(NANOS) parquet →
+    * LONG under the legacy conf; other writers surface TIMESTAMP/_NTZ). */
+  private[graft] def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    import graft.streaming.{Sessionize, SessionizeTws}
-    import spark.implicits._
-    // mirror Tables.events' footer-adaptive ts handling for the stream
-    // (the driver corpus is TIMESTAMP(NANOS) parquet → LONG under the
-    // legacy conf; other writers surface TIMESTAMP/_NTZ)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = Tables.load(spark, dir, "events")
-    // FileStreamSource requires a DIRECTORY basePath ("Option 'basePath'
-    // must be a directory"), but the driver corpus's events.parquet is a
-    // single FILE. Stage it behind a fingerprint-keyed dir (hard link —
-    // zero copy; fallback to copy across filesystems), the stagedBlobs
-    // discipline: a regenerated source misses the key, a re-run hits it.
-    // A directory-shaped events.parquet (other writers) streams directly.
     val src = new java.io.File(s"$dir/events.parquet")
     val streamPath =
       if (src.isDirectory) src.getAbsolutePath
@@ -340,11 +339,33 @@ object StreamQueries {
         staged.getAbsolutePath
       }
     val rawStream = spark.readStream.schema(raw.schema).parquet(streamPath)
-    val tsed = raw.schema("ts").dataType match {
+    raw.schema("ts").dataType match {
       case LongType         => rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => rawStream.withColumn("ts", col("ts").cast("timestamp"))
       case _                => rawStream
     }
+  }
+
+  /** Run `body` with the RocksDB state-store provider installed,
+    * restoring the previous provider conf afterwards. */
+  private[graft] def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  def twsSessionState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.LongType
+    import graft.streaming.{Sessionize, SessionizeTws}
+    import spark.implicits._
+    val tsed = eventsFileStream(spark, dir)
     val evs = tsed.select(
         col("ts"), col("user_id"),
         when(col("event_type") === "signup", "reset")
@@ -352,21 +373,13 @@ object StreamQueries {
         round(col("value") * 100).as("value"))
       .withWatermark("ts", "0 seconds")
       .as[Sessionize.Ev]
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // unique per invocation: bench reps re-run the query in one session
     val sinkName = s"q113_tws_${System.nanoTime()}"
-    try {
+    withRocksDb(spark) {
       SessionizeTws.updates(evs)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     val sink = spark.table(sinkName)
     // Materialize off the memory sink, then DROP it: the sink rows are
@@ -420,7 +433,60 @@ object StreamQueries {
       |SELECT user_id, n_events, total_cents, TRUE AS closed FROM agg, wm WHERE last_ms + 600000 <= w
       |ORDER BY user_id, closed""".stripMargin
 
+  // --- q123: stream-stream interval join on the RocksDB provider ----------
+  /** The q55 purchase-attribution interval join run AS A STREAM (VERDICT
+    * r15 task 7): two branches of the staged events file stream —
+    * views and purchases — meet in a genuine
+    * StreamingSymmetricHashJoin (watermarked both sides, state evicted
+    * by the 30 min watermark + 10 min join window) on the RocksDB
+    * state-store provider, the same provider q113 exercises for
+    * transformWithState. The emitted pairs are then rolled up per
+    * purchase hour EXACTLY like the batch q55, so the same DuckDB
+    * oracle family checks the full streaming path: source staging,
+    * dual watermark propagation, symmetric-hash state, append-mode
+    * emission. An inner interval join's pair set is
+    * batch-deterministic under AvailableNow (matches emit when both
+    * sides have arrived; eviction only drops provably-unmatchable
+    * state), so the aggregate is oracle-safe regardless of batching.
+    *
+    * Scale note: state is bounded by watermark+window per user key and
+    * partitioned by user_id across executors (one exchange per side);
+    * RocksDB keeps it off-heap/SSD. The memory sink holds only matched
+    * PAIRS (not the firehose) — an oracle-harness cost, as in q113. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tsed = eventsFileStream(spark, dir)
+    val joined = EventStreams.viewToPurchase(
+      tsed.filter(col("event_type") === "view"),
+      tsed.filter(col("event_type") === "purchase"))
+    val sinkName = s"q123_ssj_${System.nanoTime()}"
+    withRocksDb(spark) {
+      joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    val sink = spark.table(sinkName)
+    // roll up the emitted pairs exactly like batch q55; materialize off
+    // the driver-resident sink, then drop it (bench-rep hygiene, q113's
+    // discipline)
+    val rows = sink
+      .groupBy(unix_micros(date_trunc("hour", col("p_ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_converting_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_us"))
+      .collect().toSeq
+    spark.catalog.dropTempView(sinkName)
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("hour_us", LongType), StructField("n_pairs", LongType),
+        StructField("n_converting_purchases", LongType),
+        StructField("n_users", LongType))))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d)),
     "q113_tws_session" -> ((s, d) => twsSessionState(s, d)),
     "q108_stream_distinct_kmv" -> ((s, d) => windowedDistinctUsers(s, d)),
     "q57_stream_enrich" -> ((s, d) => streamEnrich(s, d)),
@@ -435,6 +501,9 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the streaming run must reproduce the BATCH interval join's answer —
+    // same oracle as q55 (that is the point: stream ≡ batch ≡ DuckDB)
+    "q123_stream_interval_join" -> intervalJoinOracle,
     "q113_tws_session" -> twsSessionStateOracle,
     "q108_stream_distinct_kmv" -> windowedDistinctUsersOracle,
     "q57_stream_enrich" -> streamEnrichOracle,

@@ -275,4 +275,16 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.selectDraw(Seq((109.45, false), (98.2, false), (103.0, false)))
       == (1, "min_total_fallback"))
   }
+
+  test("fallback draws are stamped record:false on EVERY output line (r15 task 5)") {
+    // the r15 failure: the end-of-round stdout (snapshotted verbatim as
+    // BENCH_r15.json) carried accepted:"min_total_fallback" but nothing
+    // machine-readable saying "not a record" — the contaminated number
+    // shipped as the round's record. The draws object now carries an
+    // explicit record flag, same string on stdout and in BENCH_LOCAL.json.
+    assert(Bench.drawsJson(3, "min_total_fallback")
+      == ""","draws":{"n":3,"accepted":"min_total_fallback","record":false}""")
+    assert(Bench.drawsJson(1, "clean")
+      == ""","draws":{"n":1,"accepted":"clean","record":true}""")
+  }
 }
