@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Caching._
 
 /** Bounded candidate generation for blocking-based near-dup detection.
   *
@@ -86,10 +87,9 @@ object Blocking {
       .select(col(blockCol).cast("string").as("_blk"), col("_s"), col("_g"),
         struct(payload.map(col): _*).as("_row"))
       // both replication sides read this subtree; without the cache the
-      // caller's (often expensive) feature columns compute twice. Query-
-      // internal caches are dropped by the harness per query/rep;
-      // MEMORY_AND_DISK means worst case is spill, never OOM.
-      .cache()
+      // caller's (often expensive) feature columns compute twice
+      // (session-lifetime contract: see graft.core.Caching)
+      .planCache()
     val aSide = based
       .withColumn("_j", explode(sequence(col("_g"), col("_s") - 1)))
       .select(concat(col("_blk"), lit(SaltSep), col("_g"), lit(":"), col("_j")).as("_task"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
 import graft.core.Tables
 
 /** Training-corpus hygiene operators a 100 TB pipeline runs before any
@@ -426,10 +427,8 @@ object CurationQueries {
         s"cast(conv(substring(md5(cast(bg as binary)), 1, 15), 16, 10) as bigint) % $B"))
       .groupBy(col("doc_id"), col("source"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-      // lifetime contract: query-internal caches are dropped by the harness
-      // (Bench clears per rep, Verify per query via catalog.clearCache);
-      // MEMORY_AND_DISK default means worst case is spill, never OOM
-      .cache()
+      // session-lifetime contract: see graft.core.Caching
+      .planCache()
     // one aggregation pass builds BOTH models (raw + target) — raw/tgt as
     // separate scans would re-read the cached counts three times and nest
     // broadcasts; here totals derive from the 1024-row model table

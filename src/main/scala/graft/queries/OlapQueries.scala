@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
 import graft.core.Tables
 
 /** Additional OLAP breadth beyond the reference surface (SURVEY §2.4's
@@ -581,7 +582,9 @@ object OlapQueries {
       .groupBy(col("event_type"), col("bin"))
       .agg(sum(when(col("period") === "A", 1L).otherwise(0L)).as("na"),
         sum(when(col("period") === "B", 1L).otherwise(0L)).as("nb"))
-      .cache()
+      // three consumers below (totals, the bin spine, the left join);
+      // session-lifetime contract: see graft.core.Caching
+      .planCache()
     val totals = counts.groupBy(col("event_type"))
       .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     counts.select(col("event_type")).distinct()

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Sketches
+import graft.core.Caching._
 import graft.core.Tables
 import graft.functions.VectorFns
 
@@ -268,13 +269,13 @@ object PipelineQueries {
       .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
       .withColumn("sh", transform(shingleExpr("text"), x => xxhash64(x)))
       .drop("text")
-    val index = feat(d.select(col("doc_id"), col("text"))).cache()
+    val index = feat(d.select(col("doc_id"), col("text"))).planCache()
     val batch = feat(d.select((col("doc_id") + 1000000L).as("doc_id"),
       expr("""CASE doc_id % 3
               |WHEN 0 THEN text
               |WHEN 1 THEN substring(text, 1, CAST(n_chars * 9 DIV 10 AS INT))
               |ELSE substring(text, 1, CAST(n_chars DIV 5 AS INT)) END""".stripMargin).as("text")))
-      .cache()
+      .planCache()
     val exact = batch.join(index.select(col("fp"), col("doc_id").as("old_id")), Seq("fp"))
       .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_id"))
     val wBest = Window.partitionBy("doc_id").orderBy(desc("jaccard"), asc("old_id"))
@@ -360,7 +361,7 @@ object PipelineQueries {
       .withColumn("shh", expr("transform(sh, x -> xxhash64(x))"))
       .withColumn("bands", bandsOfUdf(col("sh")))
       .drop("text", "sh")
-      .cache()
+      .planCache()
     // Band-join rows carry (id, all 16 band hashes) — 136 bytes, never the
     // shingle payload. The 16-hash array buys exactly-once pair emission:
     // keep only the row from the lowest colliding band ("every band below
@@ -429,7 +430,7 @@ object PipelineQueries {
         expr(s"array_min(transform(gh, h -> (${A(i)} * h + ${B(i)}) % $P))"))
     }.drop("gh")
       .withColumn("mhs", expr((0 until 16).map(i => s"mh$i").mkString("array(", ",", ")")))
-      .cache()
+      .planCache()
     val bandStructs = (0 until 4).map(b =>
       s"struct($b as band, mh${4 * b} as h1, mh${4 * b + 1} as h2, mh${4 * b + 2} as h3, mh${4 * b + 3} as h4)")
       .mkString("array(", ",", ")")
@@ -513,7 +514,7 @@ object PipelineQueries {
       .withColumn("sh", shUdf(col("text")))
       .withColumn("bands", bandsOfUdf(col("sh")))
       .drop("text")
-      .cache()
+      .planCache()
     val exploded = c.select(col("doc_id"), col("sh"), explode(col("bands")).as("bucket"))
     val a = exploded.select(col("bucket"), col("doc_id").as("id1"), col("sh").as("sh1"))
     val b = exploded.select(col("bucket"), col("doc_id").as("id2"), col("sh").as("sh2"))
@@ -632,7 +633,7 @@ object PipelineQueries {
       // band self-join duplicates the whole subtree in the static
       // plan). The cached rows are 16 bytes/doc; the bench/verify
       // harnesses clearCache() between queries.
-      .cache()
+      .planCache()
     bandedLshPairs(c, widths = Seq.fill(4)(15), maxHamming = 15)
   }
 
@@ -835,7 +836,7 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
-      .cache()
+      .planCache()
     val centroids = centroidSeeds(e)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
     // assignment: argmax over the broadcast codebook as a max_by hash agg
@@ -850,7 +851,7 @@ object PipelineQueries {
       .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
     assignedIds.join(e, Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("n"), col("cell"))
-      .cache()
+      .planCache()
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -938,7 +939,7 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
-      .cache()
+      .planCache()
     // generic in dim: word w holds sign bits for coords [w*64, w*64+63]
     val packed = e.select(col("vec_id"), expr(
       """transform(sequence(0, int((size(v)-1) div 64)), w ->
@@ -1013,7 +1014,7 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
-      .cache()
+      .planCache()
     val centroids = centroidSeeds(e)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
     val assigned = e.crossJoin(broadcast(centroids))
@@ -1075,7 +1076,7 @@ object PipelineQueries {
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
       .withColumn("bands", bandsUdf(col("v")))
-      .cache()
+      .planCache()
     // candidate (query, cand) ids dedup BEFORE vectors join back: the
     // distinct shuffles bare long pairs, never 64-double payloads
     val exploded = e.select(col("vec_id"), explode(col("bands")).as("bucket"))
@@ -1128,7 +1129,7 @@ object PipelineQueries {
            |                     (x, wt) -> x * wt), 0L, (a, y) -> a + y) >= 0,
            |           shiftleft(1L, h), 0L))""".stripMargin))
       .drop("vq")
-      .cache()
+      .planCache()
     val exploded = e.select(col("vec_id"),
       explode(expr(
         "array(struct(0 as band, sig & 15 as bkey), struct(1 as band, shiftright(sig, 4) & 15 as bkey))"))
@@ -1207,14 +1208,14 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
-      .cache()
+      .planCache()
     // cache: the subvector explosion feeds init, every Lloyd round, the
     // encode pass, and the query tables — without it each training job
     // re-scans and re-normalizes the parquet source
     val sub = e.select(col("vec_id").as("id"),
       posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $dsub + 1, $dsub))"))
         .as(Seq("m", "sv")))
-      .cache()
+      .planCache()
     // deterministic seeding: subspace centroids = first K vectors by id
     val init = sub.filter(col("id") < K)
       .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
@@ -1273,7 +1274,7 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
-      .cache()
+      .planCache()
     // coarse codebook: bounded-stride seeds, same as q35 — unit vectors so
     // cosine is a bare dot against the broadcast centroid table
     val centroids = centroidSeeds(e)
@@ -1286,7 +1287,7 @@ object PipelineQueries {
     val sub = e.select(col("vec_id").as("id"),
       posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $dsub + 1, $dsub))"))
         .as(Seq("m", "sv")))
-      .cache()
+      .planCache()
     val init = sub.filter(col("id") < K)
       .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
     val cb = graft.vector.Pq.train(sub, init, iters = 3)
@@ -1351,6 +1352,9 @@ object PipelineQueries {
   private def pqIndexRoot(spark: SparkSession, dir: String): java.io.File =
     SourceQueries.stagedBlobs(dir, "pqidx", srcTable = "embeddings") { staging =>
       val M = 8; val K = 16; val dsub = 8
+      // everything here is fully materialized INSIDE the closure (three
+      // parquet writes), so these caches are properly SCOPED: unpersisted
+      // before return, nothing outlives the staging (Caching discipline)
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"),
           VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
@@ -1359,22 +1363,27 @@ object PipelineQueries {
         posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $dsub + 1, $dsub))"))
           .as(Seq("m", "sv")))
         .cache()
-      val init = sub.filter(col("id") < K)
-        .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
-      val cb = graft.vector.Pq.train(sub, init, iters = 3)
-      cb.coalesce(1).write.parquet(new java.io.File(staging, "codebook").getAbsolutePath)
-      val centroids = centroidSeeds(e)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      centroids.coalesce(1).write.parquet(new java.io.File(staging, "centroids").getAbsolutePath)
-      val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("cdot", VectorFns.dot(col("v"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(expr("max_by(cent_id, struct(cdot, -cent_id))").as("cell"))
-      graft.vector.Pq.encode(sub, cb)
-        .withColumnRenamed("id", "vec_id")
-        .join(assigned, Seq("vec_id"))
-        .write.partitionBy("cell")
-        .parquet(new java.io.File(staging, "invlists").getAbsolutePath)
+      try {
+        val init = sub.filter(col("id") < K)
+          .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+        val cb = graft.vector.Pq.train(sub, init, iters = 3)
+        cb.coalesce(1).write.parquet(new java.io.File(staging, "codebook").getAbsolutePath)
+        val centroids = centroidSeeds(e)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        centroids.coalesce(1).write.parquet(new java.io.File(staging, "centroids").getAbsolutePath)
+        val assigned = e.crossJoin(broadcast(centroids))
+          .withColumn("cdot", VectorFns.dot(col("v"), col("cv")))
+          .groupBy(col("vec_id"))
+          .agg(expr("max_by(cent_id, struct(cdot, -cent_id))").as("cell"))
+        graft.vector.Pq.encode(sub, cb)
+          .withColumnRenamed("id", "vec_id")
+          .join(assigned, Seq("vec_id"))
+          .write.partitionBy("cell")
+          .parquet(new java.io.File(staging, "invlists").getAbsolutePath)
+      } finally {
+        sub.unpersist(blocking = false)
+        e.unpersist(blocking = false): Unit
+      }
     }
 
   /** q38's serving path from the persisted index: read the codebook
@@ -1390,7 +1399,7 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
-      .cache()
+      .planCache()
     val cb = spark.read.parquet(s"$idx/codebook")
     val codes = spark.read.parquet(s"$idx/invlists").select(col("vec_id"), col("codes"))
     val qsub = e.filter(col("vec_id") < 3)
@@ -1436,7 +1445,7 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
-      .cache()
+      .planCache()
     val cb = spark.read.parquet(s"$idx/codebook")
     val invLists = spark.read.parquet(s"$idx/invlists")
     val centroids = spark.read.parquet(s"$idx/centroids")
@@ -1533,7 +1542,7 @@ object PipelineQueries {
     // output is tiny (k rows × 3 queries) but its DAG is the whole
     // index-build + scan — cache so the expensive part runs once, not
     // twice (harness contract: cleared per query/rep by Bench/Verify)
-    val ann = annRaw.cache()
+    val ann = annRaw.planCache()
     val exact = exactTopkGroundTruth(spark, dir)
     val exactTop1 = exact.filter(col("rank") === 1)
       .select(col("query_id"), col("vec_id").as("exact_top1"),
@@ -1603,7 +1612,7 @@ object PipelineQueries {
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("features", toUnitVec(col("v")))
       .select(col("vec_id"), col("features"))
-      .cache()
+      .planCache()
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
@@ -1757,7 +1766,7 @@ object PipelineQueries {
           |    i -> xxhash64(concat_ws(' ', slice(toks, i, 13))))
           |ELSE array() END""".stripMargin))
       .select(col("doc_id"), col("sphs"))
-      .cache()
+      .planCache()
     // (doc_id, h) pre-aggregate: within-doc repeats of a hot span collapse
     // here (partial agg map-side), so the semi join below probes one row
     // per (doc, span) instead of one per occurrence
@@ -1818,7 +1827,7 @@ object PipelineQueries {
           |    i -> xxhash64(concat_ws(' ', slice(toks, i, 13))))
           |ELSE array() END""".stripMargin))
       .select(col("doc_id"), col("toks"), col("sphs"))
-      .cache()
+      .planCache()
     val spans = c.select(col("doc_id"), posexplode(col("sphs")).as(Seq("pos", "h")))
     val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
     val dup = spans.join(freq.filter(col("cnt") > 1L), Seq("h"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
 import graft.core.Tables
 import graft.embed.HashEmbedder
 import graft.text.Chunker
@@ -752,7 +753,8 @@ object RagQueries {
         sha2(concat_ws(",", expr("transform(gaps, x -> cast(x as string))")), 256))
       // reused by both the top-50 stats branch and the final probe join —
       // uncached, the whole corpus explode + two shuffles would run twice
-      .cache()
+      // (session-lifetime contract: see graft.core.Caching)
+      .planCache()
     val df = postings.groupBy(col("term"))
       .agg(sum(col("seg_df")).as("df"), sum(col("seg_tf")).as("total_tf"),
         count(lit(1)).as("n_segments"))

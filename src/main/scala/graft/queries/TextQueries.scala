@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
 import graft.core.Tables
 
 /** Text-analysis operators for a training-data pipeline (builder mandate):
@@ -264,7 +265,7 @@ object TextQueries {
     val scored = lmFluency(spark, dir)
       .select(col("doc_id"), col("avg_micro_p"))
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .cache()
+      .planCache()
     val perScore = scored.groupBy(col("lang"), col("avg_micro_p"))
       .agg(count(lit(1)).as("c"))
     val wTop = Window.partitionBy(col("lang"))
