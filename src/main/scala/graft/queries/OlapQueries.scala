@@ -698,7 +698,63 @@ object OlapQueries {
       |WINDOW w AS (ORDER BY n_chars DESC, doc_id)
       |ORDER BY global_rank""".stripMargin
 
+  // --- q126: small-files compaction planner (sequential bin packing) --------
+  /** The lake-maintenance operator every 100 TB deployment schedules
+    * nightly: plan the rewrite of N small files into ~target-sized
+    * outputs WITHOUT moving a byte — the planner only reads the file
+    * manifest (here: per-doc blob sizes, the same manifest the DSv2
+    * connector lists). Policy is sequential coalescing in ingestion
+    * order (bin = exclusive-prefix-bytes div target) — adjacent files
+    * merge, preserving ingestion locality and making the plan a pure
+    * function of the manifest, so two planners on two clusters emit
+    * identical plans (idempotent re-runs, safe retries). The prefix sum
+    * is q98's distributed form — doc_id quantizes into order-preserving
+    * range buckets, per-bucket byte totals (corpus/1000 rows) compute
+    * bucket offsets, the per-file running sum windows within buckets —
+    * so there is NO corpus-sized single-partition window; the only
+    * corpus shuffle carries 16-byte (doc_id, bytes) pairs. Target is
+    * total/32 — scale-free, so the plan always lands ~32 output files
+    * regardless of corpus size. Output: one row per planned output
+    * file with its input span — the exact shape a rewrite job consumes. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("bytes"))
+    val target = files.agg(greatest(expr("sum(bytes) div 32"), lit(1L)).as("target"))
+    val d = files.withColumn("bucket", expr("doc_id div 1000"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ corpus/1000 rows: the single-partition window is over bucket totals
+    val offsets = d.groupBy(col("bucket")).agg(sum(col("bytes")).as("btoks"))
+      .withColumn("boff", coalesce(sum(col("btoks")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("boff") + sum(col("bytes")).over(wIn))
+      .crossJoin(broadcast(target))
+      .withColumn("bin", expr("(cum - bytes) div target"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin"))
+  }
+
+  /** Naive global prefix sum — the planner must equal it exactly. */
+  val compactionPlanOracle: String =
+    """WITH f AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+      |           FROM documents),
+      |  t AS (SELECT greatest(sum(bytes) // 32, 1) AS target FROM f),
+      |  c AS (SELECT doc_id, bytes,
+      |          CAST(sum(bytes) OVER (ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |        FROM f)
+      |SELECT (cum - bytes) // t.target AS bin,
+      |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c, t GROUP BY 1 ORDER BY bin""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
     "q120_global_rank" -> ((s, d) => globalRank(s, d)),
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
     "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
@@ -714,6 +770,7 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q126_compaction_plan" -> compactionPlanOracle,
     "q120_global_rank" -> globalRankOracle,
     "q68_approx_quantiles" -> approxQuantilesCheckedOracle,
     "q84_zorder_layout" -> zorderLayoutOracle,

@@ -633,9 +633,85 @@ object RelationalQueries {
     s"$base,\n$iters\nSELECT node, r FROM r5 ORDER BY node"
   }
 
+  // --- q124: degree-oriented triangle counting ------------------------------
+  /** Triangle counting over the SUPPORTED co-occurrence graph (q121's
+    * edge set, n_orders >= 2) with the degree-orientation trick that
+    * makes the operator survive 100×: orient every undirected edge from
+    * its lower-(degree, id) endpoint to the higher, enumerate wedges
+    * only from each node's OUT-edges, and close them against the
+    * oriented edge set. Orientation caps out-degree at O(sqrt m)
+    * regardless of hub degree (a part in 10k baskets contributes
+    * C(out,2) wedges, not C(10k,2)), so wedge volume — the operator's
+    * real cost — is O(m^1.5) worst-case instead of Σ deg² (Suri &
+    * Vassilvitskii, WWW'11). Each triangle is produced exactly once
+    * (its three corners are totally ordered by (deg, id)), so no /3
+    * correction and no double counting under any partitioning. Shape:
+    * the oriented edge list is repartitioned by src and checkpointed
+    * once (q122's discipline); the wedge self-join is shuffled-hash on
+    * src over that shared layout, and the closing join ships only
+    * (v, w) node pairs. Output is per-node triangle participation —
+    * the local clustering numerator curation pipelines use to find
+    * templated boilerplate rings in co-occurrence graphs. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val edges = colocatedPairs(spark, dir)
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select(col("p1"), col("p2"))
+    val deg = edges.select(col("p1").as("u")).unionAll(edges.select(col("p2").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // orient: src = endpoint with the smaller (degree, id); carry the
+    // dst endpoint's degree so the wedge join can order its two legs
+    // by the same total order without re-joining degrees
+    val d1 = deg.select(col("u").as("p1"), col("d").as("deg1"))
+    val d2 = deg.select(col("u").as("p2"), col("d").as("deg2"))
+    val fwd = col("deg1") < col("deg2") ||
+      (col("deg1") === col("deg2") && col("p1") < col("p2"))
+    val oriented = edges
+      .join(d1.hint("shuffle_hash"), Seq("p1"))
+      .join(d2.hint("shuffle_hash"), Seq("p2"))
+      .select(
+        when(fwd, col("p1")).otherwise(col("p2")).as("src"),
+        when(fwd, col("p2")).otherwise(col("p1")).as("dst"),
+        when(fwd, col("deg2")).otherwise(col("deg1")).as("ddeg"))
+      .repartition(col("src"))
+      .localCheckpoint(false) // read by both wedge legs AND the closer
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = e1.join(e2.hint("shuffle_hash"), Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("src").as("a"), col("v"), col("w"))
+    // close the wedge: (v, w) ordered by (deg, id) means the edge, if
+    // present, is oriented v -> w — one probe into the oriented set
+    val closer = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tris = wedges.join(closer, Seq("v", "w"))
+    tris.select(col("a").as("node"))
+      .unionAll(tris.select(col("v").as("node")))
+      .unionAll(tris.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
+  /** Canonical a<b<c triple join over the same supported edge set; each
+    * triangle contributes one row per corner. */
+  val triangleCountsOracle: String =
+    """WITH p AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      |      FROM p e1 JOIN p e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
+      |                JOIN p e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2),
+      |n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+      |      UNION ALL SELECT c FROM t)
+      |SELECT node, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY node""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_basket_pairs" -> ((s, d) => basketPairs(s, d)),
     "q122_pagerank" -> ((s, d) => pagerankFixedPoint(s, d)),
+    "q124_triangles" -> ((s, d) => triangleCounts(s, d)),
     "q1_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
     "q2_star_revenue" -> ((s, d) => starRevenue(s, d)),
     "q3_order_priority" -> ((s, d) => orderPriorityStats(s, d)),
@@ -657,6 +733,7 @@ object RelationalQueries {
   def oracles: Map[String, String] = Map(
     "q121_basket_pairs" -> basketPairsOracle,
     "q122_pagerank" -> pagerankFixedPointOracle,
+    "q124_triangles" -> triangleCountsOracle,
     "q1_pricing_summary" -> pricingSummaryOracle,
     "q2_star_revenue" -> starRevenueOracle,
     "q3_order_priority" -> orderPriorityStatsOracle,

@@ -485,7 +485,72 @@ object StreamQueries {
         StructField("n_users", LongType))))
   }
 
+  // --- q125: chained stateful operators in ONE streaming query -------------
+  /** Two stateful aggregations CHAINED in a single streaming query —
+    * the multi-stateful-operator capability (SPARK-40925, 3.4+) run on
+    * the RocksDB provider: a 15-minute tumbling count per
+    * (window, event_type) feeds a second tumbling aggregation that
+    * rolls the finalized cells into hourly (cell count, event total)
+    * rows, `window(window, ...)` re-windowing the first operator's
+    * window struct directly. Watermark propagates THROUGH the first
+    * operator: a cell is emitted (and its state evicted) once the
+    * watermark passes its end, and the hour closes once all four of
+    * its cells have; with the 0-second watermark both levels finalize
+    * against the corpus max event time, so the closed-hour set is
+    * batch-deterministic and a two-level DuckDB GROUP BY replays it
+    * exactly (hours whose end exceeds the final watermark stay open —
+    * the oracle excludes them the same way). This is the production
+    * shape for streaming OLAP rollup ladders (minute→hour→day): each
+    * level's state is bounded by its own window horizon, no external
+    * re-ingestion between levels, one exchange per level on the
+    * window key. The memory sink holds only closed HOURS — an
+    * oracle-harness cost, as in q113/q123. */
+  def streamChainedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tsed = eventsFileStream(spark, dir)
+    val cells = tsed.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val hours = cells
+      .groupBy(window(col("window"), "1 hour"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_events"))
+    val sinkName = s"q125_chain_${System.nanoTime()}"
+    withRocksDb(spark) {
+      hours.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    val sink = spark.table(sinkName)
+    val rows = sink
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("n_cells"), col("n_events"))
+      .orderBy(col("hour_us"))
+      .collect().toSeq
+    spark.catalog.dropTempView(sinkName)
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("hour_us", LongType), StructField("n_cells", LongType),
+        StructField("n_events", LongType))))
+  }
+
+  /** Two-level GROUP BY restricted to hours closed by the final
+    * watermark (max event time): every 15-min cell of a closed hour is
+    * itself closed, so the cascade is exactly this SQL. */
+  val streamChainedAggOracle: String =
+    """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+      |  wm AS (SELECT max(us) AS w FROM e),
+      |  c AS (SELECT (us // 900000000) * 900000000 AS cell_us, event_type,
+      |               count(*) AS n
+      |        FROM e GROUP BY 1, 2),
+      |  h AS (SELECT (cell_us // 3600000000) * 3600000000 AS hour_us,
+      |               count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS n_events
+      |        FROM c GROUP BY 1)
+      |SELECT hour_us, n_cells, n_events FROM h, wm
+      |WHERE hour_us + 3600000000 <= w ORDER BY hour_us""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_stream_chained_agg" -> ((s, d) => streamChainedAgg(s, d)),
     "q123_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d)),
     "q113_tws_session" -> ((s, d) => twsSessionState(s, d)),
     "q108_stream_distinct_kmv" -> ((s, d) => windowedDistinctUsers(s, d)),
@@ -503,6 +568,7 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     // the streaming run must reproduce the BATCH interval join's answer —
     // same oracle as q55 (that is the point: stream ≡ batch ≡ DuckDB)
+    "q125_stream_chained_agg" -> streamChainedAggOracle,
     "q123_stream_interval_join" -> intervalJoinOracle,
     "q113_tws_session" -> twsSessionStateOracle,
     "q108_stream_distinct_kmv" -> windowedDistinctUsersOracle,
