@@ -549,7 +549,83 @@ object StreamQueries {
       |SELECT hour_us, n_cells, n_events FROM h, wm
       |WHERE hour_us + 3600000000 <= w ORDER BY hour_us""".stripMargin
 
+  // --- q128: stream-stream LEFT OUTER interval join (RocksDB) --------------
+  /** The outer form of q123 — and the semantics streaming engines earn
+    * the hard way: a MATCHED pair emits as soon as both rows arrive, but
+    * an UNMATCHED purchase's null row may only emit once the watermark
+    * PROVES no matching view can still arrive, i.e. when its state row
+    * is evicted. With the 30-minute watermark delay the final watermark
+    * sits 30 minutes behind the corpus max, so purchases in that tail
+    * that found no view never close — the emitted set is therefore the
+    * batch q55b answer MINUS the unclosed unattributed tail, and the
+    * oracle replays exactly that cut: a purchase's null row exists iff
+    * floor_ms(p_ts) < W where W = min(branch watermarks) =
+    * least(max view ms, max purchase ms) − 1,800,000. The min matters:
+    * each withWatermark node tracks ITS branch's max event time and the
+    * global watermark is the minimum across nodes — deriving W from the
+    * corpus max silently over-closes by however far the slower branch
+    * trails (measured 12.9 min at sf0.01: max purchase 23:27 vs max view
+    * 23:57). Boundary pinned in StreamOuterJoinSpec the way
+    * TwsTimerBoundarySpec pins q113's.
+    * State bounded by watermark + 10-min window per user key on RocksDB,
+    * one exchange per side; the memory sink holds the per-hour rollup
+    * input only (oracle-harness cost, as q113/q123/q125). */
+  def streamIntervalJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tsed = eventsFileStream(spark, dir)
+    val joined = EventStreams.viewToPurchaseOuter(
+      tsed.filter(col("event_type") === "view"),
+      tsed.filter(col("event_type") === "purchase"))
+    val sinkName = s"q128_ssjo_${System.nanoTime()}"
+    withRocksDb(spark) {
+      joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    val sink = spark.table(sinkName)
+    val rows = sink
+      .groupBy(unix_micros(date_trunc("hour", col("p_ts"))).as("hour_us"))
+      .agg(count(col("v_ts")).as("n_pairs"),
+        count(when(col("v_ts").isNull, lit(1))).as("n_null"),
+        countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy(col("hour_us"))
+      .collect().toSeq
+    spark.catalog.dropTempView(sinkName)
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("hour_us", LongType), StructField("n_pairs", LongType),
+        StructField("n_null", LongType), StructField("n_purchases", LongType))))
+  }
+
+  /** Batch replay of the emitted set: all matched pairs (inner emission
+    * is immediate and complete under AvailableNow), plus a null row per
+    * unmatched purchase whose state the final watermark evicted —
+    * floor_ms(p_ts) strictly below min(per-branch max event ms) − 30 min
+    * (the global watermark is the MIN across the two watermark nodes). */
+  val streamIntervalJoinOuterOracle: String =
+    """WITH v AS (SELECT user_id AS v_user, ts AS v_ts FROM events WHERE event_type = 'view'),
+      |  p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+      |  wm AS (SELECT least(
+      |           (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+      |           (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+      |         ) // 1000 - 1800000 AS w_ms FROM events LIMIT 1),
+      |  pairs AS (SELECT p.p_id, p.p_ts, v.v_ts FROM p JOIN v ON p.user_id = v.v_user
+      |            AND v.v_ts <= p.p_ts AND v.v_ts > p.p_ts - INTERVAL 10 MINUTE),
+      |  nulls AS (SELECT p.p_id, p.p_ts FROM p, wm
+      |            WHERE epoch_us(p.p_ts) // 1000 < wm.w_ms
+      |              AND NOT EXISTS (SELECT 1 FROM v WHERE v.v_user = p.user_id
+      |                AND v.v_ts <= p.p_ts AND v.v_ts > p.p_ts - INTERVAL 10 MINUTE)),
+      |  em AS (SELECT p_id, p_ts, v_ts FROM pairs
+      |         UNION ALL SELECT p_id, p_ts, NULL FROM nulls)
+      |SELECT epoch_us(date_trunc('hour', p_ts)) AS hour_us,
+      |  count(v_ts) AS n_pairs,
+      |  count(CASE WHEN v_ts IS NULL THEN 1 END) AS n_null,
+      |  count(DISTINCT p_id) AS n_purchases
+      |FROM em GROUP BY 1 ORDER BY hour_us""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_stream_outer_join" -> ((s, d) => streamIntervalJoinOuter(s, d)),
     "q125_stream_chained_agg" -> ((s, d) => streamChainedAgg(s, d)),
     "q123_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d)),
     "q113_tws_session" -> ((s, d) => twsSessionState(s, d)),
@@ -568,6 +644,7 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     // the streaming run must reproduce the BATCH interval join's answer —
     // same oracle as q55 (that is the point: stream ≡ batch ≡ DuckDB)
+    "q128_stream_outer_join" -> streamIntervalJoinOuterOracle,
     "q125_stream_chained_agg" -> streamChainedAggOracle,
     "q123_stream_interval_join" -> intervalJoinOracle,
     "q113_tws_session" -> twsSessionStateOracle,
