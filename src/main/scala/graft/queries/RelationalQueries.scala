@@ -569,7 +569,15 @@ object RelationalQueries {
     * the 5 rounds and the bucketed edge build don't replan into one
     * mega-stage; isolated parts (single-line orders only) settle at
     * the 0.15 floor like every dangling node. */
-  def pagerankFixedPoint(spark: SparkSession, dir: String): DataFrame = {
+  def pagerankFixedPoint(spark: SparkSession, dir: String): DataFrame =
+    pagerankFixedPointN(spark, dir, 5)
+
+  /** Iteration-parameterized form — RungAudit's buckets probe measures
+    * exchange-count LINEARITY with it (constant exchanges per added
+    * iteration, never an edge re-shuffle); the registered q122 is the
+    * 5-iteration instance the oracle unrolls. */
+  private[graft] def pagerankFixedPointN(
+      spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val pairs = colocatedPairs(spark, dir).select(col("p1"), col("p2")).distinct()
     // Edges are REPARTITIONED BY src before the one-time checkpoint:
     // localCheckpoint preserves outputPartitioning, so every iteration's
@@ -590,7 +598,7 @@ object RelationalQueries {
       .select(col("l_partkey").as("node")).distinct()
       .localCheckpoint(false)
     var r = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to 5) {
+    for (_ <- 1 to iters) {
       val sums = edges
         // shuffled-hash, not SMJ: all sides are already hash-partitioned
         // on src, so SMJ's per-partition sorts are pure waste (round-15
