@@ -8,15 +8,51 @@ matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB against views named
 after the testdata tables, and compares: column names, row count, and values
 (rows and columns sorted by name, exact match after the in-query rounding).
 """
+import glob
 import json
 import math
 import os
 import sys
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def arrow_class(t):
+    """Hash-relevant physical-type class of an Arrow type.
+
+    The driver hashes results through arrow/pandas, where an int64 and a
+    decimal128(38,0) holding equal values repr differently — so those
+    classes must compare unequal here. Representation details the driver's
+    hash ignores (timestamp unit/tz, string vs large_string) are folded
+    into one class to avoid false positives.
+    """
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_integer(t):
+        # all integer widths fold to one class: the driver's pandas hash
+        # reprs int32 and int64 identically (q35c passed the r16 gate with
+        # Spark int32 vs oracle int64) — only decimal-vs-int flips it
+        return "int"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_class(t.value_type)}>"
+    return str(t)
 
 
 def canon(rows, cols):
@@ -58,7 +94,6 @@ def main():
             spark_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             spark_cols = [d[0] for d in spark_rel.description]
-            spark_desc = list(spark_rel.description)
             spark_rows = spark_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark result: {e}")
@@ -67,7 +102,6 @@ def main():
         try:
             duck_rel = con.execute(sql)
             duck_cols = [d[0] for d in duck_rel.description]
-            duck_desc = list(duck_rel.description)
             duck_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
@@ -84,16 +118,29 @@ def main():
             failures += 1
             continue
         # driver-parity guard: the driver hashes through arrow/pandas,
-        # where a DuckDB HUGEINT (any uncast sum() of integers) or
+        # where a DuckDB HUGEINT (any uncast sum()/`//` of integers) or
         # DECIMAL result column reprs differently from Spark's BIGINT/
         # DOUBLE even when every value is equal — rows+schema match but
-        # the hash flips (round-14 q115/q118). Compare declared types.
-        sp_ty = {d[0]: str(d[1]) for d in spark_desc}
-        du_ty = {d[0]: str(d[1]) for d in duck_desc}
+        # the hash flips (round-14 q115/q118, round-16 q126). The DB-API
+        # cursor description maps HUGEINT and BIGINT both to 'NUMBER',
+        # which let q126 pass locally and fail at the driver — so the
+        # check goes through the ARROW schema on both sides, the same
+        # physical-type surface the driver hashes.
+        try:
+            sp_file = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))[0]
+            sp_arrow = pq.read_schema(sp_file)
+            du_arrow = con.execute(
+                f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+        except Exception as e:
+            print(f"FAIL {name}: arrow schema fetch error: {e}")
+            failures += 1
+            continue
+        sp_ty = {f.name: arrow_class(f.type) for f in sp_arrow}
+        du_ty = {f.name: arrow_class(f.type) for f in du_arrow}
         ty_mismatch = [(c, sp_ty[c], du_ty[c]) for c in sorted(sp_ty)
                        if c in du_ty and sp_ty[c] != du_ty[c]]
         if ty_mismatch:
-            print(f"FAIL {name}: result-type mismatch (driver hash would "
+            print(f"FAIL {name}: arrow-type mismatch (driver hash would "
                   f"flip): {ty_mismatch}")
             failures += 1
             continue

@@ -25,6 +25,7 @@ import json
 import math
 import multiprocessing as mp
 import os
+import subprocess
 import sys
 import time
 
@@ -99,12 +100,50 @@ def check_one(sf_dir, out_dir, name, sql, mem_limit, q):
     q.put((name, "PASS", f"{len(spark_rows)} rows", time.time() - t0))
 
 
+def registered_oracles():
+    """The LIVE registered oracle set, straight from SparkEntry (no
+    SparkSession — graft.OracleNames is a plain println main). Returns
+    None when the classes aren't built, with a loud warning: the sweep
+    then runs UNPINNED, which is exactly the round-12 stale-ledger hole.
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cp = f"{repo}/target/scala-2.13/classes:/opt/spark/jars/*"
+    try:
+        out = subprocess.run(
+            ["java", "-cp", cp, "graft.OracleNames"],
+            capture_output=True, text=True, timeout=120, check=True)
+        names = {l.strip() for l in out.stdout.splitlines() if l.strip()}
+        return names or None
+    except Exception as e:
+        print(f"WARNING: cannot enumerate registered oracles ({e}) — "
+              "sweep runs UNPINNED against the dumped oracle_sql.json; "
+              "a stale dump would go unnoticed (run `sbt compile` first)")
+        return None
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 600
     mem_limit = sys.argv[4] if len(sys.argv) > 4 else "24GB"
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # Pin the enumeration to the LIVE registration (VERDICT r16 task 7):
+    # a dump from an older build silently shrinks the rung's correctness
+    # claim — the round-12 ledger went stale at 144 while the board grew.
+    registered = registered_oracles()
+    unexplained = set()
+    if registered is not None:
+        missing = registered - set(oracles)
+        extra = set(oracles) - registered
+        unexplained = missing | extra
+        if missing:
+            print(f"ENUMERATION GAP: {len(missing)} registered oracle(s) "
+                  f"absent from the dump (stale Verify dump?): "
+                  f"{sorted(missing)[:8]}")
+        if extra:
+            print(f"ENUMERATION GAP: {len(extra)} dumped oracle(s) no "
+                  f"longer registered (stale dump vs current build): "
+                  f"{sorted(extra)[:8]}")
     # Resume: a multi-hour sweep overlaps the (also multi-hour) Spark dump,
     # so prior verdicts are reloaded and only new/undecided queries run.
     # A query dir without _SUCCESS is still being written (or its query
@@ -166,6 +205,11 @@ def main():
     print(f"\nSWEEP: {n_pass} PASS / {n_fail} FAIL / {n_excl} EXCLUDED"
           + (f" / {n_skip} UNDECIDED (dump in flight)" if n_skip else "")
           + f" of {len(oracles)}")
+    if registered is not None:
+        print(f"SWEEP ENUMERATION: {len(oracles)}/{len(registered)} "
+              f"registered oracles enumerated, {len(unexplained)} unexplained")
+    else:
+        print("SWEEP ENUMERATION: UNPINNED (registered set unavailable)")
     # markdown table for SCALING.md
     with open(f"{out_dir}/sweep_table.md", "w") as f:
         f.write("| query | status | note |\n|---|---|---|\n")
@@ -174,7 +218,9 @@ def main():
     with open(f"{out_dir}/sweep.json", "w") as f:
         json.dump({k: {"status": s, "reason": r, "sec": round(dt, 1)}
                    for k, (s, r, dt) in results.items()}, f, indent=1)
-    sys.exit(1 if n_fail else 0)
+    # an enumeration gap is a sweep failure: the rung claim would be
+    # silently narrower (or wider) than the registered board
+    sys.exit(1 if (n_fail or unexplained) else 0)
 
 
 if __name__ == "__main__":

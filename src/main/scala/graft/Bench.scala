@@ -479,6 +479,17 @@ object Bench {
           "min-total draw, still guard-flagged")
     val (total, results, errors, guard) = draws(drawIdx)
     val drawsObj = drawsJson(draws.length, drawSlug)
+    // Round-17 (VERDICT r16 task 6): the board carries 4 queries that pay
+    // RocksDB + micro-batch bring-up no batch query pays (~2-7 s each);
+    // split the headline into cost classes so the 2×-of-baseline read
+    // isn't muddied by fixed streaming-harness overhead.
+    val streamingSet = SparkEntry.streamingQueries
+    val streamingTotal = results.collect {
+      case (k, Some(t)) if streamingSet(k) => t
+    }.sum
+    val batchTotal = total - streamingTotal
+    val subtotalsJson =
+      f""","batch_total":$batchTotal%.3f,"streaming_total":$streamingTotal%.3f,"streaming_n":${results.count(r => streamingSet(r._1))}"""
     val local4 =
       if (cpus != "4") {
         // the local[4] leg is the BASELINE.md pass bar: its errors must
@@ -495,14 +506,28 @@ object Bench {
     }
     val fileLine =
       s"""{"metric":"total","value":$total,"unit":"sec","errors":${jsonArr(errors)},""" +
-        s""""sf":"$sfDir","cpus":"$cpus","reps":$reps$drawsObj${guard.fileExtra}$fileL4,"queries":$fileQs}"""
+        s""""sf":"$sfDir","cpus":"$cpus","reps":$reps$drawsObj$subtotalsJson${guard.fileExtra}$fileL4,"queries":$fileQs}"""
+    // Round-17 (VERDICT r16 task 5): the driver-captured stdout keeps only
+    // the slowest ~100 per-query entries under its 1,900-char budget, so a
+    // BENCH_r{N}-only diff is blind to the tail. This committed sidecar
+    // carries the accepted draw's FULL per-query medians (the same map the
+    // guard's suspect scan reads from the BENCH_LOCAL/BENCH_CLEAN
+    // snapshots) so round-over-round regression diffing covers every query.
+    val sidecarPath = java.nio.file.Paths.get(
+      if (isOfficial(sfDir, cpus)) "BENCH_QUERIES.json"
+      else s"BENCH_QUERIES_${sfName(sfDir)}_cpus$cpus.json")
+    val sidecarLine =
+      s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps$drawsObj$subtotalsJson,""" +
+        s""""streaming":${jsonArr(results.map(_._1).filter(streamingSet))},""" +
+        s""""errors":${jsonArr(errors)},"queries":$fileQs}"""
     try {
       java.nio.file.Files.writeString(localPath, fileLine + "\n")
+      java.nio.file.Files.writeString(sidecarPath, sidecarLine + "\n")
       // the clean baseline is refreshed only under the STRICT eligibility
       // (±12% band, ≤3 inflated queries) — not merely "no alert fired"
       if (guard.cleanEligible) java.nio.file.Files.writeString(cleanPath, fileLine + "\n")
     } catch { case _: Throwable => () } // read-only cwd must not kill the bench
     println(renderStdout(total, results, errors, sfDir, cpus, reps,
-      drawsObj + guard.stdoutExtra, local4))
+      drawsObj + subtotalsJson + guard.stdoutExtra, local4))
   }
 }

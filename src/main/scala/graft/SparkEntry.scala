@@ -24,6 +24,11 @@ object SparkEntry {
       AgentQueries.all ++ PipelineQueries.all ++ TextQueries.all ++ StreamQueries.all ++
       SourceQueries.all ++ OlapQueries.all ++ CurationQueries.all
 
+  /** Queries that run the real streaming harness (RocksDB state store +
+    * micro-batch bring-up — a fixed cost class no batch query pays); Bench
+    * subtotals these separately. */
+  def streamingQueries: Set[String] = StreamQueries.streamingHarness
+
   def oracleSql: Map[String, String] =
     VectorQueries.oracles ++ RelationalQueries.oracles ++ RagQueries.oracles ++
       AgentQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles ++

@@ -748,7 +748,7 @@ object OlapQueries {
       |          CAST(sum(bytes) OVER (ORDER BY doc_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
       |        FROM f)
-      |SELECT (cum - bytes) // t.target AS bin,
+      |SELECT CAST((cum - bytes) // t.target AS BIGINT) AS bin,
       |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c, t GROUP BY 1 ORDER BY bin""".stripMargin

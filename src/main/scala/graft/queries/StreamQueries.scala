@@ -624,6 +624,18 @@ object StreamQueries {
       |  count(DISTINCT p_id) AS n_purchases
       |FROM em GROUP BY 1 ORDER BY hour_us""".stripMargin
 
+  /** Queries that run the REAL streaming harness — writeStream + RocksDB
+    * state store + AvailableNow micro-batch machinery. Each pays ~2-7 s of
+    * fixed state-store/micro-batch bring-up that no batch query pays
+    * (VERDICT r16: ~22 s, 25% of the bench, is this cost class). Bench
+    * reports them as a separate subtotal so the 2×-of-baseline comparison
+    * can be read per cost class. The q50-q57 family expresses the SAME
+    * semantics as batch plans (stream ≡ batch is their point) and stays in
+    * the batch subtotal. */
+  val streamingHarness: Set[String] = Set(
+    "q113_tws_session", "q123_stream_interval_join",
+    "q125_stream_chained_agg", "q128_stream_outer_join")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_stream_outer_join" -> ((s, d) => streamIntervalJoinOuter(s, d)),
     "q125_stream_chained_agg" -> ((s, d) => streamChainedAgg(s, d)),

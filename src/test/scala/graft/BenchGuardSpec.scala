@@ -122,12 +122,17 @@ class BenchGuardSpec extends AnyFunSuite {
     // stdout guard extra never carries the full-name sample
     assert(!g.stdoutExtra.contains("synthetic_operator_name"))
     assert(g.fileExtra.contains("synthetic_operator_name")) // file keeps it
+    // the r17 cost-class subtotals ride in the same extra slot — the
+    // budget must hold with them present
+    val subtotals =
+      ""","batch_total":163.190,"streaming_total":22.000,"streaming_n":4"""
     val line = Bench.renderStdout(185.19, results, Seq("q999_crashy_query"),
-      "/root/testdata/sf0.1", "32", 3, g.stdoutExtra,
+      "/root/testdata/sf0.1", "32", 3, subtotals + g.stdoutExtra,
       Some((50.28, Seq.empty)))
     assert(line.length <= 2000, s"stdout line is ${line.length} chars")
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains(""""variance_alert""""))
+    assert(line.contains(""""streaming_total""""))
     assert(line.endsWith("}"))
   }
 

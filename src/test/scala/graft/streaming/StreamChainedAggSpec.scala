@@ -48,8 +48,13 @@ class StreamChainedAggSpec extends SparkSuite {
       q.awaitTermination()
       q
     }
+    assert(q.recentProgress.nonEmpty,
+      "no retained progress entries — cannot assert on state operators")
     val stateOps = q.recentProgress.toSeq.flatMap(_.stateOperators)
-    val perBatchMax = q.recentProgress.toSeq.map(_.stateOperators.length).max
+    // foldLeft, not .max: an empty seq must fail the assert above with a
+    // clear message, never an opaque UnsupportedOperationException here
+    val perBatchMax = q.recentProgress.toSeq
+      .map(_.stateOperators.length).foldLeft(0)(math.max)
     assert(perBatchMax == 2,
       s"expected 2 chained stateful operators in one query, got $perBatchMax")
     assert(stateOps.forall(_.operatorName.contains("stateStoreSave")),
