@@ -588,8 +588,11 @@ object PipelineQueries {
     // partitioned on (band, bkey) by the shared exchange, bucket
     // populations are bounded by the band-key space, and skipping the
     // two per-partition sorts is pure win — equal-key matching needs no
-    // order
-    a.join(b.hint("shuffle_hash"), Seq("band", "bkey"))
+    // order. The system property is a BUILDER-ONLY A/B knob (RungAudit
+    // `bandlsh` mode measures shuffle_hash vs merge interleaved in one
+    // session); production never sets it.
+    val joinStrategy = System.getProperty("graft.bandlsh.join", "shuffle_hash")
+    a.join(b.hint(joinStrategy), Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .filter(firstCollision)
       .withColumn("hamming", bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int"))
@@ -919,6 +922,128 @@ object PipelineQueries {
         round(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ---- q129: incremental IVF index maintenance (append + drift) ------------
+  /** The ANN lakes' day-N+1 shape (VERDICT r16 task 8) — the dedup family
+    * has q101; this is its vector-side twin. A BASE IVF index is built
+    * once over the standing corpus (vectors with `vec_id % 10 != 7`) and
+    * persisted as a cell-partitioned lake + its codebook + per-cell
+    * build-time stats. A NEW BATCH (`vec_id % 10 == 7` — the day's
+    * arrivals) is then assigned to the EXISTING persisted centroids (the
+    * codebook is read back from the lake, never re-derived) and appended
+    * as cell-partitioned DELTA invlist files in a sibling directory —
+    * the base lake's files are never rewritten (AnnIndexSpec asserts
+    * byte-identical base files across the append), and a serving probe
+    * reads base ∪ delta with the same DPP-pruned plan q35c measures.
+    *
+    * The output is the maintenance signal: one row per cell with base/new
+    * counts and mean cosine-to-centroid at build time vs in the new
+    * batch; a cell whose new arrivals sit >0.01 mean-cosine FARTHER from
+    * the centroid than its build-time population is flagged
+    * `rebuild_hint` — drifted input distribution, re-train the codebook.
+    *
+    * 100 TB economics: the append touches |batch| vectors (broadcast
+    * codebook, one (vec_id, cell) shuffle, delta files sized by the
+    * batch, not the corpus) — vs a full rebuild's corpus-sized assignment
+    * + rewrite. Means are exact: per-row cosines round to 9 decimals and
+    * sum as DECIMAL (order-insensitive), the mean divides that exact sum
+    * by the exact count, so the oracle is plain arithmetic.
+    *
+    * Reference spec: the reference rebuilds its vector store from scratch
+    * on every ingest (app.py:289-297, recreate_collection) — this is the
+    * scale-correct replacement for that operation. */
+  def ivfIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorFns.normL2(col("v")))
+      .planCache()
+    def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("ccos",
+          VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"),
+          // the winning cosine rides along for the drift stats — rounded
+          // to 9 decimals so the decimal sum below is order-insensitive
+          expr("cast(round(max_by(ccos, struct(ccos, -cent_id)), 9) as decimal(20,9))").as("ccos"))
+    val base = e.filter(col("vec_id") % 10 =!= 7)
+    // --- build-time lake: cells + codebook + per-cell stats (staged once)
+    val idxRoot = SourceQueries.stagedBlobs(dir, "ivfinc", srcTable = "embeddings") { staging =>
+      val nb = base.agg(count(lit(1)).as("n_total"))
+      val centroids = base.crossJoin(broadcast(nb))
+        .filter(col("vec_id") % greatest(lit(100L), expr("(n_total + 255) div 256")) === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
+      centroids.write.parquet(new java.io.File(staging, "centroids").getAbsolutePath)
+      val assigned = assignTo(base, centroids).join(base, Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("n"), col("ccos"), col("cell"))
+      assigned.write.partitionBy("cell")
+        .parquet(new java.io.File(staging, "cells").getAbsolutePath)
+      // build-time per-cell stats, FROM the persisted layout's rows
+      assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_base"), sum(col("ccos")).as("sum_cos_base"))
+        .write.parquet(new java.io.File(staging, "stats").getAbsolutePath)
+    }
+    // --- the append: assign the batch to the PERSISTED codebook, write
+    // cell-partitioned delta files (content-addressed staging makes the
+    // append idempotent — a re-run serves from the existing delta)
+    val deltaRoot = SourceQueries.stagedBlobs(dir, "ivfincd", srcTable = "embeddings") { staging =>
+      val centroids = spark.read.parquet(s"$idxRoot/centroids")
+      assignTo(e.filter(col("vec_id") % 10 === 7), centroids)
+        .join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("n"), col("ccos"), col("cell"))
+        .write.partitionBy("cell")
+        .parquet(new java.io.File(staging, "cells").getAbsolutePath)
+    }
+    // --- drift report, computed FROM the two persisted lakes (base stats
+    // at build time vs the delta's arrivals) — cells join, tiny frames
+    val baseStats = spark.read.parquet(s"$idxRoot/stats")
+    val newStats = spark.read.parquet(s"$deltaRoot/cells")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_new"), sum(col("ccos")).as("sum_cos_new"))
+    def meanCos(sumCol: Column, nCol: Column): Column =
+      round(sumCol.cast("double") / nCol, 6)
+    baseStats.join(newStats, Seq("cell"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("base_mean_cos", meanCos(col("sum_cos_base"), col("n_base")))
+      .withColumn("new_mean_cos", meanCos(col("sum_cos_new"), col("n_new")))
+      .withColumn("drift", round(col("base_mean_cos") - col("new_mean_cos"), 6))
+      .withColumn("rebuild_hint", coalesce(col("drift") > 0.01, lit(false)))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        col("base_mean_cos"), col("new_mean_cos"), col("drift"), col("rebuild_hint"))
+      .orderBy(col("cell"))
+  }
+
+  /** Same arithmetic, flat SQL: centroids from the base subset, argmax
+    * assignment with the (cos, -cent_id) tie-break, decimal sums. */
+  val ivfIndexAppendOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  base AS (SELECT * FROM e WHERE vec_id % 10 != 7),
+      |  newb AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM base
+      |           WHERE vec_id % (SELECT greatest(100, (count(*) + 255) // 256) FROM base) = 0),
+      |  ab AS (SELECT vec_id, cell, ccos FROM (
+      |      SELECT b.vec_id, cent.cent_id AS cell,
+      |             CAST(round(list_cosine_similarity(b.v, cent.cv), 9) AS DECIMAL(20,9)) AS ccos,
+      |             row_number() OVER (PARTITION BY b.vec_id
+      |               ORDER BY list_cosine_similarity(b.v, cent.cv) DESC, cent.cent_id) AS crn
+      |      FROM base b CROSS JOIN cent) WHERE crn = 1),
+      |  an AS (SELECT vec_id, cell, ccos FROM (
+      |      SELECT nb.vec_id, cent.cent_id AS cell,
+      |             CAST(round(list_cosine_similarity(nb.v, cent.cv), 9) AS DECIMAL(20,9)) AS ccos,
+      |             row_number() OVER (PARTITION BY nb.vec_id
+      |               ORDER BY list_cosine_similarity(nb.v, cent.cv) DESC, cent.cent_id) AS crn
+      |      FROM newb nb CROSS JOIN cent) WHERE crn = 1),
+      |  sb AS (SELECT cell, count(*) AS n_base, sum(ccos) AS s FROM ab GROUP BY cell),
+      |  sn AS (SELECT cell, count(*) AS n_new, sum(ccos) AS s FROM an GROUP BY cell)
+      |SELECT sb.cell, sb.n_base, coalesce(sn.n_new, 0) AS n_new,
+      |  round(CAST(sb.s AS DOUBLE) / sb.n_base, 6) AS base_mean_cos,
+      |  round(CAST(sn.s AS DOUBLE) / sn.n_new, 6) AS new_mean_cos,
+      |  round(round(CAST(sb.s AS DOUBLE) / sb.n_base, 6)
+      |        - round(CAST(sn.s AS DOUBLE) / sn.n_new, 6), 6) AS drift,
+      |  coalesce(round(round(CAST(sb.s AS DOUBLE) / sb.n_base, 6)
+      |        - round(CAST(sn.s AS DOUBLE) / sn.n_new, 6), 6) > 0.01, false) AS rebuild_hint
+      |FROM sb LEFT JOIN sn ON sb.cell = sn.cell
+      |ORDER BY sb.cell""".stripMargin
 
   // ---- ANN: 1-bit sign quantization + Hamming shortlist --------------------
   /** Binary-quantized ANN: each d-dim vector compresses to ceil(d/64)
@@ -2220,6 +2345,7 @@ object PipelineQueries {
     "q116_image_neardup" -> ((s, d) => imageNeardup(s, d)),
     "q35_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q35c_ann_ivf_index" -> ((s, d) => annIvfFromIndex(s, d)),
+    "q129_ivf_index_append" -> ((s, d) => ivfIndexAppend(s, d)),
     "q36_ann_lsh" -> ((s, d) => annLshChecked(s, d)),
     "q36b_ann_srp_md5" -> ((s, d) => annSrpPortable(s, d)),
     "q38_ann_pq" -> ((s, d) => annPqChecked(s, d)),
@@ -2264,6 +2390,7 @@ object PipelineQueries {
     // q35c: same quantizer arithmetic from the persisted cell lake —
     // the round trip + dynamic partition pruning is the delta under test
     "q35c_ann_ivf_index" -> annIvfOracle,
+    "q129_ivf_index_append" -> ivfIndexAppendOracle,
     "q96_ann_hamming" -> annHammingOracle,
     "q101_incremental_dedup" -> incrementalDedupOracle,
     "q112_cluster_first_dedup" -> clusterFirstNeardupOracle,
