@@ -818,50 +818,54 @@ object RagQueries {
     * pushdown) is the delta under test, and the documented build-cost
     * amortization (the q38/q39 trade) gets its query-side half
     * measured. */
-  def bm25FromIndex(spark: SparkSession, dir: String): DataFrame = {
-    // Artifact partition counts are sized in ROWS, not bytes: the round-14
-    // rung probe (RungAudit lakes) caught the dictionary-compression
-    // collapse here — 4.6M postings rows compress to 25 MB, so a
-    // hardcoded 8-way range split (and a default write for doclens)
-    // arrived as 8/1 scan partitions at the 100× rung while the floor
-    // target was 28. Same conditional-floor discipline as Tables.floored:
-    // ≥2k rows per partition, capped at the session's shuffle parallelism,
-    // so small scales don't over-split and big ones stay term-sorted for
-    // row-group min/max skipping.
-    val idxRoot = SourceQueries.stagedBlobs(dir, "bm25idx2") { staging =>
-      val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
-      val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
-        .withColumn("dl", expr("size(toks)").cast("bigint"))
-      // doc count from the raw table's footer metadata (no tokenization)
-      val nDocs = Tables.documents(spark, dir).count()
-      docs.select(col("doc_id"), col("dl"))
-        .repartition(math.max(1L, math.min(shuffleParts, nDocs / 2000)).toInt,
-          col("doc_id"))
-        .write.parquet(new java.io.File(staging, "doclens").getAbsolutePath)
-      val postings = docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-        .persist() // sized by a count, then written: ONE aggregation pass
-      try {
-        val nPost = postings.count()
-        postings
-          .repartitionByRange(
-            math.max(8L, math.min(shuffleParts, nPost / 2000)).toInt, col("term"))
-          .sortWithinPartitions(col("term"))
-          .write.parquet(new java.io.File(staging, "postings").getAbsolutePath)
-      } finally postings.unpersist()
-    }
-    // term literals derive from the CONSTANT chat queries (not from data)
-    val queryTerms = chatQueries.flatMap(_._2.toLowerCase.split(" "))
-      .filter(_.length > 3).distinct.sorted
-    val doclens = spark.read.parquet(s"$idxRoot/doclens")
+  /** Write q111's lake layout — `postings(term, doc_id, dl, tf)` range-
+    * partitioned and sorted by term, `doclens(doc_id, dl)` — for `docsIn`
+    * under `staging`. Artifact partition counts are sized in ROWS, not
+    * bytes: the round-14 rung probe (RungAudit lakes) caught the
+    * dictionary-compression collapse here — 4.6M postings rows compress
+    * to 25 MB, so a hardcoded 8-way range split (and a default write for
+    * doclens) arrived as 8/1 scan partitions at the 100× rung while the
+    * floor target was 28. Same conditional-floor discipline as
+    * Tables.floored: ≥2k rows per partition, capped at the session's
+    * shuffle parallelism, so small scales don't over-split and big ones
+    * stay term-sorted for row-group min/max skipping. Shared by q111
+    * (whole corpus) and q130 (base / delta subsets). */
+  private def writeBm25Lake(spark: SparkSession, docsIn: DataFrame,
+                            staging: java.io.File): Unit = {
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val docs = docsIn
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .withColumn("dl", expr("size(toks)").cast("bigint"))
+    // doc count from the raw table's footer metadata (no tokenization)
+    val nDocs = docsIn.count()
+    docs.select(col("doc_id"), col("dl"))
+      .repartition(math.max(1L, math.min(shuffleParts, nDocs / 2000)).toInt,
+        col("doc_id"))
+      .write.parquet(new java.io.File(staging, "doclens").getAbsolutePath)
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist() // sized by a count, then written: ONE aggregation pass
+    try {
+      val nPost = postings.count()
+      postings
+        .repartitionByRange(
+          math.max(8L, math.min(shuffleParts, nPost / 2000)).toInt, col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.parquet(new java.io.File(staging, "postings").getAbsolutePath)
+    } finally postings.unpersist()
+  }
+
+  /** q81's scoring arithmetic over an arbitrary (doclens, matched
+    * postings) pair — shared by q111 (one lake) and q130 (base ∪ delta).
+    * `matched` must already carry the query-term filter so it pushed
+    * into every contributing parquet scan. */
+  private def bm25Serve(spark: SparkSession, doclens: DataFrame,
+                        matched: DataFrame): DataFrame = {
     val stats = doclens.agg(
       count(lit(1)).cast("double").as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val matched = spark.read.parquet(s"$idxRoot/postings")
-      .filter(col("term").isin(queryTerms: _*))
     val terms = chatQueriesDf(spark)
       .select(col("query_id"), explode(split(lower(col("qtext")), " ")).as("term"))
       .filter(length(col("term")) > 3).distinct()
@@ -884,9 +888,65 @@ object RagQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The constant chat-query terms (derived from the reference's canned
+    * questions, not from data) — the literals that push into every
+    * postings scan. */
+  private def bm25QueryTerms: Seq[String] =
+    chatQueries.flatMap(_._2.toLowerCase.split(" "))
+      .filter(_.length > 3).distinct.sorted
+
+  def bm25FromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idxRoot = SourceQueries.stagedBlobs(dir, "bm25idx2") { staging =>
+      writeBm25Lake(spark, Tables.documents(spark, dir), staging)
+    }
+    val doclens = spark.read.parquet(s"$idxRoot/doclens")
+    val matched = spark.read.parquet(s"$idxRoot/postings")
+      .filter(col("term").isin(bm25QueryTerms: _*))
+    bm25Serve(spark, doclens, matched)
+  }
+
+  // --- q130: incremental postings append (the text-side q129) ---------------
+  /** The postings lake's day-N+1 shape: the standing corpus' index
+    * (doc_id % 10 != 7) persists once; the day's batch (doc_id % 10 == 7)
+    * is tokenized ALONE — the append's cost is proportional to the batch,
+    * never the corpus — and lands as separate term-sorted delta files;
+    * the base lake is never rewritten (RagIndexSpec snapshots its files
+    * across a forced re-append). Serving reads base ∪ delta with the
+    * query-term IN filter pushed into BOTH parquet scans, and the
+    * corpus-level stats (N, avgdl, per-term df) reduce over the merged
+    * doclens/postings — index metadata, not a corpus rescan.
+    *
+    * BM25 is not incremental in the naive sense — every score depends on
+    * corpus-global N/avgdl/df, so appending documents shifts EVERY
+    * term's idf. The merged-stats serve handles that exactly: scoring
+    * the union with stats reduced over the union is arithmetically
+    * identical to a full rebuild, which is why q81's oracle applies
+    * VERBATIM — "incremental append + merged serve ≡ rebuild" is the
+    * bit-exact invariant under test (the reference instead re-embeds
+    * and recreates its whole collection per ingest, app.py:289-297). */
+  def bm25IncrementalAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docsAll = Tables.documents(spark, dir)
+    val baseRoot = SourceQueries.stagedBlobs(dir, "bm25inc") { staging =>
+      writeBm25Lake(spark, docsAll.filter(col("doc_id") % 10 =!= 7), staging)
+    }
+    val deltaRoot = SourceQueries.stagedBlobs(dir, "bm25incd") { staging =>
+      writeBm25Lake(spark, docsAll.filter(col("doc_id") % 10 === 7), staging)
+    }
+    def lake(root: java.io.File, part: String): DataFrame =
+      spark.read.parquet(s"$root/$part")
+    val doclens = lake(baseRoot, "doclens").unionByName(lake(deltaRoot, "doclens"))
+    // filter each side BEFORE the union so the pushed In(term, …) is
+    // explicit per scan (Catalyst pushes through Union too; this keeps
+    // the contract visible in the plan and the spec)
+    val matched = lake(baseRoot, "postings").filter(col("term").isin(bm25QueryTerms: _*))
+      .unionByName(lake(deltaRoot, "postings").filter(col("term").isin(bm25QueryTerms: _*)))
+    bm25Serve(spark, doclens, matched)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "q111_bm25_from_index" -> ((s, d) => bm25FromIndex(s, d)),
+    "q130_bm25_incremental" -> ((s, d) => bm25IncrementalAppend(s, d)),
     "q16_memory_window" -> ((s, d) => memoryWindow(s, d)),
     "q09_preview" -> ((s, d) => preview(s, d)),
     "q14_context_assembly" -> ((s, d) => contextAssembly(s, d)),
@@ -909,6 +969,10 @@ object RagQueries {
     // q111: identical scoring arithmetic to q81 from the index artifact —
     // the persisted-lake round trip is the delta under test
     "q111_bm25_from_index" -> bm25Oracle,
+    // q130: merged-stats serving over base ∪ delta ≡ a full rebuild, so
+    // the whole-corpus oracle applies verbatim — the incremental append
+    // round trip is the delta under test
+    "q130_bm25_incremental" -> bm25Oracle,
     "q16_memory_window" -> memoryWindowOracle,
     "q09_preview" -> previewOracle,
     "q14_context_assembly" -> contextAssemblyOracle,
