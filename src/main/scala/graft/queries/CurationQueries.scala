@@ -211,10 +211,10 @@ object CurationQueries {
     * 16×-docs rung). A production run can swap in `xxhash64(text)` (no
     * cryptographic cost); selection semantics are unchanged — any
     * deterministic uniform content hash works as the rank/threshold key. */
-  private val fpExpr =
+  private[queries] val fpExpr =
     "cast(conv(substring(md5(cast(text as binary)), 1, 15), 16, 10) as bigint)"
 
-  private val fpSql =
+  private[queries] val fpSql =
     "CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)"
 
   // --- q72: deterministic domain-mixture sampling ---------------------------

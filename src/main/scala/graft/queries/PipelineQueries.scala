@@ -244,6 +244,115 @@ object PipelineQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ---- q132: leakage-safe train/val/test split ------------------------------
+  /** The hole q76's content-keyed split documents itself ("a train/val
+    * leak needs a near-dup, not a copy"), closed: split by NEAR-DUP
+    * COMPONENT, not by doc. Eval contamination via near-duplicates is the
+    * classic LLM-benchmark failure — a 90%-overlap twin of a test doc in
+    * the training set is a leak no exact-dup split prevents.
+    *
+    * Composition of standing machinery: q30's exact collapse (sha256
+    * groups → min-id representative), q112's representative near-pair
+    * verify (first-5-words block, capped selfPairs, hashed-shingle
+    * Jaccard ≥ 0.3), then [[graft.analytics.Clusters.connectedComponents]]
+    * over (exact star pairs ∪ rep near pairs) — members reach other
+    * clusters through their representative. Every doc gets its
+    * component's canonical (min doc_id; docs in no pair keep themselves),
+    * and the WHOLE component lands in one split: bucket = q76's md5
+    * fingerprint of the CANONICAL's text, mod 100, 80/10/10. Appending
+    * docs never reassigns an existing component (content-keyed), and a
+    * near-dup of a test doc can never train.
+    *
+    * 100 TB shape: row-linear exact collapse, pair work only between
+    * representatives (q112's rung-measured 16× cut), label propagation
+    * O(component diameter) rounds of (id, label) shuffles — the q122
+    * iteration discipline. The oracle replays the components as a
+    * DuckDB recursive CTE (transitive closure → min reachable id; dup
+    * components are tiny, so the closure is bounded). */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusMutant(spark, dir)
+    val hashed = corpus.withColumn("h", sha2(col("text"), 256))
+    val clusters = hashed.groupBy(col("h"))
+      .agg(min("doc_id").as("rep_id"), collect_list(col("doc_id")).as("ids"))
+    // exact star pairs: rep ↔ every other member of its sha cluster
+    val exactPairs = clusters.filter(size(col("ids")) > 1)
+      .select(col("rep_id").as("id1"), explode(col("ids")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    // near pairs BETWEEN representatives — q112's verify verbatim
+    val reps = hashed.join(clusters.select(col("h"), col("rep_id")), Seq("h"))
+      .filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val c0 = reps
+      .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
+      .withColumn("sh", transform(shingleExpr("text"), x => xxhash64(x)))
+      .drop("text")
+    val nearPairs = withJaccard(
+        graft.analytics.Blocking.selfPairs(c0, "block", "doc_id", maxBlock = 256)
+          .select(col("_1.doc_id").as("id1"), col("_1.sh").as("sh1"),
+            col("_2.doc_id").as("id2"), col("_2.sh").as("sh2")),
+        "sh1", "sh2", minJaccardTenths = 3)
+      .filter(col("jaccard") >= 0.3)
+      .select(col("id1"), col("id2"))
+    val cc = graft.analytics.Clusters.connectedComponents(
+        exactPairs.unionByName(nearPairs))
+      .withColumnRenamed("id", "doc_id")
+    val assigned = corpus.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+    // the split key is the CANONICAL's content fingerprint (q76's md5
+    // family) — content-stable, and constant across the whole component
+    val canonFp = corpus
+      .select(col("doc_id").as("canonical_id"),
+        pmod(expr(CurationQueries.fpExpr), lit(100L)).as("bucket"))
+    assigned.join(canonFp, Seq("canonical_id"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("canonical_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val leakageSafeSplitOracle: String = {
+    val sh = shingleSql("text")
+    s"""WITH RECURSIVE corpus AS ($corpusMutantSql),
+       |  cl AS (SELECT text, min(doc_id) AS rep_id FROM corpus GROUP BY text),
+       |  m AS (SELECT c.doc_id, cl.rep_id FROM corpus c JOIN cl ON c.text = cl.text),
+       |  c AS (SELECT rep_id AS doc_id,
+       |          array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:5], ' ') AS block,
+       |          $sh AS sh
+       |        FROM cl),
+       |  np AS (
+       |    SELECT a.doc_id AS id1, b.doc_id AS id2
+       |    FROM c a JOIN c b ON a.block = b.block AND a.doc_id < b.doc_id
+       |    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3),
+       |  edges AS (SELECT id1 AS src, id2 AS dst FROM np
+       |            UNION SELECT id2, id1 FROM np),
+       |  lab(id, lab) AS (
+       |    SELECT rep_id, rep_id FROM cl
+       |    UNION
+       |    SELECT e.src, l.lab FROM edges e JOIN lab l ON e.dst = l.id),
+       |  comp AS (SELECT id AS rep_id, min(lab) AS canonical_id FROM lab GROUP BY id),
+       |  assigned AS (
+       |    SELECT m.doc_id, comp.canonical_id FROM m JOIN comp USING (rep_id)),
+       |  fp AS (SELECT doc_id AS canonical_id, $fpSqlLocal % 100 AS bucket FROM corpus)
+       |SELECT a.doc_id, a.canonical_id, f.bucket,
+       |  CASE WHEN f.bucket < 80 THEN 'train'
+       |       WHEN f.bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM assigned a JOIN fp f USING (canonical_id)
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
+  private def fpSqlLocal: String = CurationQueries.fpSql
+
+  /** Test-only accessor: the mutant corpus q132 splits (LeakageSplitSpec
+    * contrasts per-doc vs per-canonical keying on the same rows). */
+  def mutantCorpusForTests(spark: SparkSession, dir: String): DataFrame =
+    corpusMutant(spark, dir)
+
   // ---- incremental dedup: new batch vs existing corpus index --------------
   /** The day-N+1 shape of deduplication at 100 TB: a NEW batch dedups
     * against the accumulated corpus WITHOUT rescanning it — the index
@@ -2355,6 +2464,7 @@ object PipelineQueries {
     "q96_ann_hamming" -> ((s, d) => annHamming(s, d)),
     "q101_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "q112_cluster_first_dedup" -> ((s, d) => clusterFirstNeardup(s, d)),
+    "q132_leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
     "q91_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -2394,6 +2504,7 @@ object PipelineQueries {
     "q96_ann_hamming" -> annHammingOracle,
     "q101_incremental_dedup" -> incrementalDedupOracle,
     "q112_cluster_first_dedup" -> clusterFirstNeardupOracle,
+    "q132_leakage_safe_split" -> leakageSafeSplitOracle,
     "q77_semdedup" -> semDedupOracle,
     "q91_line_dedup" -> lineDedupOracle,
     "q92_cluster_topics" -> clusterTopicsOracle
