@@ -349,6 +349,41 @@ object CurationQueries {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- q131: deterministic per-key reservoir sample --------------------------
+  /** Fixed-size uniform sample per stratum (k=10 docs per source) with no
+    * RNG state: priority = the md5 content fingerprint (q72/q76's hash
+    * family), rank within each source by (priority, doc_id). A content
+    * hash is uniform over the key space, so the k smallest priorities are
+    * a uniform without-replacement draw per key — reproducible
+    * run-to-run, stable under repartitioning, and append-monotone (a new
+    * doc only enters the sample by displacing the current max priority),
+    * none of which Spark's rand()/TABLESAMPLE gives. This is the
+    * inspect-k-per-source / eval-subset op every curation pipeline runs.
+    *
+    * 100 TB shape: rank ≤ k compiles to WindowGroupLimit (plan-asserted
+    * in PlanShapeSpec) — every map task keeps its local top-k per key
+    * BEFORE the exchange, so the shuffle carries ≤ k·|keys| rows per
+    * task, never the corpus, and no global sort exists anywhere. */
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("pri", expr(fpExpr))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank"), col("doc_id"), col("pri"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val reservoirSampleOracle: String =
+    s"""WITH f AS (SELECT source, doc_id, $fpSql AS pri FROM documents),
+       |  r AS (SELECT source, doc_id, pri,
+       |          CAST(row_number() OVER (PARTITION BY source
+       |            ORDER BY pri, doc_id) AS INTEGER) AS rank
+       |        FROM f)
+       |SELECT source, rank, doc_id, pri FROM r WHERE rank <= 10
+       |ORDER BY source, rank""".stripMargin
+
   // --- q78: deterministic global shuffle ------------------------------------
   /** Reproducible training-data shuffle: every epoch-0 data-loader needs
     * the corpus in a uniform pseudorandom order that is IDENTICAL across
@@ -637,6 +672,7 @@ object CurationQueries {
     "q72_domain_mix" -> ((s, d) => domainMix(s, d)),
     "q72b_domain_mix_hash" -> ((s, d) => domainMixHash(s, d)),
     "q76_train_split" -> ((s, d) => trainSplit(s, d)),
+    "q131_reservoir_sample" -> ((s, d) => reservoirSample(s, d)),
     "q78_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
     "q97_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q97b_dsir_resample" -> ((s, d) => dsirResample(s, d)),
@@ -650,6 +686,7 @@ object CurationQueries {
     "q72_domain_mix" -> domainMixOracle,
     "q72b_domain_mix_hash" -> domainMixHashOracle,
     "q76_train_split" -> trainSplitOracle,
+    "q131_reservoir_sample" -> reservoirSampleOracle,
     "q78_global_shuffle" -> globalShuffleOracle,
     "q97_dsir_weights" -> dsirWeightsOracle,
     "q97b_dsir_resample" -> dsirResampleOracle,

@@ -29,6 +29,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), s"rank<=k not pushed in:\n$p")
   }
 
+  test("q131 reservoir sample: map-side WindowGroupLimit, scan prunes text") {
+    val p = planOf("q131_reservoir_sample")
+    // the shuffle must carry <= k·|keys| rows per task, never the corpus
+    assert(p.contains("WindowGroupLimit"), s"rank<=k not pushed in:\n$p")
+    // the priority hashes `text`, but nothing downstream reads it — the
+    // scan keeps text only for the hash; doc text columns beyond it prune
+    val scan = p.split("\n").find(_.contains("FileScan")).getOrElse(p)
+    assert(!scan.contains("lang") && !scan.contains("n_chars"),
+      s"column pruning lost on documents scan:\n$scan")
+  }
+
   test("q1 pricing summary: scan reads only the six aggregated columns") {
     val p = planOf("q1_pricing_summary")
     val scan = p.split("\n").find(_.contains("FileScan")).getOrElse(p)
