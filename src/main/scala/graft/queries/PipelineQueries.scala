@@ -1013,12 +1013,18 @@ object PipelineQueries {
     * with q35, so the output is bit-identical and q35's oracle applies
     * VERBATIM — the persisted round trip + pruning is the delta under
     * test. */
-  def annIvfFromIndex(spark: SparkSession, dir: String): DataFrame = {
-    val idxRoot = SourceQueries.stagedBlobs(dir, "ivfidx", srcTable = "embeddings") { staging =>
+  /** The persisted cell-partitioned IVF lake (staged once per corpus
+    * fingerprint) — shared by q35c's serving probe and q133's
+    * copy-on-write delete. */
+  private def ivfIndexRoot(spark: SparkSession, dir: String): java.io.File =
+    SourceQueries.stagedBlobs(dir, "ivfidx", srcTable = "embeddings") { staging =>
       ivfAssigned(spark, dir)
         .write.partitionBy("cell")
         .parquet(new java.io.File(staging, "cells").getAbsolutePath)
     }
+
+  def annIvfFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idxRoot = ivfIndexRoot(spark, dir)
     val indexed = spark.read.parquet(s"$idxRoot/cells")
     val queries = indexed.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell"))
@@ -1153,6 +1159,113 @@ object PipelineQueries {
       |        - round(CAST(sn.s AS DOUBLE) / sn.n_new, 6), 6) > 0.01, false) AS rebuild_hint
       |FROM sb LEFT JOIN sn ON sb.cell = sn.cell
       |ORDER BY sb.cell""".stripMargin
+
+  // ---- q133: copy-on-write delete from the cell-partitioned lake -----------
+  /** The right-to-erasure / retention-delete primitive every 100 TB lake
+    * schedules: remove a victim set from the persisted IVF lake while
+    * rewriting ONLY the files that contain victims. The victim→cell
+    * mapping is re-derived ARITHMETICALLY (victims' vectors re-assigned
+    * against the same persisted-codebook arithmetic, |victims| work) —
+    * the lake is never scanned to find them. The new lake generation
+    * hard-links every untouched cell's files (same inode — CowDeleteSpec
+    * asserts file-key equality, the strongest possible "never touched"
+    * witness) and rewrites victim cells from a PARTITION-PRUNED read
+    * (plan carries `cell IN (…)` partition filters) anti-joined against
+    * the victim manifest. This is file-granularity copy-on-write — the
+    * mechanism under Delta/Iceberg DELETE — expressed as lake layout +
+    * Spark pruning.
+    *
+    * Victims here are `vec_id % 97 == 13` (~1%). At 100 TB the victim
+    * manifest arrives as a table; the anti-join shuffles only the victim
+    * cells' rows (already pruned) against it — never broadcast-sized by
+    * assumption, never corpus-sized by construction.
+    *
+    * Output: per affected cell, (n_before, n_deleted, n_after) with
+    * n_after measured FROM the rewritten generation — a rewrite bug
+    * (missed victim, dropped survivor) breaks the driver's bit-exact
+    * match against the oracle's pure arithmetic. */
+  def cowDelete(spark: SparkSession, dir: String): DataFrame = {
+    val baseRoot = ivfIndexRoot(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorFns.normL2(col("v")))
+      .planCache()
+    val victims = e.filter(col("vec_id") % 97 === 13)
+    // victims' cells without touching the lake: the same centroid-seed +
+    // argmax arithmetic the lake was built with, applied to victims only.
+    // planCache: the assignment feeds both the driver cell list and the
+    // rewrite's anti-join — the |victims|·K dot products run once.
+    val centroids = centroidSeeds(e)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
+    val victimAssign = victims.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
+      .planCache()
+    // ≤ |centroids| rows by construction (bounded-K design: ~max(100,
+    // n/256) cells) — a driver-resident cell list, never corpus-sized
+    val victimCells: Array[Long] = victimAssign.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val delRoot = SourceQueries.stagedBlobs(dir, "ivfgdprd", srcTable = "embeddings") { staging =>
+      val cellsDir = new java.io.File(baseRoot, "cells")
+      val outCells = new java.io.File(staging, "cells")
+      outCells.mkdirs()
+      val victimSet = victimCells.toSet
+      // untouched cells: hard-link every file (zero copy, shared inode)
+      for (cellDir <- cellsDir.listFiles() if cellDir.isDirectory) {
+        val cellId = cellDir.getName.stripPrefix("cell=").toLong
+        if (!victimSet(cellId)) {
+          val out = new java.io.File(outCells, cellDir.getName)
+          out.mkdirs()
+          for (f <- cellDir.listFiles() if f.isFile)
+            java.nio.file.Files.createLink(
+              new java.io.File(out, f.getName).toPath, f.toPath)
+        }
+      }
+      // victim cells: partition-pruned read, anti-join the manifest,
+      // rewrite just those partitions
+      val rewrite = new java.io.File(staging, "rewrite")
+      spark.read.parquet(cellsDir.getAbsolutePath)
+        .filter(col("cell").isin(victimCells: _*))
+        .join(victimAssign.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .write.partitionBy("cell").parquet(rewrite.getAbsolutePath)
+      for (cellDir <- rewrite.listFiles() if cellDir.isDirectory &&
+             cellDir.getName.startsWith("cell=")) {
+        java.nio.file.Files.move(cellDir.toPath,
+          new java.io.File(outCells, cellDir.getName).toPath)
+      }
+      // a fully-deleted cell writes no partition dir: its absence in the
+      // new generation is the correct representation
+    }
+    val before = spark.read.parquet(s"$baseRoot/cells")
+      .filter(col("cell").isin(victimCells: _*))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_before"))
+    val after = spark.read.parquet(s"$delRoot/cells")
+      .filter(col("cell").isin(victimCells: _*))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("cell"), "left")
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+      .withColumn("n_deleted", col("n_before") - col("n_after"))
+      .select(col("cell"), col("n_before"), col("n_deleted"), col("n_after"))
+      .orderBy(col("cell"))
+  }
+
+  /** Pure arithmetic: q35's assignment, per-cell victim counts. */
+  val cowDeleteOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      |           WHERE vec_id % (SELECT greatest(100, (count(*) + 255) // 256) FROM e) = 0),
+      |  assigned AS (SELECT vec_id, cell FROM (
+      |      SELECT e.vec_id, cent.cent_id AS cell,
+      |             row_number() OVER (PARTITION BY e.vec_id
+      |               ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cent_id) AS crn
+      |      FROM e CROSS JOIN cent) WHERE crn = 1),
+      |  agg AS (SELECT cell, count(*) AS n_before,
+      |            count(*) FILTER (vec_id % 97 = 13) AS n_deleted
+      |          FROM assigned GROUP BY cell)
+      |SELECT cell, n_before, n_deleted, n_before - n_deleted AS n_after
+      |FROM agg WHERE n_deleted > 0 ORDER BY cell""".stripMargin
 
   // ---- ANN: 1-bit sign quantization + Hamming shortlist --------------------
   /** Binary-quantized ANN: each d-dim vector compresses to ceil(d/64)
@@ -2465,6 +2578,7 @@ object PipelineQueries {
     "q101_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "q112_cluster_first_dedup" -> ((s, d) => clusterFirstNeardup(s, d)),
     "q132_leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
+    "q133_cow_delete" -> ((s, d) => cowDelete(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
     "q91_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -2505,6 +2619,7 @@ object PipelineQueries {
     "q101_incremental_dedup" -> incrementalDedupOracle,
     "q112_cluster_first_dedup" -> clusterFirstNeardupOracle,
     "q132_leakage_safe_split" -> leakageSafeSplitOracle,
+    "q133_cow_delete" -> cowDeleteOracle,
     "q77_semdedup" -> semDedupOracle,
     "q91_line_dedup" -> lineDedupOracle,
     "q92_cluster_topics" -> clusterTopicsOracle
