@@ -371,27 +371,34 @@ object PipelineQueries {
     * exact > near > new; best near match = highest Jaccard then lowest
     * index id. Batch×index joins touch |batch|·avgBlock pairs — never
     * index×index. */
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
-    def feat(df: DataFrame) = df
-      .withColumn("fp", sha2(col("text"), 256))
-      .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
-      .withColumn("sh", transform(shingleExpr("text"), x => xxhash64(x)))
-      .drop("text")
-    val index = feat(d.select(col("doc_id"), col("text"))).planCache()
-    val batch = feat(d.select((col("doc_id") + 1000000L).as("doc_id"),
+  /** The dedup feature triple shared by q101 (in-query index), q134
+    * (persisted bucketed index), and the decision assembly: content
+    * fingerprint, first-5-words block, hashed-shingle sketch. */
+  private def dedupFeatures(df: DataFrame): DataFrame = df
+    .withColumn("fp", sha2(col("text"), 256))
+    .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
+    .withColumn("sh", transform(shingleExpr("text"), x => xxhash64(x)))
+    .drop("text")
+
+  /** q101/q134's synthetic day-N+1 arrivals: per standing doc one exact
+    * copy (%3=0), one 90% truncation (near-dup, %3=1), one 20% prefix
+    * (below the 0.3 bar → 'new', %3=2) — all three decision paths. */
+  private def dedupBatch(d: DataFrame): DataFrame =
+    dedupFeatures(d.select((col("doc_id") + 1000000L).as("doc_id"),
       expr("""CASE doc_id % 3
               |WHEN 0 THEN text
               |WHEN 1 THEN substring(text, 1, CAST(n_chars * 9 DIV 10 AS INT))
               |ELSE substring(text, 1, CAST(n_chars DIV 5 AS INT)) END""".stripMargin).as("text")))
-      .planCache()
-    val exact = batch.join(index.select(col("fp"), col("doc_id").as("old_id")), Seq("fp"))
+
+  /** Decision assembly shared by q101 and q134: exact > near > new. */
+  private def dedupDecide(batch: DataFrame, fpIndex: DataFrame,
+                          blockIndex: DataFrame): DataFrame = {
+    val exact = batch.join(fpIndex, Seq("fp"))
       .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_id"))
     val wBest = Window.partitionBy("doc_id").orderBy(desc("jaccard"), asc("old_id"))
     val near = withJaccard(
         batch.select(col("doc_id"), col("block"), col("sh").as("sh1"))
-          .join(index.select(col("block"), col("doc_id").as("old_id"), col("sh").as("sh2")),
-            Seq("block")),
+          .join(blockIndex, Seq("block")),
         "sh1", "sh2", minJaccardTenths = 3)
       .filter(col("jaccard") >= 0.3)
       .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
@@ -407,6 +414,90 @@ object PipelineQueries {
         when(col("exact_id").isNotNull, lit(null).cast("double")).otherwise(col("near_jac")))
       .select(col("doc_id"), col("decision"), col("matched_id"), col("jaccard"))
       .orderBy(col("doc_id"))
+  }
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    val index = dedupFeatures(d.select(col("doc_id"), col("text"))).planCache()
+    val batch = dedupBatch(d).planCache()
+    dedupDecide(batch,
+      index.select(col("fp"), col("doc_id").as("old_id")),
+      index.select(col("block"), col("doc_id").as("old_id"), col("sh").as("sh2")))
+  }
+
+  // ---- q134: day-N+1 dedup served from the PERSISTED bucketed index --------
+  /** Exact fingerprinted names of the dedup-index tables (shared with
+    * tests so they resolve the same artifact, never a stale sibling). */
+  private[queries] def dedupIndexTableName(dir: String, family: String): String =
+    s"${family}_${new java.io.File(dir).getName.replace('.', '_')}_" +
+      graft.core.Staging.hexFingerprint(new java.io.File(s"$dir/documents.parquet"))
+
+  /** Stage a bucketed metastore table once per corpus fingerprint —
+    * q121's atomic-publish discipline, generalized. `ddlCols` is the
+    * external table's column DDL (must match `build`'s schema). */
+  private def stagedBucketedTable(spark: SparkSession, dir: String,
+      family: String, bucketKey: String, ddlCols: String)(
+      build: => DataFrame): DataFrame = {
+    import graft.core.Staging
+    val tbl = dedupIndexTableName(dir, family)
+    if (!spark.catalog.tableExists(tbl)) synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        val whRoot = new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+        val loc = new java.io.File(whRoot, tbl)
+        if (!loc.exists()) {
+          val uuid = java.util.UUID.randomUUID().toString.take(8)
+          val tmpTbl = s"${tbl}_stg_$uuid"
+          val tmpLoc = new java.io.File(whRoot, s".${tbl}_tmp_$uuid")
+          build
+            // align write tasks to buckets: one file per bucket
+            .repartition(8, col(bucketKey))
+            .write.option("path", tmpLoc.getAbsolutePath)
+            .bucketBy(8, bucketKey)
+            .saveAsTable(tmpTbl)
+          spark.sql(s"DROP TABLE `$tmpTbl`")
+          Staging.publish(tmpLoc, loc)
+        }
+        spark.sql(
+          s"""CREATE TABLE `$tbl` ($ddlCols)
+             |USING PARQUET
+             |CLUSTERED BY ($bucketKey)
+             |INTO 8 BUCKETS
+             |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+        val (d, b) = Staging.sweepStale(whRoot,
+          s"${family}_${new java.io.File(dir).getName.replace('.', '_')}_", tbl)
+        Staging.recordSweep(d, b)
+      }
+    }
+    spark.table(tbl)
+  }
+
+  /** q101 derives the corpus index in-query per run; this is the
+    * production artifact that derivation amortizes into — the standing
+    * corpus' dedup features persist as TWO bucketed metastore tables
+    * (exact keys bucketed by fp; near keys + shingle sketches bucketed
+    * by block), staged once per corpus fingerprint. The day-N+1 decision
+    * joins the batch against them, and the catalog bucket spec hands
+    * each join the index side PRE-PARTITIONED (FileSourceStrategy emits
+    * HashPartitioning from the bucketing — no Exchange above the index
+    * scan), so ONLY the batch shuffles: index bytes never move, at any
+    * corpus size. That one-sided-exchange shape is plan-asserted in
+    * DedupIndexSpec; the decision output is q101's bit-for-bit, so its
+    * oracle applies verbatim — the persisted round trip is the delta
+    * under test (the q111/q35c/q38b discipline, closing the trilogy:
+    * postings lake, IVF lake, dedup index). */
+  def dedupFromIndexTable(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    def features = dedupFeatures(d.select(col("doc_id"), col("text")))
+    val fpIdx = stagedBucketedTable(spark, dir, "dedup_fpidx", "fp",
+      "fp STRING, old_id BIGINT") {
+      features.select(col("fp"), col("doc_id").as("old_id"))
+    }
+    val blockIdx = stagedBucketedTable(spark, dir, "dedup_blkidx", "block",
+      "block STRING, old_id BIGINT, sh2 ARRAY<BIGINT>") {
+      features.select(col("block"), col("doc_id").as("old_id"), col("sh").as("sh2"))
+    }
+    dedupDecide(dedupBatch(d).planCache(), fpIdx, blockIdx)
   }
 
   val incrementalDedupOracle: String = {
@@ -2576,6 +2667,7 @@ object PipelineQueries {
     "q39b_ann_ivfpq_index" -> ((s, d) => annIvfPqFromIndexChecked(s, d)),
     "q96_ann_hamming" -> ((s, d) => annHamming(s, d)),
     "q101_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
+    "q134_dedup_index_table" -> ((s, d) => dedupFromIndexTable(s, d)),
     "q112_cluster_first_dedup" -> ((s, d) => clusterFirstNeardup(s, d)),
     "q132_leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
     "q133_cow_delete" -> ((s, d) => cowDelete(s, d)),
@@ -2617,6 +2709,9 @@ object PipelineQueries {
     "q129_ivf_index_append" -> ivfIndexAppendOracle,
     "q96_ann_hamming" -> annHammingOracle,
     "q101_incremental_dedup" -> incrementalDedupOracle,
+    // q134: identical decision arithmetic served from the persisted
+    // bucketed index — the artifact round trip is the delta under test
+    "q134_dedup_index_table" -> incrementalDedupOracle,
     "q112_cluster_first_dedup" -> clusterFirstNeardupOracle,
     "q132_leakage_safe_split" -> leakageSafeSplitOracle,
     "q133_cow_delete" -> cowDeleteOracle,

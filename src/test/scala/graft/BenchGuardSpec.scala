@@ -160,6 +160,39 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(line.contains("144") || line.contains("more"))
   }
 
+  test("uniform cross-box shift rebases the clean baseline; contention does not") {
+    val names = (1 to 171).map(i => f"q$i%03d_op")
+    val prev = names.map(_ -> 0.5).toMap
+    // hardware-class shift: EVERY query uniformly 1.16x — no individual
+    // suspect, no alert, but outside the ±12% clean band. Must be
+    // accepted as clean-for-this-box with the rebase annotation (the r17
+    // box sat at a flat 1.16x and could never re-enter the old VM's band)
+    val uniform: Seq[(String, Option[Double])] = names.map(n => n -> Some(0.58))
+    val gU = Bench.evalGuard(uniform, Right(prev), prevSuspect = false)
+    assert(gU.cleanEligible, "uniform shift must re-seed the clean baseline")
+    assert(gU.alertTrigger.isEmpty)
+    assert(gU.fileExtra.contains(""""rebase""""))
+    assert(gU.fileExtra.contains("uniform_cross_box_shift"))
+    // the symmetric FAST direction (moved to a quicker box) rebases too
+    val fast: Seq[(String, Option[Double])] = names.map(n => n -> Some(0.43))
+    val gF = Bench.evalGuard(fast, Right(prev), prevSuspect = false)
+    assert(gF.cleanEligible && gF.fileExtra.contains(""""rebase""""))
+    // contention shape: same aggregate ratio but concentrated — a handful
+    // of queries 3x while the rest sit at baseline. Suspects > max, so NO
+    // rebase and NOT clean
+    val nHot = 14
+    val hot: Seq[(String, Option[Double])] = names.zipWithIndex.map { case (n, i) =>
+      n -> Some(if (i < nHot) 1.5 else 0.5)
+    }
+    val gC = Bench.evalGuard(hot, Right(prev), prevSuspect = false)
+    assert(!gC.cleanEligible, "a concentrated smear must not rebase")
+    assert(!gC.fileExtra.contains(""""rebase""""))
+    // a uniform shift big enough to fire the ratio alert stays manual
+    val big: Seq[(String, Option[Double])] = names.map(n => n -> Some(0.65))
+    val gB = Bench.evalGuard(big, Right(prev), prevSuspect = false)
+    assert(!gB.cleanEligible && gB.alertTrigger.isDefined)
+  }
+
   test("clean-baseline file naming mirrors the official pinning") {
     assert(Bench.cleanFileName(sf, "32") == "BENCH_CLEAN.json")
     assert(Bench.cleanFileName(sf, "8") == "BENCH_CLEAN_sf0.1_cpus8.json")
