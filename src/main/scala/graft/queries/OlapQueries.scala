@@ -698,6 +698,51 @@ object OlapQueries {
       |WINDOW w AS (ORDER BY n_chars DESC, doc_id)
       |ORDER BY global_rank""".stripMargin
 
+  // --- q136: weekly cohort retention matrix ----------------------------------
+  /** The product-analytics staple next to q85's funnel: cohort = the
+    * week of a user's FIRST event; for each (cohort_week, offset) the
+    * count of cohort members active that week and the retention rate in
+    * basis points — all-integer arithmetic (week = epoch_us div 1 week,
+    * rate = n·10000 div cohort size) so the matrix is bit-exact
+    * cross-engine.
+    *
+    * 100 TB shape: three keyed aggregations and nothing else — first
+    * event per user (groupBy user), distinct (user, week) activity, the
+    * (cohort, offset) rollup — every shuffle carries (id, long) pairs;
+    * cohort sizes are a ≤|weeks| frame broadcast into the final join.
+    * No window over the corpus, no driver state. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wkUs = 604800000000L // 7 * 86400 * 1e6
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $wkUs").as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_n"))
+    val active = e.distinct()
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("retention_bp",
+        expr("n_active * 10000 div cohort_n"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_n"),
+        col("n_active"), col("retention_bp"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |  f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+      |  s AS (SELECT cohort_week, count(*) AS cohort_n FROM f GROUP BY 1),
+      |  a AS (SELECT DISTINCT e.user_id, f.cohort_week, e.wk - f.cohort_week AS week_offset
+      |        FROM e JOIN f USING (user_id)),
+      |  r AS (SELECT cohort_week, week_offset, count(*) AS n_active
+      |        FROM a GROUP BY 1, 2)
+      |SELECT r.cohort_week, r.week_offset, s.cohort_n, r.n_active,
+      |  CAST(r.n_active * 10000 // s.cohort_n AS BIGINT) AS retention_bp
+      |FROM r JOIN s USING (cohort_week)
+      |ORDER BY r.cohort_week, r.week_offset""".stripMargin
+
   // --- q126: small-files compaction planner (sequential bin packing) --------
   /** The lake-maintenance operator every 100 TB deployment schedules
     * nightly: plan the rewrite of N small files into ~target-sized
@@ -755,6 +800,7 @@ object OlapQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
+    "q136_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
     "q120_global_rank" -> ((s, d) => globalRank(s, d)),
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
     "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
@@ -771,6 +817,7 @@ object OlapQueries {
 
   def oracles: Map[String, String] = Map(
     "q126_compaction_plan" -> compactionPlanOracle,
+    "q136_cohort_retention" -> cohortRetentionOracle,
     "q120_global_rank" -> globalRankOracle,
     "q68_approx_quantiles" -> approxQuantilesCheckedOracle,
     "q84_zorder_layout" -> zorderLayoutOracle,

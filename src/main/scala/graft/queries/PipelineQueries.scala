@@ -1430,6 +1430,72 @@ object PipelineQueries {
       |       CAST(rnk AS INTEGER) AS rank
       |FROM rr WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---- q135: Matryoshka truncated-dimension recall --------------------------
+  /** The evaluation operator for the representation end of the
+    * quantization ladder (float32 → int8 q73 → PQ q38 → 1-bit q96 →
+    * dimension TRUNCATION here): rank by cosine over only the FIRST 16
+    * of 64 dims — the Matryoshka-representation serving trick (Kusupati
+    * et al. 2022, public): if the embedder front-loads information, a
+    * prefix of the vector is a 4× cheaper first-stage ranker (4× less
+    * scan I/O, 4× fewer multiplies). Whether YOUR embeddings tolerate it
+    * is an empirical question, so the operator MEASURES it: top-5 by
+    * full-precision cosine vs top-5 by prefix cosine, per-query
+    * overlap@5. Both rankings are brute-force over the broadcast query
+    * batch (the q17 shape: one scan, map-side WindowGroupLimit under a
+    * single shuffle); the slice is a codegen HOF, so the truncated leg
+    * reads the same column but computes on a quarter of it. Exact
+    * integer output — the oracle replays both rankings in DuckDB. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val m = 16
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("t", expr(s"slice(v, 1, $m)"))
+      .withColumn("nv", VectorFns.normL2(col("v")))
+      .withColumn("nt", VectorFns.normL2(col("t")))
+      .planCache()
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t").as("qt"),
+        col("nv").as("qnv"), col("nt").as("qnt"))
+    def top5(scoreCol: Column): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+      e.crossJoin(broadcast(qs))
+        .withColumn("cos", scoreCol)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val full = top5(VectorFns.safeCosine(
+      VectorFns.dot(col("qv"), col("v")), col("qnv"), col("nv")))
+    val trunc = top5(VectorFns.safeCosine(
+      VectorFns.dot(col("qt"), col("t")), col("qnt"), col("nt")))
+    full.join(trunc.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap5"))
+      .withColumn("recall_pct", (col("overlap5") * 20).cast("int"))
+      .orderBy(col("query_id"))
+  }
+
+  val matryoshkaRecallOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |                  CAST(embedding AS DOUBLE[])[1:16] AS t FROM embeddings),
+      |  q AS (SELECT vec_id AS query_id, v AS qv, t AS qt FROM e WHERE vec_id < 3),
+      |  full5 AS (SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, e.vec_id,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS r
+      |    FROM q CROSS JOIN e) WHERE r <= 5),
+      |  tr5 AS (SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, e.vec_id,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qt, e.t) DESC, e.vec_id) AS r
+      |    FROM q CROSS JOIN e) WHERE r <= 5)
+      |SELECT f.query_id,
+      |  CAST(count(t.vec_id) AS BIGINT) AS overlap5,
+      |  CAST(count(t.vec_id) * 20 AS INTEGER) AS recall_pct
+      |FROM full5 f LEFT JOIN tr5 t
+      |  ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
+
   // ---- semantic dedup over embedding clusters (SemDeDup) -------------------
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication" — public paper): embedding
@@ -2668,6 +2734,7 @@ object PipelineQueries {
     "q96_ann_hamming" -> ((s, d) => annHamming(s, d)),
     "q101_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "q134_dedup_index_table" -> ((s, d) => dedupFromIndexTable(s, d)),
+    "q135_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
     "q112_cluster_first_dedup" -> ((s, d) => clusterFirstNeardup(s, d)),
     "q132_leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
     "q133_cow_delete" -> ((s, d) => cowDelete(s, d)),
@@ -2712,6 +2779,7 @@ object PipelineQueries {
     // q134: identical decision arithmetic served from the persisted
     // bucketed index — the artifact round trip is the delta under test
     "q134_dedup_index_table" -> incrementalDedupOracle,
+    "q135_matryoshka_recall" -> matryoshkaRecallOracle,
     "q112_cluster_first_dedup" -> clusterFirstNeardupOracle,
     "q132_leakage_safe_split" -> leakageSafeSplitOracle,
     "q133_cow_delete" -> cowDeleteOracle,
