@@ -271,7 +271,9 @@ object PipelineQueries {
     * components are tiny, so the closure is bounded). */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusMutant(spark, dir)
-    val hashed = corpus.withColumn("h", sha2(col("text"), 256))
+    // planCache: the sha256 pass feeds both the cluster election and the
+    // representative re-join — one corpus digest pass, not two
+    val hashed = corpus.withColumn("h", sha2(col("text"), 256)).planCache()
     val clusters = hashed.groupBy(col("h"))
       .agg(min("doc_id").as("rep_id"), collect_list(col("doc_id")).as("ids"))
     // exact star pairs: rep ↔ every other member of its sha cluster
