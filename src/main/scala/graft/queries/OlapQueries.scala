@@ -743,6 +743,139 @@ object OlapQueries {
       |FROM r JOIN s USING (cohort_week)
       |ORDER BY r.cohort_week, r.week_offset""".stripMargin
 
+  // --- q139: exact two-sample Kolmogorov–Smirnov drift statistic ------------
+  /** The distribution-drift test next to q103's binned PSI: the EXACT KS
+    * statistic D = max_v |F₁(v) − F₂(v)| between two event cohorts
+    * (alternating event ids — a deterministic split the oracle re-derives),
+    * kept in integer arithmetic end to end: D's numerator is
+    * max |c₁(v)·n₂ − c₂(v)·n₁| over observed values, so the result is
+    * bit-exact cross-engine with no float CDFs (reported also as basis
+    * points via integer division).
+    *
+    * 100 TB shape: one groupBy(value) turns the corpus into per-value
+    * side-counts (the only corpus-sized shuffle, 24-byte rows); the
+    * ordered CDF prefix sum then runs bucketed (q126's distributed form —
+    * per-bucket totals window on ≤|value-range| rows, within-bucket
+    * windows partition-local), so NO corpus-sized single-partition window
+    * exists; the argmax is a TakeOrderedAndProject tree reduction. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("value"), (col("event_id") % 2 === 0).as("is_a"))
+    val tot = e.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n2"))
+    val counts = e.groupBy(col("value")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("a_n"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("b_n"))
+      .withColumn("bucket", floor(col("value")).cast("long"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ |value range| rows: the single-partition window is over bucket totals
+    val offsets = counts.groupBy(col("bucket"))
+      .agg(sum(col("a_n")).as("a_t"), sum(col("b_n")).as("b_t"))
+      .withColumn("a_off", coalesce(sum(col("a_t")).over(wOff), lit(0L)))
+      .withColumn("b_off", coalesce(sum(col("b_t")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("a_off"), col("b_off"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("a_cum", col("a_off") + sum(col("a_n")).over(wIn))
+      .withColumn("b_cum", col("b_off") + sum(col("b_n")).over(wIn))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", abs(col("a_cum") * col("n2") - col("b_cum") * col("n1")))
+      .orderBy(desc("diff"), asc("value")).limit(1)
+      .select(col("n1"), col("n2"), col("diff").as("ks_num"),
+        col("value").as("at_value"),
+        expr("diff * 10000 div (n1 * n2)").as("ks_bp"))
+  }
+
+  /** Naive global-window CDF — the bucketed derivation must equal it. */
+  val ksDriftOracle: String =
+    """WITH e AS (SELECT value, (event_id % 2 = 0) AS is_a FROM events),
+      |  t AS (SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n1,
+      |               sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n2 FROM e),
+      |  c AS (SELECT value,
+      |          sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a_n,
+      |          sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS b_n
+      |        FROM e GROUP BY 1),
+      |  k AS (SELECT value,
+      |          sum(a_n) OVER w AS a_cum, sum(b_n) OVER w AS b_cum
+      |        FROM c WINDOW w AS (ORDER BY value
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |  d AS (SELECT value, abs(a_cum * t.n2 - b_cum * t.n1) AS diff FROM k, t)
+      |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+      |  CAST(d.diff AS BIGINT) AS ks_num, d.value AS at_value,
+      |  CAST(d.diff * 10000 // (t.n1 * t.n2) AS BIGINT) AS ks_bp
+      |FROM d, t ORDER BY d.diff DESC, d.value LIMIT 1""".stripMargin
+
+  // --- q137: snapshot diff (versioned-lake change classification) -----------
+  /** The lake-versioning staple next to q126's compaction plan and q133's
+    * copy-on-write delete: classify every key across two table snapshots
+    * as added / removed / changed / unchanged. Snapshot v2 derives
+    * deterministically from v1 (the `documents` table): keys ≡0 mod 97
+    * are deleted, ≡0 mod 53 are edited (a revision marker appended),
+    * ≡0 mod 101 are re-keyed inserts — so the oracle re-derives the same
+    * pair of snapshots and the diff is a pure function of the corpus.
+    *
+    * 100 TB shape: each side is projected to (doc_id, xxhash64(all
+    * columns)) AT THE SCAN, so the full-outer shuffle carries 16-byte
+    * rows — never document payloads. Change detection compares the two
+    * 64-bit digests per key (same-key collision is the only false path,
+    * ~2⁻⁶⁴ per key); the classification then folds into a 4-row keyed
+    * aggregate with map-side partials. No window, no driver state —
+    * exactly the shape a snapshot-diff job needs when v1 and v2 are each
+    * 100 TB of parquet and the answer is "what changed overnight". */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    // deterministic next snapshot: delete %97, edit %53, insert %101 re-keyed
+    val v2 = v1.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 53 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .unionByName(
+        v1.filter(col("doc_id") % 101 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000000L)))
+    def digest(df: DataFrame, h: String): DataFrame = df.select(
+      col("doc_id"),
+      xxhash64(col("text"), col("lang"), col("source"), col("n_chars")).as(h))
+    digest(v1, "h1").join(digest(v2, "h2"), Seq("doc_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_key"),
+        max(col("doc_id")).as("max_key"), sum(col("doc_id")).as("key_sum"))
+      .orderBy(col("change_type"))
+  }
+
+  /** Naive full-width comparison — the digest diff must equal it exactly.
+    * The oracle compares columns directly (no hash): a digest disagreement
+    * that misclassifies any row flips a count here. */
+  val snapshotDiffOracle: String =
+    """WITH v1 AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+      |  v2 AS (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 53 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+      |      lang, source, n_chars
+      |    FROM documents WHERE doc_id % 97 <> 0
+      |    UNION ALL
+      |    SELECT doc_id + 10000000000, text, lang, source, n_chars
+      |    FROM documents WHERE doc_id % 101 = 0),
+      |  j AS (
+      |    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |      CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |           WHEN v2.doc_id IS NULL THEN 'removed'
+      |           WHEN v1.text <> v2.text OR v1.lang <> v2.lang
+      |                OR v1.source <> v2.source OR v1.n_chars <> v2.n_chars
+      |             THEN 'changed'
+      |           ELSE 'unchanged' END AS change_type
+      |    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT change_type, count(*) AS n, min(doc_id) AS min_key,
+      |  max(doc_id) AS max_key, CAST(sum(doc_id) AS BIGINT) AS key_sum
+      |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin
+
   // --- q126: small-files compaction planner (sequential bin packing) --------
   /** The lake-maintenance operator every 100 TB deployment schedules
     * nightly: plan the rewrite of N small files into ~target-sized
@@ -801,6 +934,8 @@ object OlapQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
     "q136_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
+    "q137_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
+    "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
     "q120_global_rank" -> ((s, d) => globalRank(s, d)),
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
     "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
@@ -818,6 +953,8 @@ object OlapQueries {
   def oracles: Map[String, String] = Map(
     "q126_compaction_plan" -> compactionPlanOracle,
     "q136_cohort_retention" -> cohortRetentionOracle,
+    "q137_snapshot_diff" -> snapshotDiffOracle,
+    "q139_ks_drift" -> ksDriftOracle,
     "q120_global_rank" -> globalRankOracle,
     "q68_approx_quantiles" -> approxQuantilesCheckedOracle,
     "q84_zorder_layout" -> zorderLayoutOracle,
