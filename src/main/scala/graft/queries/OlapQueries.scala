@@ -743,6 +743,162 @@ object OlapQueries {
       |FROM r JOIN s USING (cohort_week)
       |ORDER BY r.cohort_week, r.week_offset""".stripMargin
 
+  // --- q143: last-touch marketing attribution --------------------------------
+  /** The attribution staple next to q85's funnel and q136's cohorts:
+    * credit each purchase to the user's most recent preceding touch
+    * (view/click/signup) within a 24 h lookback, else 'direct'. The
+    * carry-forward is `last(..., ignoreNulls)` over a per-user ordered
+    * frame ending at 1 PRECEDING — the purchase itself never self-
+    * attributes, and the (ts, event_id) order pins same-microsecond ties.
+    *
+    * 100 TB shape: ONE shuffle, keyed by user_id (per-user event counts
+    * are bounded — no skew pathologies), windows run partition-local,
+    * then a 4-row channel rollup with map-side partials. No self-join of
+    * the event stream, which is how attribution is usually written and
+    * why it usually dies at scale. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val touch = when(col("event_type").isin("view", "click", "signup"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("ltt", last(touch, ignoreNulls = true).over(w))
+      .withColumn("lts", last(when(touch.isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("lts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("lts")) <= 86400000000L, col("ltt"))
+          .otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("channel"))
+  }
+
+  val attributionOracle: String =
+    """WITH t AS (SELECT *,
+      |  last_value(CASE WHEN event_type IN ('view','click','signup')
+      |                  THEN event_type END IGNORE NULLS) OVER w AS ltt,
+      |  last_value(CASE WHEN event_type IN ('view','click','signup')
+      |                  THEN ts END IGNORE NULLS) OVER w AS lts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT CASE WHEN lts IS NOT NULL AND epoch_us(ts) - epoch_us(lts) <= 86400000000
+      |            THEN ltt ELSE 'direct' END AS channel,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
+  // --- q144: grouped Pareto skyline ------------------------------------------
+  /** The skyline (Pareto-frontier) operator: per return flag, the
+    * (price, discount) points no other point dominates (≥ in both
+    * dimensions, > in one). 2-D skylines reduce to an ordered prefix-max
+    * — a point survives iff its discount strictly exceeds every
+    * strictly-higher-priced point's — so the distributed form is the
+    * SAME bucketed prefix machinery as q126/q139 with max as the monoid:
+    * per-(flag, price-KiB-bucket) maxima window on a tiny frame, the
+    * corpus-sized prefix runs partition-local within buckets. No
+    * quadratic dominance join exists at any scale; the naive NOT EXISTS
+    * formulation is what SkylineSpec uses to verify, at spec scale. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+      .agg(max(col("l_discount")).as("discount"))
+      .withColumn("bucket", floor(col("price") / 1000).cast("long"))
+    val wOff = Window.partitionBy(col("flag")).orderBy(desc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ |price range in KiB| rows per flag: prefix over bucket maxima
+    val boffs = pts.groupBy(col("flag"), col("bucket"))
+      .agg(max(col("discount")).as("bmax"))
+      .withColumn("hmax", max(col("bmax")).over(wOff))
+      .select(col("flag"), col("bucket"), col("hmax"))
+    val wIn = Window.partitionBy(col("flag"), col("bucket")).orderBy(desc("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.join(broadcast(boffs), Seq("flag", "bucket"))
+      .withColumn("runmax", greatest(
+        coalesce(col("hmax"), lit(-1.0)),
+        coalesce(max(col("discount")).over(wIn), lit(-1.0))))
+      .filter(col("discount") > col("runmax"))
+      .select(col("flag"), col("price"), col("discount"))
+      .orderBy(col("flag"), desc("price"))
+  }
+
+  /** Naive global prefix-max skyline — the bucketed form must equal it. */
+  val skylineOracle: String =
+    """WITH p AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+      |             max(l_discount) AS discount
+      |           FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT flag, price, discount,
+      |        max(discount) OVER (PARTITION BY flag ORDER BY price DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+      |      FROM p)
+      |SELECT flag, price, discount FROM r
+      |WHERE runmax IS NULL OR discount > runmax
+      |ORDER BY flag, price DESC""".stripMargin
+
+  // --- q142: incremental materialized-view maintenance ----------------------
+  /** The algebraic-merge refresh every warehouse runs nightly: an hourly
+    * per-event-type rollup maintained INCREMENTALLY — the base MV (the
+    * first 80% of events by id, simulating yesterday's corpus) persists
+    * once as a staged parquet artifact; the refresh aggregates ONLY the
+    * delta (the remaining 20%) and merges the two partial states
+    * algebraically (counts add, DECIMAL sums add exactly, min/max fold).
+    * The oracle is the FULL recompute over all events, so the driver gate
+    * proves the merge algebra is lossless — the MV identity
+    * agg(base ∪ delta) = merge(agg(base), agg(delta)).
+    *
+    * 100 TB shape: the serve path never rescans base rows — it reads the
+    * |hours × types|-row MV artifact plus the delta partition; the merge
+    * is a full-outer join on the MV key whose both sides are already
+    * aggregate-sized. At a real deployment the delta is a day's
+    * partition, so refresh cost is O(delta), not O(corpus) —
+    * IncrementalMvSpec plan-asserts exactly one events scan (the delta)
+    * in the serve plan. */
+  private def mvBaseLake(spark: SparkSession, dir: String): java.io.File =
+    SourceQueries.stagedBlobs(dir, "mvbase", srcTable = "events") { staging =>
+      Tables.events(spark, dir)
+        .filter(col("event_id") % 10 < 8)
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_dec"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(staging, "mv").getAbsolutePath)
+    }
+
+  def incrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0).cast("decimal(28,2)")
+    val mv = spark.read
+      .parquet(new java.io.File(mvBaseLake(spark, dir), "mv").getAbsolutePath)
+      .select(col("event_type"), col("hour_us"), col("n_events").as("bn"),
+        col("sum_dec").as("bs"), col("min_value").as("bmin"), col("max_value").as("bmax"))
+    val delta = Tables.events(spark, dir)
+      .filter(col("event_id") % 10 >= 8)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("dn"), sum(col("value").cast("decimal(18,2)")).as("ds"),
+        min(col("value")).as("dmin"), max(col("value")).as("dmax"))
+    mv.join(delta, Seq("event_type", "hour_us"), "full_outer")
+      .select(col("event_type"), col("hour_us"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+        (coalesce(col("bs"), zero) + coalesce(col("ds"), zero))
+          .cast("double").as("total_value"),
+        least(col("bmin"), col("dmin")).as("min_value"),
+        greatest(col("bmax"), col("dmax")).as("max_value"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  /** The full recompute the incremental merge must equal exactly. */
+  val incrementalMvOracle: String =
+    """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_us""".stripMargin
+
   // --- q139: exact two-sample Kolmogorov–Smirnov drift statistic ------------
   /** The distribution-drift test next to q103's binned PSI: the EXACT KS
     * statistic D = max_v |F₁(v) − F₂(v)| between two event cohorts
@@ -936,6 +1092,9 @@ object OlapQueries {
     "q136_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
     "q137_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
+    "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
+    "q143_attribution" -> ((s, d) => attribution(s, d)),
+    "q144_skyline" -> ((s, d) => skyline(s, d)),
     "q120_global_rank" -> ((s, d) => globalRank(s, d)),
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
     "q67_pivot" -> ((s, d) => pivotStatus(s, d)),
@@ -955,6 +1114,9 @@ object OlapQueries {
     "q136_cohort_retention" -> cohortRetentionOracle,
     "q137_snapshot_diff" -> snapshotDiffOracle,
     "q139_ks_drift" -> ksDriftOracle,
+    "q142_incremental_mv" -> incrementalMvOracle,
+    "q143_attribution" -> attributionOracle,
+    "q144_skyline" -> skylineOracle,
     "q120_global_rank" -> globalRankOracle,
     "q68_approx_quantiles" -> approxQuantilesCheckedOracle,
     "q84_zorder_layout" -> zorderLayoutOracle,

@@ -716,7 +716,105 @@ object RelationalQueries {
       |      UNION ALL SELECT c FROM t)
       |SELECT node, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY node""".stripMargin
 
+  // --- q141: entity resolution (blocked fuzzy record linkage + CC) ----------
+  /** The master-data / record-linkage operator: merge customer records
+    * that denote the same real-world entity despite typos. The dirty side
+    * derives deterministically (every 7th customer gains a re-keyed
+    * variant whose name drops the character at position custkey mod
+    * length — a single-deletion typo), so the oracle re-derives the same
+    * record set and the resolution is a pure function of the corpus.
+    *
+    * Candidate generation is DELETION-NEIGHBORHOOD blocking (the SymSpell
+    * family): every record emits its name plus each single-deletion
+    * string as a blocking key, so any two records within one deletion of
+    * each other MUST share a key — recall is structural, not
+    * probabilistic, and block sizes are bounded by the deletion
+    * neighborhood (≤ ~10·|name| insertions exist for any key) REGARDLESS
+    * of corpus size; there is no all-pairs or per-nation quadratic path.
+    * Verification then requires levenshtein ≤ 1 AND equal nation AND
+    * equal account balance (multi-field agreement — the classic
+    * Fellegi–Sunter shape with hard attributes); matches feed the
+    * standing min-propagation connected components.
+    *
+    * 100 TB shape: keys shuffle as xxhash64(key, nation) longs with the
+    * slim record struct; [[graft.analytics.Blocking.selfPairs]] caps task
+    * size in hot blocks losslessly; CC shuffles (id, label) longs for
+    * O(component diameter) rounds — components here are stars. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val base = cust.select(col("c_custkey").as("record_id"), col("c_name").as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
+    val variants = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("p", (col("c_custkey") % length(col("c_name"))).cast("int"))
+      .select((col("c_custkey") + 1000000L).as("record_id"),
+        concat(expr("substring(c_name, 1, p)"),
+          expr("substring(c_name, p + 2, length(c_name))")).as("name"),
+        col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
+    val keyed = base.unionByName(variants)
+      .withColumn("key", explode(array_distinct(concat(
+        array(col("name")),
+        expr("transform(sequence(0, length(name) - 1, 1), i -> " +
+          "concat(substring(name, 1, i), substring(name, i + 2, length(name))))")))))
+      .withColumn("block", xxhash64(col("key"), col("nation")))
+      .drop("key")
+    val pairs = graft.analytics.Blocking
+      .selfPairs(keyed, "block", "record_id", maxBlock = 256)
+      .select(col("_1.record_id").as("id1"), col("_1.name").as("n1"),
+        col("_1.bal").as("b1"), col("_2.record_id").as("id2"),
+        col("_2.name").as("n2"), col("_2.bal").as("b2"))
+      .distinct()
+    val edges = pairs
+      .filter(levenshtein(col("n1"), col("n2")) <= 1 && col("b1") === col("b2"))
+      .select(col("id1"), col("id2"))
+    graft.analytics.Clusters.connectedComponents(edges)
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(when(col("id") >= 1000000L, 1L).otherwise(0L)).as("n_variants"))
+      .orderBy(col("canonical_id"))
+  }
+
+  /** The same derivation replayed naively: unnest the full deletion
+    * neighborhood, equi-join keys, verify, transitive-close components
+    * via recursive label propagation (q132's oracle pattern). */
+  val entityResolutionOracle: String =
+    """WITH RECURSIVE recs AS (
+      |  SELECT c_custkey AS record_id, c_name AS name,
+      |         c_nationkey AS nation, c_acctbal AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |    substring(c_name, 1, CAST(c_custkey % length(c_name) AS INTEGER)) ||
+      |    substring(c_name, CAST(c_custkey % length(c_name) AS INTEGER) + 2,
+      |              length(c_name)),
+      |    c_nationkey, c_acctbal
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |keys AS (
+      |  SELECT record_id, name, nation, bal,
+      |    unnest(list_distinct(list_append(
+      |      list_transform(generate_series(0, length(name) - 1), i ->
+      |        substring(name, 1, CAST(i AS INTEGER)) ||
+      |        substring(name, CAST(i AS INTEGER) + 2, length(name))),
+      |      name))) AS key
+      |  FROM recs),
+      |cand AS (
+      |  SELECT DISTINCT a.record_id AS id1, a.name AS n1, a.bal AS b1,
+      |                  b.record_id AS id2, b.name AS n2, b.bal AS b2
+      |  FROM keys a JOIN keys b ON a.key = b.key AND a.nation = b.nation
+      |   AND a.record_id < b.record_id),
+      |mt AS (SELECT id1, id2 FROM cand WHERE levenshtein(n1, n2) <= 1 AND b1 = b2),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM mt UNION SELECT id2, id1 FROM mt),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |lab(id, lab) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, l.lab FROM edges e JOIN lab l ON e.dst = l.id),
+      |comp AS (SELECT id, min(lab) AS canonical_id FROM lab GROUP BY id)
+      |SELECT canonical_id, count(*) AS cluster_size,
+      |  CAST(sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_variants
+      |FROM comp GROUP BY 1 ORDER BY canonical_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_entity_resolution" -> ((s, d) => entityResolution(s, d)),
     "q121_basket_pairs" -> ((s, d) => basketPairs(s, d)),
     "q122_pagerank" -> ((s, d) => pagerankFixedPoint(s, d)),
     "q124_triangles" -> ((s, d) => triangleCounts(s, d)),
@@ -742,6 +840,7 @@ object RelationalQueries {
     "q121_basket_pairs" -> basketPairsOracle,
     "q122_pagerank" -> pagerankFixedPointOracle,
     "q124_triangles" -> triangleCountsOracle,
+    "q141_entity_resolution" -> entityResolutionOracle,
     "q1_pricing_summary" -> pricingSummaryOracle,
     "q2_star_revenue" -> starRevenueOracle,
     "q3_order_priority" -> orderPriorityStatsOracle,

@@ -1359,6 +1359,131 @@ object SourceQueries {
       |    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS cuts_checksum
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // --- q140: subtitle-to-scene alignment (multimodal interval overlap) ------
+  /** A scene span in frame-clock microseconds — named fields so the
+    * alignment HOF can address them from SQL (tuple `_1/_2` encoders
+    * don't survive `expr`). */
+  final case class SceneSpan(s: Long, e: Long)
+
+  /** The SRT subtitle lake: one .srt per non-empty doc, cue j = the
+    * doc's j-th 120-char slice on a 30 ms grid ([j·30, j·30+25) ms) —
+    * deliberately NOT the 33.367 ms frame clock, so cue↔scene alignment
+    * is a genuine interval-overlap problem, not an index match. */
+  private def srtLake(spark: SparkSession, dir: String): java.io.File = {
+    import spark.implicits._
+    stagedBlobs(dir, "srt") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, length(text) - 1, 120), s -> substring(text, s + 1, 120))")
+          .as("slices"))
+        .as[(Long, Seq[String])]
+        .foreachPartition { it: Iterator[(Long, Seq[String])] =>
+          it.foreach { case (id, slices) =>
+            val cues = slices.zipWithIndex.map { case (t, j) =>
+              (j * 30L, j * 30L + 25L, t) }
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.srt").toPath,
+              graft.sources.Srt.encode(cues))
+          }
+        }
+    }
+  }
+
+  /** The transcript-alignment stage of a video-curation pipeline: parse
+    * each doc's REAL .srt (strict [[graft.sources.Srt]] codec), segment
+    * its REAL .avi into scenes (q60w's |Δbyte-sum| > 300 cut rule over
+    * the shared AVI lake, frame clock 33367 µs), and assign every cue to
+    * its dominant scene by exact integer-µs interval overlap — first
+    * maximal scene wins, cues past the video end report scene −1. This
+    * is the join that turns (video, transcript) pairs into per-scene
+    * training text.
+    *
+    * 100 TB shape: both lakes decode map-only (one task per blob); the
+    * only shuffle is the doc_id-keyed 1:1 join of cue rows against
+    * per-doc scene-boundary ARRAYS (a handful of longs per doc — frame
+    * payloads and cue text never move). The argmax runs as a codegen'd
+    * HOF fold over the broadcast-sized scene array inside each row. */
+  def subtitleAlign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uspf = 33367L
+    val scenes = spark.read.format("binaryFile").load(aviLake(spark, dir).getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.avi", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val v = graft.sources.Avi.decode(bytes)
+        val ms = v.frames.map(f => f.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        val cuts = (1 until ms.length).filter(i => math.abs(ms(i) - ms(i - 1)) > 300L)
+        val bounds = (0 +: cuts) :+ ms.length
+        (id, bounds.sliding(2).map { w => SceneSpan(w.head * uspf, w.last * uspf) }.toSeq)
+      }.toDF("doc_id", "scenes")
+    val cues = spark.read.format("binaryFile").load(srtLake(spark, dir).getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.srt", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.sources.Srt.decode(bytes).map(c =>
+          (id, (c.idx - 1).toLong, c.startMs * 1000L, c.endMs * 1000L, c.text.length.toLong))
+      }.toDF("doc_id", "cue_idx", "start_us", "end_us", "cue_chars")
+    cues.join(scenes, Seq("doc_id"))
+      .withColumn("best", expr(
+        """aggregate(
+          |  transform(scenes, (sc, i) -> named_struct(
+          |    'ov', greatest(0L, least(sc.e, end_us) - greatest(sc.s, start_us)),
+          |    'idx', CAST(i AS BIGINT))),
+          |  named_struct('ov', -1L, 'idx', -1L),
+          |  (acc, x) -> IF(x.ov > acc.ov, x, acc))""".stripMargin))
+      .select(col("doc_id"), col("cue_idx"), col("start_us"), col("end_us"),
+        col("cue_chars"), size(col("scenes")).cast("long").as("n_scenes"),
+        when(col("best.ov") > 0, col("best.idx")).otherwise(lit(-1L)).as("best_scene"),
+        greatest(col("best.ov"), lit(0L)).as("overlap_us"))
+      .orderBy(col("doc_id"), col("cue_idx"))
+  }
+
+  /** The whole stage recomputed from the corpus: frame metrics, the cut
+    * rule, scene spans on the 33367 µs frame clock, the 30 ms cue grid,
+    * and the first-maximal-overlap assignment (list_position = first
+    * occurrence, matching the fold's strict-greater keep rule). */
+  val subtitleAlignOracle: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n
+      |           FROM documents WHERE length(text) > 0),
+      |f AS (SELECT doc_id, n,
+      |  list_transform(generate_series(0, n - 1, 200), s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(substring(text, s + 1, 200), ''),
+      |                                 c -> c != ''),
+      |        c -> CAST(ord(c) AS BIGINT))), (a, b) -> a + b)) AS ms
+      |  FROM d),
+      |b AS (SELECT doc_id, n,
+      |  list_concat(list_concat([CAST(0 AS BIGINT)],
+      |    list_transform(list_filter(generate_series(2, len(ms)),
+      |                               i -> abs(ms[i] - ms[i-1]) > 300),
+      |                   i -> CAST(i - 1 AS BIGINT))),
+      |    [CAST(len(ms) AS BIGINT)]) AS bounds
+      |  FROM f),
+      |s AS (SELECT doc_id, n, len(bounds) - 1 AS n_scenes,
+      |  list_transform(generate_series(1, len(bounds) - 1), k ->
+      |    {'s': bounds[k] * 33367, 'e': bounds[k+1] * 33367}) AS scenes
+      |  FROM b),
+      |c AS (SELECT doc_id, n, n_scenes, scenes,
+      |  unnest(generate_series(0, (n + 119) // 120 - 1)) AS cue_idx FROM s),
+      |o AS (SELECT doc_id, cue_idx, n_scenes,
+      |  cue_idx * 30000 AS start_us, cue_idx * 30000 + 25000 AS end_us,
+      |  least(120, n - cue_idx * 120) AS cue_chars,
+      |  list_transform(scenes, sc -> greatest(0,
+      |    least(sc.e, cue_idx*30000 + 25000) - greatest(sc.s, cue_idx*30000))) AS ovs
+      |  FROM c)
+      |SELECT doc_id, CAST(cue_idx AS BIGINT) AS cue_idx,
+      |  CAST(start_us AS BIGINT) AS start_us, CAST(end_us AS BIGINT) AS end_us,
+      |  CAST(cue_chars AS BIGINT) AS cue_chars, CAST(n_scenes AS BIGINT) AS n_scenes,
+      |  CAST(CASE WHEN list_max(ovs) > 0
+      |            THEN list_position(ovs, list_max(ovs)) - 1 ELSE -1 END AS BIGINT) AS best_scene,
+      |  CAST(greatest(list_max(ovs), 0) AS BIGINT) AS overlap_us
+      |FROM o ORDER BY doc_id, cue_idx""".stripMargin
+
   // --- q80: Hive-partitioned ORC lake + partition pruning --------------------
   /** The lake-layout scan primitive: events written ONCE as ORC,
     * hive-partitioned by event_type (`partitionBy` → one directory per
@@ -2004,6 +2129,7 @@ object SourceQueries {
     "q60u_avi_frame_sample" -> ((s, d) => aviFrameSample(s, d)),
     "q60v_audio_trim" -> ((s, d) => audioSilenceTrim(s, d)),
     "q60w_scene_cut" -> ((s, d) => videoSceneCut(s, d)),
+    "q140_subtitle_align" -> ((s, d) => subtitleAlign(s, d)),
     "q119_csv_quarantine" -> ((s, d) => csvQuarantine(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
@@ -2076,6 +2202,7 @@ object SourceQueries {
     "q60v_audio_trim" -> audioSilenceTrimOracle,
     // q60w: frame metrics + cut rule + cut-index hash all recomputed
     "q60w_scene_cut" -> videoSceneCutOracle,
+    "q140_subtitle_align" -> subtitleAlignOracle,
     // q119: quarantine rule inlined so the oracle needs no CSV lake
     "q119_csv_quarantine" -> csvQuarantineOracle,
     "q79_dsv2_blobs" -> dsv2BlobScanOracle,
