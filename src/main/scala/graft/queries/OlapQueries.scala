@@ -743,6 +743,54 @@ object OlapQueries {
       |FROM r JOIN s USING (cohort_week)
       |ORDER BY r.cohort_week, r.week_offset""".stripMargin
 
+  // --- q146: robust MAD outlier census ----------------------------------------
+  /** The robust-statistics monitoring pass (median + MAD, the estimator
+    * pair that survives the outliers it hunts, unlike mean/stddev): per
+    * event type, median(value), MAD = median(|value − median|), and the
+    * count of values beyond the classic 3σ-equivalent fence
+    * 3·1.4826·MAD. Both medians are EXACT (q63's percentile ↔
+    * quantile_cont parity; interpolation arithmetic is identical IEEE on
+    * both engines), so the census is bit-exact with rounding only on the
+    * reported statistics.
+    *
+    * Shape: two aggregation passes over events with the 5-row median
+    * table broadcast between them — no corpus window, no sort. Exact
+    * per-group percentile buffers each group's values in its reducer
+    * (the q63 contract); groups here are the 5 event types at monitoring
+    * granularity — a corpus whose groups outgrow a reducer swaps in
+    * approx_percentile without touching the query shape. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = e.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    e.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(4.4478) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val madOutliersOracle: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |           FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, e.value, m.med
+      |      FROM events e JOIN m USING (event_type)),
+      |a AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      |      FROM d GROUP BY 1)
+      |SELECT d.event_type, count(*) AS n_events,
+      |  round(max(d.med), 6) AS med, round(max(a.mad), 6) AS mad,
+      |  CAST(sum(CASE WHEN abs(d.value - d.med) > 4.4478 * a.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN a USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   // --- q143: last-touch marketing attribution --------------------------------
   /** The attribution staple next to q85's funnel and q136's cohorts:
     * credit each purchase to the user's most recent preceding touch
@@ -1094,6 +1142,7 @@ object OlapQueries {
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
     "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
     "q143_attribution" -> ((s, d) => attribution(s, d)),
+    "q146_mad_outliers" -> ((s, d) => madOutliers(s, d)),
     "q144_skyline" -> ((s, d) => skyline(s, d)),
     "q120_global_rank" -> ((s, d) => globalRank(s, d)),
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
@@ -1116,6 +1165,7 @@ object OlapQueries {
     "q139_ks_drift" -> ksDriftOracle,
     "q142_incremental_mv" -> incrementalMvOracle,
     "q143_attribution" -> attributionOracle,
+    "q146_mad_outliers" -> madOutliersOracle,
     "q144_skyline" -> skylineOracle,
     "q120_global_rank" -> globalRankOracle,
     "q68_approx_quantiles" -> approxQuantilesCheckedOracle,

@@ -757,12 +757,23 @@ object RelationalQueries {
           "concat(substring(name, 1, i), substring(name, i + 2, length(name))))")))))
       .withColumn("block", xxhash64(col("key"), col("nation")))
       .drop("key")
-    val pairs = graft.analytics.Blocking
-      .selfPairs(keyed, "block", "record_id", maxBlock = 256)
-      .select(col("_1.record_id").as("id1"), col("_1.name").as("n1"),
-        col("_1.bal").as("b1"), col("_2.record_id").as("id2"),
-        col("_2.name").as("n2"), col("_2.bal").as("b2"))
-      .distinct()
+    // deliberately NOT cached: both join sides recompute this projection +
+    // explode — a cheap codegen pass — where caching would pin a 19×-corpus
+    // exploded frame in memory at scale for no measured win (2.7 s either way)
+    // plain block self-join, NOT Blocking.selfPairs: deletion-neighborhood
+    // blocks are bounded by CONSTRUCTION (members of key k are the ≤
+    // |alphabet|·|name| single-insertions of k present in the corpus, plus
+    // k itself), so the hot-block task-capping machinery buys nothing here
+    // — one equi-join shuffle replaces its count+join+double-explode chain
+    val pairs = keyed
+      .select(col("block"), col("record_id").as("id1"), col("name").as("n1"),
+        col("bal").as("b1"))
+      .join(keyed.select(col("block"), col("record_id").as("id2"),
+        col("name").as("n2"), col("bal").as("b2")), Seq("block"))
+      .filter(col("id1") < col("id2"))
+    // no distinct here: a pair surfacing via several shared deletion keys
+    // re-verifies cheaply and connectedComponents dedupes its (narrower)
+    // edge list anyway — one wide shuffle saved
     val edges = pairs
       .filter(levenshtein(col("n1"), col("n2")) <= 1 && col("b1") === col("b2"))
       .select(col("id1"), col("id2"))
@@ -813,8 +824,68 @@ object RelationalQueries {
       |  CAST(sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_variants
       |FROM comp GROUP BY 1 ORDER BY canonical_id""".stripMargin
 
+  // --- q145: k-anonymity generalization ladder -------------------------------
+  /** The privacy-governance audit a training-data release runs before
+    * shipping records with quasi-identifiers: classify every customer by
+    * the MINIMAL generalization level at which its quasi-identifier class
+    * (nation, segment, balance bucket) reaches k ≥ 5 members — the
+    * Samarati/Sweeney generalization ladder (L0 fine buckets → L1 coarse
+    * buckets → L2 drop balance → L3 nation only → suppress). Output is
+    * the per-level record census plus corpus share in basis points.
+    *
+    * 100 TB shape: the class-size tables are bounded by the
+    * quasi-identifier DOMAIN (|nations|·|segments|·|buckets|), not the
+    * corpus — each level is one map-side-partial aggregate and the
+    * size tables broadcast back to the record scan; one row-linear pass,
+    * no window over the corpus. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 500).cast("long").as("b500"),
+      floor(col("c_acctbal") / 2000).cast("long").as("b2000"))
+    def sizes(keys: Seq[String], n: String) =
+      c.groupBy(keys.map(col): _*).agg(count(lit(1)).as(n))
+    val tot = c.agg(count(lit(1)).as("total"))
+    c.join(broadcast(sizes(Seq("nation", "seg", "b500"), "n0")), Seq("nation", "seg", "b500"))
+      .join(broadcast(sizes(Seq("nation", "seg", "b2000"), "n1")), Seq("nation", "seg", "b2000"))
+      .join(broadcast(sizes(Seq("nation", "seg"), "n2")), Seq("nation", "seg"))
+      .join(broadcast(sizes(Seq("nation"), "n3")), Seq("nation"))
+      .withColumn("level",
+        when(col("n0") >= k, 0).when(col("n1") >= k, 1)
+          .when(col("n2") >= k, 2).when(col("n3") >= k, 3).otherwise(4))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_records"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n_records * 10000 div total"))
+      .select(col("level"), col("n_records"), col("share_bp"))
+      .orderBy(col("level"))
+  }
+
+  /** Window-counted class sizes — the broadcast-join derivation must
+    * equal the naive per-record window census exactly. */
+  val kAnonymityOracle: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey AS nation, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal / 500) AS BIGINT) AS b500,
+      |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS b2000
+      |  FROM customer),
+      |t AS (SELECT *,
+      |    count(*) OVER (PARTITION BY nation, seg, b500) AS n0,
+      |    count(*) OVER (PARTITION BY nation, seg, b2000) AS n1,
+      |    count(*) OVER (PARTITION BY nation, seg) AS n2,
+      |    count(*) OVER (PARTITION BY nation) AS n3
+      |  FROM c),
+      |l AS (SELECT CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+      |                  WHEN n2 >= 5 THEN 2 WHEN n3 >= 5 THEN 3
+      |                  ELSE 4 END AS level FROM t)
+      |SELECT CAST(level AS INTEGER) AS level, count(*) AS n_records,
+      |  CAST(count(*) * 10000 // (SELECT count(*) FROM c) AS BIGINT) AS share_bp
+      |FROM l GROUP BY 1 ORDER BY level""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_entity_resolution" -> ((s, d) => entityResolution(s, d)),
+    "q145_k_anonymity" -> ((s, d) => kAnonymity(s, d)),
     "q121_basket_pairs" -> ((s, d) => basketPairs(s, d)),
     "q122_pagerank" -> ((s, d) => pagerankFixedPoint(s, d)),
     "q124_triangles" -> ((s, d) => triangleCounts(s, d)),
@@ -841,6 +912,7 @@ object RelationalQueries {
     "q122_pagerank" -> pagerankFixedPointOracle,
     "q124_triangles" -> triangleCountsOracle,
     "q141_entity_resolution" -> entityResolutionOracle,
+    "q145_k_anonymity" -> kAnonymityOracle,
     "q1_pricing_summary" -> pricingSummaryOracle,
     "q2_star_revenue" -> starRevenueOracle,
     "q3_order_priority" -> orderPriorityStatsOracle,
