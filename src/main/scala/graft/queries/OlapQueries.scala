@@ -743,6 +743,58 @@ object OlapQueries {
       |FROM r JOIN s USING (cohort_week)
       |ORDER BY r.cohort_week, r.week_offset""".stripMargin
 
+  // --- q148: time-series gap fill + forward fill ------------------------------
+  /** The resampling primitive every monitoring/feature pipeline needs:
+    * densify the hourly per-type series onto the full hour grid (gaps
+    * appear as 0-count rows) and forward-fill the last observed total
+    * (nulls before the first observation stay null — no invented data).
+    *
+    * 100 TB shape: the grid is |hours| × |types| — bounded by the TIME
+    * RANGE, not the corpus — generated from a broadcast 1-row min/max;
+    * the fill window partitions by type and runs over grid-sized
+    * partitions. The corpus itself contributes one hourly aggregation
+    * with map-side partials and is never re-scanned. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val h = e.groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+    val bounds = h.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600000000L))).as("hour_us"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(h, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("total"), ignoreNulls = true).over(w).as("total_ff"),
+        col("n").isNull.as("is_gap"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  val gapFillOracle: String =
+    """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |             count(*) AS n,
+      |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM h),
+      |grid AS (SELECT t.event_type, g.hour_us
+      |         FROM (SELECT DISTINCT event_type FROM events) t,
+      |              (SELECT unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+      |               FROM r) g),
+      |j AS (SELECT grid.event_type, grid.hour_us, h.n, h.total
+      |      FROM grid LEFT JOIN h USING (event_type, hour_us))
+      |SELECT event_type, hour_us,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+      |  last_value(total IGNORE NULLS) OVER (PARTITION BY event_type
+      |    ORDER BY hour_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS total_ff,
+      |  (n IS NULL) AS is_gap
+      |FROM j ORDER BY event_type, hour_us""".stripMargin
+
   // --- q146: robust MAD outlier census ----------------------------------------
   /** The robust-statistics monitoring pass (median + MAD, the estimator
     * pair that survives the outliers it hunts, unlike mean/stddev): per
@@ -1080,6 +1132,96 @@ object OlapQueries {
       |  max(doc_id) AS max_key, CAST(sum(doc_id) AS BIGINT) AS key_sum
       |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin
 
+  // --- q147: compaction EXECUTION (rewrite + read-back verification) ---------
+  /** Closes the loop q126 opens: don't just PLAN the rewrite — do it.
+    * The same sequential bin arithmetic (here with a FIXED 64 KiB target,
+    * so a bin is task-sized at ANY corpus scale — a planner targeting
+    * total/32 makes 3 TB bins at 100 TB; real compactors fix the output
+    * file size) assigns every doc a bin; each bin's docs concatenate in
+    * doc_id order (newline-separated) into one compacted blob, staged
+    * once per corpus fingerprint with the atomic-publish discipline. The
+    * query then READS THE COMPACTED LAKE BACK and reports per-blob size
+    * and content md5 — the oracle recomputes both from the source table,
+    * so a rewrite that drops, reorders, or corrupts one byte breaks the
+    * bit-exact match loudly. Idempotent re-runs: the artifact is keyed
+    * by the corpus fingerprint, and the plan is a pure function of the
+    * manifest (q126's idempotence argument, now exercised end to end).
+    *
+    * 100 TB shape: the rewrite is one (bin)-keyed shuffle whose per-task
+    * state is bounded by the target size; the verification pass is
+    * map-only over the compacted blobs (one task per blob). */
+  private def compactedLake(spark: SparkSession, dir: String): java.io.File = {
+    import spark.implicits._
+    SourceQueries.stagedBlobs(dir, "compacted") { staging =>
+      binned(spark, dir)
+        .groupBy(col("bin"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("docs"))
+        .select(col("bin"),
+          expr("array_join(transform(docs, d -> d.text), '\n')").as("content"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (bin, content) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"bin_$bin%06d.txt").toPath,
+              content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+    }
+  }
+
+  /** Doc → compaction bin under the fixed 64 KiB target (q126's bucketed
+    * distributed prefix sum, reused verbatim with a constant target). */
+  private def binned(spark: SparkSession, dir: String): DataFrame = {
+    val target = 65536L
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .withColumn("bucket", expr("doc_id div 1000"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("bucket")).agg(sum(col("bytes")).as("btoks"))
+      .withColumn("boff", coalesce(sum(col("btoks")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("boff") + sum(col("bytes")).over(wIn))
+      .withColumn("bin", expr(s"(cum - bytes) div $target"))
+      .select(col("doc_id"), col("text"), col("bytes"), col("bin"))
+  }
+
+  def compactionExec(spark: SparkSession, dir: String): DataFrame = {
+    val lake = compactedLake(spark, dir)
+    val expected = binned(spark, dir).groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"))
+    spark.read.format("binaryFile").load(lake.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "bin_(\\d+)\\.txt", 1).cast("long").as("bin"),
+        length(col("content")).cast("long").as("bin_bytes"),
+        md5(col("content")).as("content_md5"))
+      .join(broadcast(expected), Seq("bin"))
+      .select(col("bin"), col("n_docs"), col("bin_bytes"), col("content_md5"))
+      .orderBy(col("bin"))
+  }
+
+  /** The rewrite recomputed from the source table: same bin arithmetic,
+    * ordered concat, byte count (+ separators) and md5 — any divergence
+    * between the lake's actual bytes and the manifest's promise fails. */
+  val compactionExecOracle: String =
+    """WITH f AS (SELECT doc_id, text,
+      |             CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+      |           FROM documents),
+      |c AS (SELECT doc_id, text, bytes,
+      |        CAST(sum(bytes) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM f),
+      |b AS (SELECT CAST((cum - bytes) // 65536 AS BIGINT) AS bin,
+      |             doc_id, text, bytes FROM c)
+      |SELECT bin, count(*) AS n_docs,
+      |  CAST(sum(bytes) + count(*) - 1 AS BIGINT) AS bin_bytes,
+      |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS content_md5
+      |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+
   // --- q126: small-files compaction planner (sequential bin packing) --------
   /** The lake-maintenance operator every 100 TB deployment schedules
     * nightly: plan the rewrite of N small files into ~target-sized
@@ -1143,6 +1285,8 @@ object OlapQueries {
     "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
     "q143_attribution" -> ((s, d) => attribution(s, d)),
     "q146_mad_outliers" -> ((s, d) => madOutliers(s, d)),
+    "q147_compaction_exec" -> ((s, d) => compactionExec(s, d)),
+    "q148_gap_fill" -> ((s, d) => gapFill(s, d)),
     "q144_skyline" -> ((s, d) => skyline(s, d)),
     "q120_global_rank" -> ((s, d) => globalRank(s, d)),
     "q65_window_funcs" -> ((s, d) => windowFuncs(s, d)),
@@ -1166,6 +1310,8 @@ object OlapQueries {
     "q142_incremental_mv" -> incrementalMvOracle,
     "q143_attribution" -> attributionOracle,
     "q146_mad_outliers" -> madOutliersOracle,
+    "q147_compaction_exec" -> compactionExecOracle,
+    "q148_gap_fill" -> gapFillOracle,
     "q144_skyline" -> skylineOracle,
     "q120_global_rank" -> globalRankOracle,
     "q68_approx_quantiles" -> approxQuantilesCheckedOracle,

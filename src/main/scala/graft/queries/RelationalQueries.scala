@@ -824,6 +824,37 @@ object RelationalQueries {
       |  CAST(sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_variants
       |FROM comp GROUP BY 1 ORDER BY canonical_id""".stripMargin
 
+  // --- q149: GROUPING SETS (the general multi-grain aggregate) ---------------
+  /** Completes the multi-grain family (rollup q8, cube q9): an explicit
+    * GROUPING SETS aggregate — the four grains a reporting layer asks of
+    * the lineitem flags, each tagged with grouping_id so consumers
+    * distinguish a NULL key from a rolled-up one. One Expand + one
+    * aggregate exchange; Spark's Expand emits one row per grain per
+    * input row BEFORE the map-side partial, so the shuffle carries
+    * |grains| × |distinct keys| aggregate rows, not data. */
+  def groupingSetsFlags(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  val groupingSetsOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+      |                        (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // --- q145: k-anonymity generalization ladder -------------------------------
   /** The privacy-governance audit a training-data release runs before
     * shipping records with quasi-identifiers: classify every customer by
@@ -886,6 +917,7 @@ object RelationalQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_entity_resolution" -> ((s, d) => entityResolution(s, d)),
     "q145_k_anonymity" -> ((s, d) => kAnonymity(s, d)),
+    "q149_grouping_sets" -> ((s, d) => groupingSetsFlags(s, d)),
     "q121_basket_pairs" -> ((s, d) => basketPairs(s, d)),
     "q122_pagerank" -> ((s, d) => pagerankFixedPoint(s, d)),
     "q124_triangles" -> ((s, d) => triangleCounts(s, d)),
@@ -913,6 +945,7 @@ object RelationalQueries {
     "q124_triangles" -> triangleCountsOracle,
     "q141_entity_resolution" -> entityResolutionOracle,
     "q145_k_anonymity" -> kAnonymityOracle,
+    "q149_grouping_sets" -> groupingSetsOracle,
     "q1_pricing_summary" -> pricingSummaryOracle,
     "q2_star_revenue" -> starRevenueOracle,
     "q3_order_priority" -> orderPriorityStatsOracle,
