@@ -634,9 +634,63 @@ object StreamQueries {
     * the batch subtotal. */
   val streamingHarness: Set[String] = Set(
     "q113_tws_session", "q123_stream_interval_join",
-    "q125_stream_chained_agg", "q128_stream_outer_join")
+    "q125_stream_chained_agg", "q128_stream_outer_join",
+    "q151_stream_lake_sink")
+
+  // --- q151: exactly-once streaming lake sink ---------------------------------
+  /** The landing path every event pipeline starts with: the staged events
+    * FILE STREAM written to a real parquet FILE SINK (exactly-once via
+    * the sink's _spark_metadata commit log — only files recorded by a
+    * committed batch are visible to readers; a crashed batch's orphans
+    * are invisible), checkpointed, staged once per corpus fingerprint
+    * with the atomic-publish discipline. The query then READS THE LANDED
+    * LAKE BACK through the commit log and aggregates hourly — the oracle
+    * is the plain batch aggregation over the source table, so a lost,
+    * duplicated, or uncommitted-but-visible row breaks the bit-exact
+    * match. The sink+checkpoint live at a stable corpus-fingerprinted
+    * path (the eventsFileStream staging discipline) — NOT behind the
+    * atomic-rename publish, because the commit log records absolute file
+    * paths and a rename would orphan them; the commit log itself is the
+    * atomicity mechanism here. Every call re-starts the query: a
+    * caught-up stream terminates after an empty listing (so the call is
+    * an idempotence probe), an interrupted one RESUMES from the
+    * checkpoint and completes the landing — restart-exactly-once,
+    * exercised on every run.
+    *
+    * Scale note: the file sink is append-only map-side work (no state
+    * store); sink parallelism = source partitions. The read-back is a
+    * plain pruned parquet scan. Registered in streamingHarness — it pays
+    * the micro-batch bring-up cost class. */
+  def streamLakeSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = new java.io.File(s"$dir/events.parquet")
+    val sfName = new java.io.File(dir).getName
+    val root = new java.io.File(
+      s"/root/repo/target/stream_sink_${sfName}_${graft.core.Staging.hexFingerprint(src)}")
+    root.mkdirs()
+    eventsFileStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", new java.io.File(root, "data").getAbsolutePath)
+      .option("checkpointLocation", new java.io.File(root, "chk").getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    spark.read.parquet(new java.io.File(root, "data").getAbsolutePath)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("hour_us"), col("event_type"))
+  }
+
+  /** The batch truth the landed lake must reproduce byte-for-byte. */
+  val streamLakeSinkOracle: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_stream_lake_sink" -> ((s, d) => streamLakeSink(s, d)),
     "q128_stream_outer_join" -> ((s, d) => streamIntervalJoinOuter(s, d)),
     "q125_stream_chained_agg" -> ((s, d) => streamChainedAgg(s, d)),
     "q123_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d)),
@@ -656,6 +710,7 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     // the streaming run must reproduce the BATCH interval join's answer —
     // same oracle as q55 (that is the point: stream ≡ batch ≡ DuckDB)
+    "q151_stream_lake_sink" -> streamLakeSinkOracle,
     "q128_stream_outer_join" -> streamIntervalJoinOuterOracle,
     "q125_stream_chained_agg" -> streamChainedAggOracle,
     "q123_stream_interval_join" -> intervalJoinOracle,

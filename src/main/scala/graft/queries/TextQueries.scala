@@ -106,7 +106,9 @@ object TextQueries {
     * predict the argmax lang. (On this synthetic corpus all langs share a
     * vocabulary, so accuracy ≈ chance — the operator shape is the point.)
     * Per-lang accuracy output. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared predictor chain: (doc_id, lang, predicted) — q42 reports
+    * per-lang accuracy off it, q150 the full confusion matrix. */
+  private def langPredictions(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tokens = docs.select(col("doc_id"), col("lang"),
       explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
@@ -120,8 +122,13 @@ object TextQueries {
       .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(count(lit(1)).as("overlap"))
     val wBest = Window.partitionBy("doc_id").orderBy(desc("overlap"), asc("plang"))
-    val predicted = scores.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+    scores.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("plang").as("predicted"))
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val predicted = langPredictions(spark, dir)
     docs.select(col("doc_id"), col("lang"))
       .join(predicted.select(col("doc_id"), col("predicted")), Seq("doc_id"), "left")
       .groupBy(col("lang"))
@@ -158,6 +165,64 @@ object TextQueries {
       |  round(sum(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS accuracy
       |FROM documents d LEFT JOIN predicted p ON d.doc_id = p.doc_id
       |GROUP BY d.lang ORDER BY lang""".stripMargin
+
+  // --- q150: language-ID confusion matrix ------------------------------------
+  /** The eval companion to q42's accuracy scalar (the q90/q135 evaluation
+    * family): the FULL confusion matrix — per (actual, predicted) cell,
+    * the doc count and its share of the actual class in basis points
+    * (integer division, bit-exact) — what a curation team reads to decide
+    * WHICH languages the classifier confuses, not just how often. Docs
+    * the classifier couldn't score (no profile-token overlap) land in an
+    * explicit '(none)' column instead of vanishing.
+    *
+    * Shape: the predictor chain is q42's (profile broadcast, one
+    * doc-keyed ranking window); the matrix itself is a |langs|² keyed
+    * aggregate with the class totals broadcast back. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val m = docs.select(col("doc_id"), col("lang"))
+      .join(langPredictions(spark, dir).select(col("doc_id"), col("predicted")),
+        Seq("doc_id"), "left")
+      .withColumn("predicted", coalesce(col("predicted"), lit("(none)")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val classTotals = m.groupBy(col("lang")).agg(sum(col("n")).as("class_n"))
+    m.join(broadcast(classTotals), Seq("lang"))
+      .withColumn("row_bp", expr("n * 10000 div class_n"))
+      .select(col("lang"), col("predicted"), col("n"), col("row_bp"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val langIdConfusionOracle: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      |  FROM documents),
+      |  profile AS (
+      |    SELECT lang AS plang, token, count(*) AS freq FROM tokens GROUP BY 1, 2),
+      |  top20 AS (
+      |    SELECT plang, token FROM (
+      |      SELECT plang, token,
+      |             row_number() OVER (PARTITION BY plang ORDER BY freq DESC, token) AS rn
+      |      FROM profile) WHERE rn <= 20),
+      |  doctok AS (SELECT DISTINCT doc_id, lang, token FROM tokens),
+      |  scores AS (
+      |    SELECT d.doc_id, d.lang, t.plang, count(*) AS overlap
+      |    FROM doctok d JOIN top20 t ON d.token = t.token
+      |    GROUP BY 1, 2, 3),
+      |  predicted AS (
+      |    SELECT doc_id, plang AS predicted FROM (
+      |      SELECT doc_id, plang,
+      |             row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
+      |      FROM scores) WHERE rn = 1),
+      |  m AS (
+      |    SELECT d.lang, coalesce(p.predicted, '(none)') AS predicted, count(*) AS n
+      |    FROM documents d LEFT JOIN predicted p ON d.doc_id = p.doc_id
+      |    GROUP BY 1, 2),
+      |  t AS (SELECT lang, sum(n) AS class_n FROM m GROUP BY 1)
+      |SELECT m.lang, m.predicted, CAST(m.n AS BIGINT) AS n,
+      |  CAST(m.n * 10000 // t.class_n AS BIGINT) AS row_bp
+      |FROM m JOIN t USING (lang)
+      |ORDER BY m.lang, m.predicted""".stripMargin
 
   // --- q43: document fingerprint (rolling polynomial hash) -----------------
   /** Rolling hash fp = fold(31·acc + ascii(ch)) mod (2^31−1) over every
@@ -1269,6 +1334,7 @@ object TextQueries {
     "q40_quality_score" -> ((s, d) => qualityScore(s, d)),
     "q41_token_stats" -> ((s, d) => tokenStats(s, d)),
     "q42_lang_id" -> ((s, d) => langId(s, d)),
+    "q150_langid_confusion" -> ((s, d) => langIdConfusion(s, d)),
     "q43_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "q44_tfidf" -> ((s, d) => tfidf(s, d)),
     "q58_lm_fluency" -> ((s, d) => lmFluency(s, d)),
@@ -1292,6 +1358,7 @@ object TextQueries {
     "q40_quality_score" -> qualityScoreOracle,
     "q41_token_stats" -> tokenStatsOracle,
     "q42_lang_id" -> langIdOracle,
+    "q150_langid_confusion" -> langIdConfusionOracle,
     "q43_fingerprint" -> fingerprintOracle,
     "q44_tfidf" -> tfidfOracle,
     "q58_lm_fluency" -> lmFluencyOracle,
