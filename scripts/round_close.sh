@@ -44,9 +44,14 @@ fi
 # refresh (BENCH_LOCAL/BENCH_CLEAN/BENCH_QUERIES) AND any driver drops
 # (BENCH_r*/CORRECTNESS_r*/LEAKCHECK/COPYCHECK) sitting untracked from the
 # previous round boundary.
-git add -A -- BENCH_LOCAL.json BENCH_CLEAN.json BENCH_QUERIES.json \
-  LEAKCHECK.json COPYCHECK.json SCALING.md 2>/dev/null || true
-git add -A -- BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null || true
+# add each artifact individually: `git add` fails ATOMICALLY on a missing
+# pathspec (e.g. COPYCHECK.json before the driver first drops it), and the
+# old single-command form silently staged NOTHING in that case
+for f in BENCH_LOCAL.json BENCH_CLEAN.json BENCH_QUERIES.json \
+         LEAKCHECK.json COPYCHECK.json SCALING.md \
+         BENCH_r*.json CORRECTNESS_r*.json; do
+  [ -e "$f" ] && git add -A -- "$f"
+done
 if ! git diff --cached --quiet; then
   git commit -m "Round close: refresh committed bench/correctness artifacts"
 fi
