@@ -1484,6 +1484,153 @@ object SourceQueries {
       |  CAST(greatest(list_max(ovs), 0) AS BIGINT) AS overlap_us
       |FROM o ORDER BY doc_id, cue_idx""".stripMargin
 
+  // --- q152: MP3 frame census (compressed-audio container walk) --------------
+  /** The compressed-audio census a media corpus runs before any decode
+    * spend: per file, frame count, bitrate, sample rate, EXACT duration
+    * and byte size — all from the REAL MPEG-1 Layer III header walk
+    * ([[graft.sources.Mp3]], strict: lost sync / truncation / format
+    * switch throws), no DCT decode. One .mp3 per non-empty doc with
+    * encode parameters derived deterministically from the doc (bitrate
+    * index 1 + id mod 14, samplerate id mod 3, padding id mod 2, frames
+    * = the doc's 200-char page count), so the oracle re-derives every
+    * census column arithmetically — a frame-length, padding, or walk bug
+    * breaks the bit-exact match. Duration is integer milliseconds
+    * (frames·1152·1000 div Hz — Layer III is 1152 samples/frame).
+    *
+    * Map-only over the blob lake: one task per blob, only the 6-column
+    * census shuffles (q60u's embarrassingly-parallel shape). */
+  private def mp3Lake(spark: SparkSession, dir: String): java.io.File = {
+    import spark.implicits._
+    stagedBlobs(dir, "mp3") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr("CAST((length(text) + 199) div 200 AS INT)").as("nf"))
+        .as[(Long, Int)]
+        .foreachPartition { it: Iterator[(Long, Int)] =>
+          it.foreach { case (id, nf) =>
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.mp3").toPath,
+              graft.sources.Mp3.encode(nf,
+                bitrateIdx = 1 + (id % 14).toInt,
+                sampleRateIdx = (id % 3).toInt,
+                padding = id % 2 == 1, seed = id))
+          }
+        }
+    }
+  }
+
+  def mp3Census(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(mp3Lake(spark, dir).getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.mp3", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val frames = graft.sources.Mp3.decode(bytes)
+        val kbps = frames.map(graft.sources.Mp3.bitrateKbps).distinct
+        val hz = frames.map(graft.sources.Mp3.sampleRateHz).distinct
+        require(kbps.size == 1 && hz.size == 1, s"doc $id: VBR unexpected in this lake")
+        (id, frames.length.toLong, kbps.head.toLong, hz.head.toLong,
+          frames.length.toLong * 1152L * 1000L / hz.head,
+          bytes.length.toLong)
+      }
+      .toDF("doc_id", "n_frames", "bitrate_kbps", "sample_rate", "duration_ms", "file_bytes")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Every census column re-derived arithmetically: frame count from the
+    * page rule, tables indexed by the same id arithmetic, frame length =
+    * 144000·kbps div Hz + padding, duration = frames·1152·1000 div Hz. */
+  val mp3CensusOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, (length(text) + 199) // 200 AS nf,
+      |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[1 + CAST(doc_id % 14 AS INTEGER)] AS kbps,
+      |    ([44100,48000,32000])[1 + CAST(doc_id % 3 AS INTEGER)] AS hz,
+      |    CAST(doc_id % 2 AS INTEGER) AS pad
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(kbps AS BIGINT) AS bitrate_kbps, CAST(hz AS BIGINT) AS sample_rate,
+      |  CAST(nf * 1152 * 1000 // hz AS BIGINT) AS duration_ms,
+      |  CAST(nf * (144000 * kbps // hz + pad) AS BIGINT) AS file_bytes
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // --- q153: parquet footer-only lake census ----------------------------------
+  /** The "how healthy is this lake" pass that must NEVER read data: per
+    * partition directory, file count, row count and the value column's
+    * min/max — all from PARQUET FOOTERS (block row counts + column-chunk
+    * statistics via parquet-hadoop's ParquetFileReader), zero row-group
+    * byte I/O by construction. This is the metadata pass a 100 TB
+    * deployment runs to decide compaction (q126/q147), clustering decay
+    * (q84/q105), and stats freshness — at that scale the FOOTERS are the
+    * dataset, so the reads themselves run distributed: the file list
+    * parallelizes across executors and each task opens only footers.
+    *
+    * The lake: events hive-partitioned by bucket = user_id % 16, written
+    * through repartition(bucket) so each bucket lands as exactly ONE
+    * file — a layout invariant the census verifies (n_files) and the
+    * oracle predicts; row counts and stats must equal the source table's
+    * per-bucket truth or the footer walk is wrong. */
+  private def bucketLake(spark: SparkSession, dir: String): java.io.File =
+    stagedBlobs(dir, "bucketlake", srcTable = "events") { staging =>
+      Tables.events(spark, dir)
+        .withColumn("bucket", col("user_id") % 16)
+        .repartition(16, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(new java.io.File(staging, "events").getAbsolutePath)
+    }
+
+  def footerStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(bucketLake(spark, dir), "events")
+    val files = root.listFiles().toSeq
+      .filter(_.getName.startsWith("bucket="))
+      .flatMap { d =>
+        d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+          .map(f => (d.getName.stripPrefix("bucket=").toLong, f.getAbsolutePath))
+      }
+    files.toDS()
+      .map { case (bucket, path) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          new org.apache.hadoop.conf.Configuration())
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          var rows = 0L; var mn = Double.MaxValue; var mx = Double.MinValue
+          reader.getFooter.getBlocks.forEach { b =>
+            rows += b.getRowCount
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == "value") {
+                val st = c.getStatistics
+                require(st != null && st.hasNonNullValue,
+                  s"footer census needs stats; missing for 'value' in $path")
+                mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Double])
+                mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Double])
+              }
+            }
+          }
+          (bucket, 1L, rows, mn, mx)
+        } finally reader.close()
+      }
+      .toDF("bucket", "n_files", "n_rows", "min_value", "max_value")
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_files")).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        // + 0.0 canonicalizes signed zero: parquet-mr writes a +0.0 min
+        // as -0.0 in the footer (PARQUET-1222 safe-zero handling), which
+        // is value-equal but repr-distinct under the driver's hash
+        (min(col("min_value")) + 0.0).as("min_value"),
+        (max(col("max_value")) + 0.0).as("max_value"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The per-bucket truth the footers must reproduce — including the
+    * one-file-per-bucket layout invariant the write path promises. */
+  val footerStatsOracle: String =
+    """SELECT user_id % 16 AS bucket, CAST(1 AS BIGINT) AS n_files,
+      |  count(*) AS n_rows,
+      |  min(value) + 0.0 AS min_value, max(value) + 0.0 AS max_value
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // --- q80: Hive-partitioned ORC lake + partition pruning --------------------
   /** The lake-layout scan primitive: events written ONCE as ORC,
     * hive-partitioned by event_type (`partitionBy` → one directory per
@@ -2130,6 +2277,8 @@ object SourceQueries {
     "q60v_audio_trim" -> ((s, d) => audioSilenceTrim(s, d)),
     "q60w_scene_cut" -> ((s, d) => videoSceneCut(s, d)),
     "q140_subtitle_align" -> ((s, d) => subtitleAlign(s, d)),
+    "q152_mp3_census" -> ((s, d) => mp3Census(s, d)),
+    "q153_footer_stats" -> ((s, d) => footerStats(s, d)),
     "q119_csv_quarantine" -> ((s, d) => csvQuarantine(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
     "q79b_blob_rollup" -> ((s, d) => blobLakeRollup(s, d)),
@@ -2203,6 +2352,8 @@ object SourceQueries {
     // q60w: frame metrics + cut rule + cut-index hash all recomputed
     "q60w_scene_cut" -> videoSceneCutOracle,
     "q140_subtitle_align" -> subtitleAlignOracle,
+    "q152_mp3_census" -> mp3CensusOracle,
+    "q153_footer_stats" -> footerStatsOracle,
     // q119: quarantine rule inlined so the oracle needs no CSV lake
     "q119_csv_quarantine" -> csvQuarantineOracle,
     "q79_dsv2_blobs" -> dsv2BlobScanOracle,
