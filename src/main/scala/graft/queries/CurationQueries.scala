@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Caching._
@@ -666,6 +667,7 @@ object CurationQueries {
       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_quality_ensemble" -> ((s, d) => qualityEnsemble(s, d)),
     "q70_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q70b_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "q71_pii_redact" -> ((s, d) => piiRedact(s, d)),
@@ -679,7 +681,87 @@ object CurationQueries {
     "q99_temperature_mix" -> ((s, d) => temperatureMix(s, d))
   )
 
+  // --- q154: rank-averaged quality ensemble -----------------------------------
+  /** The filter a curation pipeline ends with: four independent quality
+    * signals (word count, mean-word-length closeness to 5, lexical
+    * diversity, symbol ratio) RANK-NORMALIZED globally and averaged —
+    * rank averaging is the calibration-free way to combine signals on
+    * incomparable scales (a z-score ensemble needs distributional
+    * assumptions; ranks need none). Output: the 200 best docs by rank
+    * sum with every per-signal rank attached, so a mix designer sees WHY
+    * a doc won.
+    *
+    * 100 TB shape: each signal's global rank is the q120 distributed
+    * form — repartitionByRange on the signal key, a P-row offset table,
+    * partition-local row_number — so there are four range exchanges and
+    * NO corpus-sized single-partition window; the ensemble join is four
+    * (doc_id, long) hash joins and the final top-200 is a
+    * TakeOrderedAndProject tree reduction. Signal keys are doubles
+    * derived from exact integers (IEEE division — deterministic
+    * cross-engine), ties broken by doc_id everywhere. */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    def rankedBy(df: DataFrame, key: org.apache.spark.sql.Column,
+                 rankName: String): DataFrame = {
+      val d = df.repartitionByRange(key.asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id())
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .select(col("pid"), col("off"))
+      val wIn = Window.partitionBy(col("pid")).orderBy(key.asc, col("doc_id").asc)
+      d.join(broadcast(offsets), Seq("pid"))
+        .withColumn(rankName, col("off") + row_number().over(wIn).cast("long"))
+        .select(col("doc_id"), col(rankName))
+    }
+    val sig = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("wchars"),
+        expr("size(array_distinct(filter(split(text, ' '), x -> x != '')))")
+          .cast("long").as("dwords"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("long").as("symbols"),
+        length(col("text")).cast("long").as("n_chars"))
+      .filter(col("words") > 0)
+    val r1 = rankedBy(sig, -col("words"), "r_words")
+    val r2 = rankedBy(sig, abs(col("wchars") / col("words") - 5.0), "r_wordlen")
+    val r3 = rankedBy(sig, -(col("dwords") / col("words")), "r_diversity")
+    val r4 = rankedBy(sig, col("symbols") / col("n_chars"), "r_symbols")
+    sig.select(col("doc_id"))
+      .join(r1, Seq("doc_id")).join(r2, Seq("doc_id"))
+      .join(r3, Seq("doc_id")).join(r4, Seq("doc_id"))
+      .withColumn("rank_sum",
+        col("r_words") + col("r_wordlen") + col("r_diversity") + col("r_symbols"))
+      .orderBy(col("rank_sum"), col("doc_id")).limit(200)
+      .select(col("doc_id"), col("r_words"), col("r_wordlen"),
+        col("r_diversity"), col("r_symbols"), col("rank_sum"))
+  }
+
+  /** Four native global window ranks over the same keys and tie-breaks. */
+  val qualityEnsembleOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS words,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars,
+      |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS dwords,
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS symbols,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents WHERE length(text) > 0),
+      |r AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY -words, doc_id) AS BIGINT) AS r_words,
+      |    CAST(row_number() OVER (ORDER BY abs(wchars / words - 5.0), doc_id) AS BIGINT) AS r_wordlen,
+      |    CAST(row_number() OVER (ORDER BY -(dwords / words), doc_id) AS BIGINT) AS r_diversity,
+      |    CAST(row_number() OVER (ORDER BY symbols / n_chars, doc_id) AS BIGINT) AS r_symbols
+      |  FROM s WHERE words > 0)
+      |SELECT doc_id, r_words, r_wordlen, r_diversity, r_symbols,
+      |  r_words + r_wordlen + r_diversity + r_symbols AS rank_sum
+      |FROM r ORDER BY rank_sum, doc_id LIMIT 200""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q154_quality_ensemble" -> qualityEnsembleOracle,
     "q70_decontaminate" -> decontaminateOracle,
     "q70b_decontaminate_bloom" -> decontaminateOracle,
     "q71_pii_redact" -> piiRedactOracle,

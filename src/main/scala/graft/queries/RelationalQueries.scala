@@ -824,6 +824,104 @@ object RelationalQueries {
       |  CAST(sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_variants
       |FROM comp GROUP BY 1 ORDER BY canonical_id""".stripMargin
 
+  // --- q155: incremental entity resolution (batch vs persisted key index) ----
+  /** q141's day-N+1 operational shape (the q101/q129/q130 incremental
+    * family): today's arrival batch resolves against the STANDING
+    * corpus's persisted deletion-key index — the index parquet stages
+    * once per corpus fingerprint (record + its exploded deletion keys,
+    * hashed with nation) and the batch joins batch×index ONLY; the
+    * standing records are never re-paired against each other. Batch =
+    * every 5th customer re-keyed: two thirds arrive as single-deletion
+    * typos of their base (MUST merge — structural recall), one third
+    * with reversed names (MUST resolve as new entities). Decision per
+    * arrival: merged-into-canonical or new.
+    *
+    * 100 TB shape: index append/probe cost ∝ batch (the batch explodes
+    * ~|name| keys per record and hash-joins the key-partitioned index);
+    * verification and the min-canonical fold touch only candidate pairs. */
+  private def erIndexLake(spark: SparkSession, dir: String): java.io.File =
+    SourceQueries.stagedBlobs(dir, "erindex", srcTable = "customer") { staging =>
+      erKeyed(Tables.customer(spark, dir).select(
+          col("c_custkey").as("record_id"), col("c_name").as("name"),
+          col("c_nationkey").as("nation"), col("c_acctbal").as("bal")))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(staging, "keys").getAbsolutePath)
+    }
+
+  /** records(record_id, name, nation, bal) → exploded deletion-key rows
+    * with the q141 blocking hash. */
+  private def erKeyed(records: DataFrame): DataFrame = records
+    .withColumn("key", explode(array_distinct(concat(
+      array(col("name")),
+      expr("transform(sequence(0, length(name) - 1, 1), i -> " +
+        "concat(substring(name, 1, i), substring(name, i + 2, length(name))))")))))
+    .withColumn("block", xxhash64(col("key"), col("nation")))
+    .drop("key")
+
+  def incrementalEr(spark: SparkSession, dir: String): DataFrame = {
+    val index = spark.read.parquet(
+      new java.io.File(erIndexLake(spark, dir), "keys").getAbsolutePath)
+      .select(col("block"), col("record_id").as("iid"), col("name").as("iname"),
+        col("bal").as("ibal"))
+    val batch = Tables.customer(spark, dir).filter(col("c_custkey") % 5 === 0)
+      .withColumn("p", ((col("c_custkey") * 3) % length(col("c_name"))).cast("int"))
+      .select((col("c_custkey") + 2000000L).as("record_id"),
+        when(col("c_custkey") % 3 === 0, reverse(col("c_name")))
+          .otherwise(concat(expr("substring(c_name, 1, p)"),
+            expr("substring(c_name, p + 2, length(c_name))"))).as("name"),
+        col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
+    val matches = erKeyed(batch)
+      .join(index, Seq("block"))
+      .filter(levenshtein(col("name"), col("iname")) <= 1 && col("bal") === col("ibal"))
+      .groupBy(col("record_id")).agg(min(col("iid")).as("canonical_id"))
+    batch.select(col("record_id"))
+      .join(matches, Seq("record_id"), "left")
+      .select(col("record_id"),
+        when(col("canonical_id").isNotNull, lit("merged")).otherwise(lit("new"))
+          .as("decision"),
+        coalesce(col("canonical_id"), lit(-1L)).as("canonical_id"))
+      .orderBy(col("record_id"))
+  }
+
+  /** The same batch derivation, key join, and verification replayed. */
+  val incrementalErOracle: String =
+    """WITH base AS (SELECT c_custkey AS record_id, c_name AS name,
+      |                c_nationkey AS nation, c_acctbal AS bal FROM customer),
+      |ikeys AS (
+      |  SELECT record_id AS iid, name AS iname, nation, bal AS ibal,
+      |    unnest(list_distinct(list_append(
+      |      list_transform(generate_series(0, length(name) - 1), i ->
+      |        substring(name, 1, CAST(i AS INTEGER)) ||
+      |        substring(name, CAST(i AS INTEGER) + 2, length(name))),
+      |      name))) AS key
+      |  FROM base),
+      |batch AS (
+      |  SELECT c_custkey + 2000000 AS record_id,
+      |    CASE WHEN c_custkey % 3 = 0 THEN reverse(c_name)
+      |         ELSE substring(c_name, 1, CAST(c_custkey * 3 % length(c_name) AS INTEGER)) ||
+      |              substring(c_name, CAST(c_custkey * 3 % length(c_name) AS INTEGER) + 2,
+      |                        length(c_name)) END AS name,
+      |    c_nationkey AS nation, c_acctbal AS bal
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |bkeys AS (
+      |  SELECT record_id, name, nation, bal,
+      |    unnest(list_distinct(list_append(
+      |      list_transform(generate_series(0, length(name) - 1), i ->
+      |        substring(name, 1, CAST(i AS INTEGER)) ||
+      |        substring(name, CAST(i AS INTEGER) + 2, length(name))),
+      |      name))) AS key
+      |  FROM batch),
+      |m AS (
+      |  SELECT b.record_id, min(i.iid) AS canonical_id
+      |  FROM bkeys b JOIN ikeys i ON b.key = i.key AND b.nation = i.nation
+      |  WHERE levenshtein(b.name, i.iname) <= 1 AND b.bal = i.ibal
+      |  GROUP BY 1)
+      |SELECT batch.record_id,
+      |  CASE WHEN m.canonical_id IS NOT NULL THEN 'merged' ELSE 'new' END AS decision,
+      |  coalesce(m.canonical_id, -1) AS canonical_id
+      |FROM batch LEFT JOIN m USING (record_id)
+      |ORDER BY batch.record_id""".stripMargin
+
   // --- q149: GROUPING SETS (the general multi-grain aggregate) ---------------
   /** Completes the multi-grain family (rollup q8, cube q9): an explicit
     * GROUPING SETS aggregate — the four grains a reporting layer asks of
@@ -918,6 +1016,7 @@ object RelationalQueries {
     "q141_entity_resolution" -> ((s, d) => entityResolution(s, d)),
     "q145_k_anonymity" -> ((s, d) => kAnonymity(s, d)),
     "q149_grouping_sets" -> ((s, d) => groupingSetsFlags(s, d)),
+    "q155_incremental_er" -> ((s, d) => incrementalEr(s, d)),
     "q121_basket_pairs" -> ((s, d) => basketPairs(s, d)),
     "q122_pagerank" -> ((s, d) => pagerankFixedPoint(s, d)),
     "q124_triangles" -> ((s, d) => triangleCounts(s, d)),
@@ -946,6 +1045,7 @@ object RelationalQueries {
     "q141_entity_resolution" -> entityResolutionOracle,
     "q145_k_anonymity" -> kAnonymityOracle,
     "q149_grouping_sets" -> groupingSetsOracle,
+    "q155_incremental_er" -> incrementalErOracle,
     "q1_pricing_summary" -> pricingSummaryOracle,
     "q2_star_revenue" -> starRevenueOracle,
     "q3_order_priority" -> orderPriorityStatsOracle,
