@@ -1038,11 +1038,16 @@ object OlapQueries {
       .withColumn("a_cum", col("a_off") + sum(col("a_n")).over(wIn))
       .withColumn("b_cum", col("b_off") + sum(col("b_n")).over(wIn))
       .crossJoin(broadcast(tot))
-      .withColumn("diff", abs(col("a_cum") * col("n2") - col("b_cum") * col("n1")))
+      // decimal(38,0), not long: c·n products overflow int64 once the
+      // cohorts pass ~3e9 rows (ANSI error under Spark 4, silent HUGEINT
+      // promotion in DuckDB) — decimal keeps both engines in lockstep at
+      // the documented 100 TB shape
+      .withColumn("diff", abs(col("a_cum").cast("decimal(38,0)") * col("n2") -
+        col("b_cum").cast("decimal(38,0)") * col("n1")))
       .orderBy(desc("diff"), asc("value")).limit(1)
       .select(col("n1"), col("n2"), col("diff").as("ks_num"),
         col("value").as("at_value"),
-        expr("diff * 10000 div (n1 * n2)").as("ks_bp"))
+        expr("diff * 10000 div (CAST(n1 AS DECIMAL(38,0)) * n2)").as("ks_bp"))
   }
 
   /** Naive global-window CDF — the bucketed derivation must equal it. */
@@ -1060,7 +1065,7 @@ object OlapQueries {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |  d AS (SELECT value, abs(a_cum * t.n2 - b_cum * t.n1) AS diff FROM k, t)
       |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
-      |  CAST(d.diff AS BIGINT) AS ks_num, d.value AS at_value,
+      |  CAST(d.diff AS DECIMAL(38,0)) AS ks_num, d.value AS at_value,
       |  CAST(d.diff * 10000 // (t.n1 * t.n2) AS BIGINT) AS ks_bp
       |FROM d, t ORDER BY d.diff DESC, d.value LIMIT 1""".stripMargin
 

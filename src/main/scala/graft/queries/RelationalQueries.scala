@@ -742,11 +742,19 @@ object RelationalQueries {
     * O(component diameter) rounds — components here are stars. */
   def entityResolution(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
+    // synthetic variant ids live ABOVE the real key space, derived from the
+    // table's own max — a hard-coded +1e6 offset collides with real
+    // custkeys once the table passes 1M rows (SF ≥ ~7) and silently
+    // corrupts record identity; one column-pruned scalar agg (table-stats
+    // material at 100 TB) keeps the id spaces disjoint at any SF
+    val maxKey = cust.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
     val base = cust.select(col("c_custkey").as("record_id"), col("c_name").as("name"),
       col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
     val variants = cust.filter(col("c_custkey") % 7 === 0)
       .withColumn("p", (col("c_custkey") % length(col("c_name"))).cast("int"))
-      .select((col("c_custkey") + 1000000L).as("record_id"),
+      // +maxKey+1, not +maxKey: keys are 0-based, so custkey 0's variant
+      // must land strictly above the base space
+      .select((col("c_custkey") + maxKey + 1L).as("record_id"),
         concat(expr("substring(c_name, 1, p)"),
           expr("substring(c_name, p + 2, length(c_name))")).as("name"),
         col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
@@ -765,11 +773,16 @@ object RelationalQueries {
     // |alphabet|·|name| single-insertions of k present in the corpus, plus
     // k itself), so the hot-block task-capping machinery buys nothing here
     // — one equi-join shuffle replaces its count+join+double-explode chain
+    // nation rides the join key alongside the hash: the block already
+    // encodes xxhash64(key, nation), but a cross-(key, nation) 64-bit
+    // collision would otherwise admit a spurious cross-nation edge —
+    // carrying nation makes oracle parity structural, not probabilistic,
+    // at zero extra shuffle cost (same key distribution)
     val pairs = keyed
-      .select(col("block"), col("record_id").as("id1"), col("name").as("n1"),
-        col("bal").as("b1"))
-      .join(keyed.select(col("block"), col("record_id").as("id2"),
-        col("name").as("n2"), col("bal").as("b2")), Seq("block"))
+      .select(col("block"), col("nation"), col("record_id").as("id1"),
+        col("name").as("n1"), col("bal").as("b1"))
+      .join(keyed.select(col("block"), col("nation"), col("record_id").as("id2"),
+        col("name").as("n2"), col("bal").as("b2")), Seq("block", "nation"))
       .filter(col("id1") < col("id2"))
     // no distinct here: a pair surfacing via several shared deletion keys
     // re-verifies cheaply and connectedComponents dedupes its (narrower)
@@ -780,7 +793,7 @@ object RelationalQueries {
     graft.analytics.Clusters.connectedComponents(edges)
       .groupBy(col("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"),
-        sum(when(col("id") >= 1000000L, 1L).otherwise(0L)).as("n_variants"))
+        sum(when(col("id") > maxKey, 1L).otherwise(0L)).as("n_variants"))
       .orderBy(col("canonical_id"))
   }
 
@@ -788,12 +801,13 @@ object RelationalQueries {
     * neighborhood, equi-join keys, verify, transitive-close components
     * via recursive label propagation (q132's oracle pattern). */
   val entityResolutionOracle: String =
-    """WITH RECURSIVE recs AS (
+    """WITH RECURSIVE mk AS (SELECT max(c_custkey) AS maxkey FROM customer),
+      |recs AS (
       |  SELECT c_custkey AS record_id, c_name AS name,
       |         c_nationkey AS nation, c_acctbal AS bal
       |  FROM customer
       |  UNION ALL
-      |  SELECT c_custkey + 1000000,
+      |  SELECT c_custkey + (SELECT maxkey FROM mk) + 1,
       |    substring(c_name, 1, CAST(c_custkey % length(c_name) AS INTEGER)) ||
       |    substring(c_name, CAST(c_custkey % length(c_name) AS INTEGER) + 2,
       |              length(c_name)),
@@ -821,7 +835,8 @@ object RelationalQueries {
       |  SELECT e.src, l.lab FROM edges e JOIN lab l ON e.dst = l.id),
       |comp AS (SELECT id, min(lab) AS canonical_id FROM lab GROUP BY id)
       |SELECT canonical_id, count(*) AS cluster_size,
-      |  CAST(sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_variants
+      |  CAST(sum(CASE WHEN id > (SELECT maxkey FROM mk) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_variants
       |FROM comp GROUP BY 1 ORDER BY canonical_id""".stripMargin
 
   // --- q155: incremental entity resolution (batch vs persisted key index) ----
@@ -859,19 +874,27 @@ object RelationalQueries {
     .drop("key")
 
   def incrementalEr(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    // batch ids above the standing key space, derived from the table max
+    // (same rationale as q141: a fixed +2e6 offset collides with real
+    // custkeys at SF ≥ ~14); ×2 keeps the q155 batch space disjoint from
+    // q141's variant space too
+    val maxKey = cust.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
     val index = spark.read.parquet(
       new java.io.File(erIndexLake(spark, dir), "keys").getAbsolutePath)
-      .select(col("block"), col("record_id").as("iid"), col("name").as("iname"),
-        col("bal").as("ibal"))
-    val batch = Tables.customer(spark, dir).filter(col("c_custkey") % 5 === 0)
+      .select(col("block"), col("nation"), col("record_id").as("iid"),
+        col("name").as("iname"), col("bal").as("ibal"))
+    val batch = cust.filter(col("c_custkey") % 5 === 0)
       .withColumn("p", ((col("c_custkey") * 3) % length(col("c_name"))).cast("int"))
-      .select((col("c_custkey") + 2000000L).as("record_id"),
+      .select((col("c_custkey") + 2L * (maxKey + 1L)).as("record_id"),
         when(col("c_custkey") % 3 === 0, reverse(col("c_name")))
           .otherwise(concat(expr("substring(c_name, 1, p)"),
             expr("substring(c_name, p + 2, length(c_name))"))).as("name"),
         col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
+    // join on (block, nation), not block alone — structural parity with
+    // the oracle's key AND nation join (see q141's pairs comment)
     val matches = erKeyed(batch)
-      .join(index, Seq("block"))
+      .join(index, Seq("block", "nation"))
       .filter(levenshtein(col("name"), col("iname")) <= 1 && col("bal") === col("ibal"))
       .groupBy(col("record_id")).agg(min(col("iid")).as("canonical_id"))
     batch.select(col("record_id"))
@@ -885,7 +908,8 @@ object RelationalQueries {
 
   /** The same batch derivation, key join, and verification replayed. */
   val incrementalErOracle: String =
-    """WITH base AS (SELECT c_custkey AS record_id, c_name AS name,
+    """WITH mk AS (SELECT max(c_custkey) AS maxkey FROM customer),
+      |base AS (SELECT c_custkey AS record_id, c_name AS name,
       |                c_nationkey AS nation, c_acctbal AS bal FROM customer),
       |ikeys AS (
       |  SELECT record_id AS iid, name AS iname, nation, bal AS ibal,
@@ -896,7 +920,7 @@ object RelationalQueries {
       |      name))) AS key
       |  FROM base),
       |batch AS (
-      |  SELECT c_custkey + 2000000 AS record_id,
+      |  SELECT c_custkey + 2 * ((SELECT maxkey FROM mk) + 1) AS record_id,
       |    CASE WHEN c_custkey % 3 = 0 THEN reverse(c_name)
       |         ELSE substring(c_name, 1, CAST(c_custkey * 3 % length(c_name) AS INTEGER)) ||
       |              substring(c_name, CAST(c_custkey * 3 % length(c_name) AS INTEGER) + 2,

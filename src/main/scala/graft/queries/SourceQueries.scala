@@ -1597,10 +1597,12 @@ object SourceQueries {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           var rows = 0L; var mn = Double.MaxValue; var mx = Double.MinValue
+          var sawValue = false
           reader.getFooter.getBlocks.forEach { b =>
             rows += b.getRowCount
             b.getColumns.forEach { c =>
               if (c.getPath.toDotString == "value") {
+                sawValue = true
                 val st = c.getStatistics
                 require(st != null && st.hasNonNullValue,
                   s"footer census needs stats; missing for 'value' in $path")
@@ -1609,6 +1611,10 @@ object SourceQueries {
               }
             }
           }
+          // schema drift (renamed/dropped 'value') must throw, not emit
+          // Double.MaxValue/MinValue sentinels as silent min/max
+          require(sawValue,
+            s"footer census saw no 'value' column chunk in $path")
           (bucket, 1L, rows, mn, mx)
         } finally reader.close()
       }

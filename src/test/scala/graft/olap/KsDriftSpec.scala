@@ -26,18 +26,21 @@ class KsDriftSpec extends SparkSuite {
       sum(when(!col("is_a"), 1L).otherwise(0L)).as("b_n"))
       .withColumn("a_cum", sum(col("a_n")).over(w))
       .withColumn("b_cum", sum(col("b_n")).over(w))
-      .withColumn("diff", abs(col("a_cum") * n2 - col("b_cum") * n1))
+      // decimal, mirroring the operator's overflow-proof arithmetic
+      .withColumn("diff", abs(col("a_cum").cast("decimal(38,0)") * n2 -
+        col("b_cum").cast("decimal(38,0)") * n1))
       .orderBy(desc("diff"), asc("value")).limit(1)
       .select(lit(n1).as("n1"), lit(n2).as("n2"), col("diff").as("ks_num"),
         col("value").as("at_value"),
-        (col("diff") * 10000 / (n1 * n2)).cast("long").as("ks_bp"))
+        expr(s"diff * 10000 div ${n1 * n2}").as("ks_bp"))
       .collect().map(_.toSeq).toSeq
     assert(fast == slow, s"KS diverged: $fast vs $slow")
   }
 
   test("the statistic is a valid normalized distance") {
     val r = SparkEntry.queries("q139_ks_drift")(spark, sfDir).head()
-    val (n1, n2, num, bp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+    val (n1, n2, bp) = (r.getLong(0), r.getLong(1), r.getLong(4))
+    val num = r.getDecimal(2).longValueExact()
     assert(n1 > 0 && n2 > 0)
     assert(num >= 0 && num <= n1 * n2, "numerator bounded by n1*n2")
     assert(bp >= 0 && bp <= 10000, "D in [0,1] as basis points")

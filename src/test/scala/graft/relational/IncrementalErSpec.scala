@@ -10,10 +10,17 @@ class IncrementalErSpec extends SparkSuite {
   private lazy val rows = SparkEntry.queries("q155_incremental_er")(spark, sfDir)
     .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
 
+  // batch ids are re-keyed above the table's own key space (2 × max key),
+  // mirroring the engine's collision-proof synthetic-id derivation
+  private lazy val maxKey = graft.core.Tables.customer(spark, sfDir)
+    .agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("c_custkey")).cast("long"))
+    .head().getLong(0)
+
   test("every arrival is decided; typos merge to their base, reversals are new") {
     assert(rows.nonEmpty)
     rows.foreach { case (rid, decision, canonical) =>
-      val custkey = rid - 2000000L
+      val custkey = rid - 2L * (maxKey + 1L)
       if (custkey % 3 == 0) {
         assert(decision == "new" && canonical == -1L,
           s"reversed arrival $rid must be a new entity")
