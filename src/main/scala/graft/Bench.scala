@@ -348,6 +348,27 @@ object Bench {
     if (parsed.isEmpty) Left("unparseable_snapshot") else Right(parsed)
   }
 
+  /** Round-18 (VERDICT r17 task 3): committed-record diff. The in-session
+    * variance guard only flags >2× per-query moves vs the last snapshot,
+    * so a 1.5× round-over-round regression (q116 r16→r17: 2.59 → 3.94 s)
+    * sailed through it. This check diffs the ACCEPTED draw against the
+    * previous committed BENCH_QUERIES.json record and flags any query
+    * whose median moved >40% AND >0.5 s in either direction — big enough
+    * to matter, tight enough to catch the q116 class. Returns
+    * (name, nowSec, recordSec) triples. */
+  private[graft] val recordBand = 0.40
+  private[graft] val recordAbsSec = 0.5
+  private[graft] def recordSuspects(results: Seq[(String, Option[Double])],
+                                    prevRecord: Map[String, Double])
+      : Seq[(String, Double, Double)] =
+    results.collect {
+      case (name, Some(now)) if prevRecord.get(name).exists { prev =>
+            prev > 0 && math.abs(now - prev) > recordAbsSec &&
+              (now / prev > 1 + recordBand || now / prev < 1 / (1 + recordBand))
+          } =>
+        (name, now, prevRecord(name))
+    }
+
   /** Round-13: bounded retry-until-clean (the r12 lesson — the driver's
     * official record was a guard-flagged 109 s contended leg while clean
     * 51.7 s draws existed on the same box the same day). The bench takes
@@ -524,9 +545,6 @@ object Bench {
     val fileL4 = local4.fold("") { case (t4, e4) =>
       s""","local4_total":$t4,"local4_errors":${jsonArr(e4)}"""
     }
-    val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":${jsonArr(errors)},""" +
-        s""""sf":"$sfDir","cpus":"$cpus","reps":$reps$drawsObj$subtotalsJson${guard.fileExtra}$fileL4,"queries":$fileQs}"""
     // Round-17 (VERDICT r16 task 5): the driver-captured stdout keeps only
     // the slowest ~100 per-query entries under its 1,900-char budget, so a
     // BENCH_r{N}-only diff is blind to the tail. This committed sidecar
@@ -536,6 +554,34 @@ object Bench {
     val sidecarPath = java.nio.file.Paths.get(
       if (isOfficial(sfDir, cpus)) "BENCH_QUERIES.json"
       else s"BENCH_QUERIES_${sfName(sfDir)}_cpus$cpus.json")
+    // committed-record diff (VERDICT r17 task 3): read the PREVIOUS round's
+    // sidecar before this run overwrites it and flag >40%-and->0.5 s moves
+    // of the accepted draw vs that record — the q116-class regression the
+    // 2× in-session suspect scan is blind to
+    val (recFileJson, recStdoutJson) =
+      parsePrev(readIf(sidecarPath), sfDir, cpus) match {
+        case Left(reason) =>
+          (s""","record_diff_disengaged":"$reason"""", "")
+        case Right(prevRecord) =>
+          val susp = recordSuspects(results, prevRecord)
+          if (susp.nonEmpty) {
+            System.err.println(
+              "[bench] RECORD SUSPECTS (>40% and >0.5 s vs committed " +
+                "BENCH_QUERIES.json): " +
+                susp.map { case (n, now, rec) => f"$n $now%.2f vs $rec%.2f" }
+                  .mkString(", ") +
+                " — explain each in SCALING.md or re-measure before committing")
+            val sample = susp.take(20)
+              .map { case (n, now, rec) =>
+                f"""{"q":"$n","now":$now%.3f,"rec":$rec%.3f}""" }
+              .mkString("[", ",", "]")
+            (s""","record_suspects":{"n":${susp.length},"sample":$sample}""",
+             s""","record_suspects":{"n":${susp.length}}""")
+          } else (s""","record_suspects":{"n":0}""", "")
+      }
+    val fileLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":${jsonArr(errors)},""" +
+        s""""sf":"$sfDir","cpus":"$cpus","reps":$reps$drawsObj$subtotalsJson${guard.fileExtra}$recFileJson$fileL4,"queries":$fileQs}"""
     val sidecarLine =
       s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps$drawsObj$subtotalsJson,""" +
         s""""streaming":${jsonArr(results.map(_._1).filter(streamingSet))},""" +
@@ -548,6 +594,6 @@ object Bench {
       if (guard.cleanEligible) java.nio.file.Files.writeString(cleanPath, fileLine + "\n")
     } catch { case _: Throwable => () } // read-only cwd must not kill the bench
     println(renderStdout(total, results, errors, sfDir, cpus, reps,
-      drawsObj + subtotalsJson + guard.stdoutExtra, local4))
+      drawsObj + subtotalsJson + guard.stdoutExtra + recStdoutJson, local4))
   }
 }

@@ -325,4 +325,30 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.drawsJson(1, "clean")
       == ""","draws":{"n":1,"accepted":"clean","record":true}""")
   }
+
+  test("record diff catches the q116-class round-over-round move (r17 task 3)") {
+    // q116 r16→r17: 2.59 → 3.94 s (+52%, +1.35 s) passed the 2× in-session
+    // suspect scan; the committed-record band (>40% AND >0.5 s) must flag it
+    val rec = Map("q116_image_neardup" -> 2.59, "q38_pq" -> 3.46, "q48b_x" -> 1.68)
+    val now = Seq(
+      "q116_image_neardup" -> Some(3.94), // regression: must flag
+      "q38_pq" -> Some(2.34),             // improvement past 1/1.4, >0.5 s: flag
+      "q48b_x" -> Some(1.30),             // -23%, inside the band: quiet
+      "q_new" -> Some(9.0),               // not in the record: quiet
+      "q_err" -> None)                    // errored: quiet
+    val susp = Bench.recordSuspects(now, rec)
+    assert(susp.map(_._1) == Seq("q116_image_neardup", "q38_pq"), susp.toString)
+  }
+
+  test("record diff ignores small-absolute and in-band moves") {
+    // 2× on a 0.2 s query is noise (below the 0.5 s floor); 1.3× on a big
+    // query is inside the 40% band
+    val rec = Map("tiny" -> 0.2, "big" -> 10.0)
+    assert(Bench.recordSuspects(
+      Seq("tiny" -> Some(0.45), "big" -> Some(13.0)), rec).isEmpty)
+    // but a 1.5× move on the big query fires
+    assert(Bench.recordSuspects(Seq("big" -> Some(15.0)), rec).map(_._1) == Seq("big"))
+    // and symmetric in the fast direction (1/1.5 with >0.5 s delta)
+    assert(Bench.recordSuspects(Seq("big" -> Some(6.0)), rec).map(_._1) == Seq("big"))
+  }
 }
