@@ -33,10 +33,11 @@ object RungAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val known = Set("asof", "chunk", "srp", "lakes", "blobs", "buckets", "gc",
-      "bandlsh")
-    // bandlsh is a TIMING A/B (box-dependent), not a correctness audit —
-    // it runs only when asked for explicitly
-    val modes = if (args.length > 1) args.drop(1).toSet else known - "bandlsh"
+      "bandlsh", "q116probe")
+    // bandlsh/q116probe are TIMING probes (box-dependent), not correctness
+    // audits — they run only when asked for explicitly
+    val modes = if (args.length > 1) args.drop(1).toSet
+                else known - "bandlsh" - "q116probe"
     require(modes.subsetOf(known),
       s"unknown mode(s) ${(modes -- known).mkString(", ")} — " +
         s"valid: ${known.mkString(", ")}")
@@ -59,6 +60,7 @@ object RungAudit {
     if (modes("buckets")) buckets(spark, sfDir, report)
     if (modes("gc")) gc(spark, sfDir, report)
     if (modes("bandlsh")) bandlsh(spark, sfDir, report)
+    if (modes("q116probe")) q116probe(spark, sfDir, report)
     spark.stop()
     if (failed) sys.exit(1)
   }
@@ -406,6 +408,44 @@ object RungAudit {
             f"winner=${if (median(hTimes) <= median(mTimes)) "shuffle_hash" else "merge"})")
       }
     }
+  }
+
+  /** The q116 bench-vs-A/B paradox probe (VERDICT r17 task 1): the r17
+    * record measured q116 at 3.94 s while the same round's interleaved
+    * bandlsh A/B measured 2.02-2.05 s on the same box class. This mode
+    * reproduces BOTH protocols in ONE JVM: (a) Bench's exact draw shape
+    * (entry() warm-up, then clearCache + DataFrame.count per rep) with
+    * the FIRST draw kept separate — it carries whatever one-time cost
+    * (staging existence check, first PNG decode wave, page-cache fill,
+    * codegen) the bench's rep 1 pays; (b) five more bench-shape draws
+    * once warm; run alongside `bandlsh` in the same invocation for the
+    * (c) leg. If cold ≈ warm ≈ 2 s, the 3.94 s record was box noise; if
+    * warm draws sit near 4 s here too, the bench pays something this
+    * probe also pays and the gap is protocol-real. */
+  private def q116probe(spark: SparkSession, sfDir: String,
+                        report: (String, Boolean, String) => Unit): Unit = {
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    // decomposed bench draw: DataFrame CONSTRUCTION (staging check +
+    // binaryFile listing + analysis — the part the bandlsh A/B clock
+    // excludes) vs count() execution
+    def draw(): (Double, Double) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries("q116_image_neardup")(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }
+    try { SparkEntry.entry(spark).count(); () } catch { case _: Throwable => () }
+    val cold = draw()
+    val warm = (1 to 5).map(_ => draw())
+    report("q116_bench_protocol", true,
+      f"cold=${cold._1 + cold._2}%.2fs(build=${cold._1}%.2f) " +
+        f"warm_total_median=${median(warm.map(w => w._1 + w._2))}%.2fs " +
+        f"warm_build_median=${median(warm.map(_._1))}%.2fs " +
+        f"warm_count_median=${median(warm.map(_._2))}%.2fs " +
+        s"draws=${warm.map(w => f"${w._1}%.2f+${w._2}%.2f").mkString(",")}")
   }
 
   /** Staging-GC probe (VERDICT r15 task 4): after the bucketed table and
