@@ -18,7 +18,7 @@ red; an EXCLUDED records WHY DuckDB could not evaluate the oracle at this
 rung (the Spark side still produced results — covered by differentials
 like q13≡q13b where they exist).
 
-Usage: sf100_sweep.py <sfDir> <verifyOutDir> [timeoutSec] [memLimit]
+Usage: sf100_sweep.py <sfDir> <verifyOutDir> [timeoutSec] [memLimit] [tempCap]
 Defaults: timeout 600 s, memory_limit 24GB.
 """
 import json
@@ -48,7 +48,7 @@ def canon(rows, cols):
     return out
 
 
-def check_one(sf_dir, out_dir, name, sql, mem_limit, q):
+def check_one(sf_dir, out_dir, name, sql, mem_limit, temp_cap, q):
     import duckdb
     t0 = time.time()
     try:
@@ -60,7 +60,7 @@ def check_one(sf_dir, out_dir, name, sql, mem_limit, q):
         # a pathological oracle (the composed as-of pair stream) spills
         # >60 GB before its timeout — cap the spill so it can't fill the
         # disk under the concurrently-running Spark dump
-        con.execute("SET max_temp_directory_size='40GB'")
+        con.execute(f"SET max_temp_directory_size='{temp_cap}'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -125,6 +125,9 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 600
     mem_limit = sys.argv[4] if len(sys.argv) > 4 else "24GB"
+    # spill cap is now a parameter: the 40GB default assumed an empty
+    # /tmp; a concurrent Spark dump shares the disk
+    temp_cap = sys.argv[5] if len(sys.argv) > 5 else "40GB"
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     # Pin the enumeration to the LIVE registration (VERDICT r16 task 7):
@@ -174,7 +177,7 @@ def main():
             continue
         q = mp.Queue()
         p = mp.Process(target=check_one,
-                       args=(sf_dir, out_dir, name, sql, mem_limit, q))
+                       args=(sf_dir, out_dir, name, sql, mem_limit, temp_cap, q))
         p.start()
         p.join(timeout)
         if p.is_alive():

@@ -1555,6 +1555,84 @@ object SourceQueries {
       |  CAST(nf * (144000 * kbps // hz + pad) AS BIGINT) AS file_bytes
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // --- q157: MP4/ISO-BMFF container census (the modern-video q152) -----------
+  /** Closes the video-container family at the format crawled corpora
+    * actually ship (VERDICT r17 task 7): AVI (q60u) is the legacy RIFF
+    * side; this is the ISO-BMFF box walk ([[graft.sources.Mp4]], strict:
+    * non-tiling children / missing ftyp / duplicate moov / version-1
+    * headers throw). One .mp4 per non-empty doc, two tracks with
+    * EXACT-millisecond tick rates derived deterministically from the doc
+    * — video: page count at 25 fps on a 90 kHz clock (ticks nf·3600 →
+    * ms nf·40), audio: one sample per char at 48 kHz (ticks n·48 → ms
+    * n), movie clock 1000 Hz at max(video, audio) — so the oracle
+    * re-derives every census column arithmetically, INCLUDING the total
+    * byte size from the box grammar's fixed sizes (ftyp 24 + moov 462 +
+    * mdat 8+payload): a size, tiling, or header-layout bug anywhere in
+    * the codec breaks the bit-exact match. Map-only over the blob lake
+    * (q152's embarrassingly-parallel shape); only the census shuffles. */
+  private def mp4Lake(spark: SparkSession, dir: String): java.io.File = {
+    import spark.implicits._
+    stagedBlobs(dir, "mp4") { staging =>
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+        .as[(Long, Long)]
+        .foreachPartition { it: Iterator[(Long, Long)] =>
+          it.foreach { case (id, n) =>
+            val nf = (n + 199) / 200
+            val payload = Array.tabulate((n % 200).toInt + 1)(i => ((id + i) % 251).toByte)
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"doc_$id%06d.mp4").toPath,
+              graft.sources.Mp4.encode(
+                brand = if (id % 2 == 0) "isom" else "mp42",
+                timescale = 1000L,
+                durationTicks = math.max(nf * 40L, n),
+                tracks = Seq(("vide", 90000L, nf * 3600L), ("soun", 48000L, n * 48L)),
+                mdat = payload))
+          }
+        }
+    }
+  }
+
+  def mp4Census(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(mp4Lake(spark, dir).getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.mp4", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = graft.sources.Mp4.decode(bytes)
+        val video = m.tracks.filter(_.handler == "vide")
+        val audio = m.tracks.filter(_.handler == "soun")
+        require(video.size == 1 && audio.size == 1,
+          s"doc $id: expected one video + one audio track, got ${m.tracks.map(_.handler)}")
+        (id, m.brand, m.tracks.size.toLong, m.durationMs,
+          video.head.durationMs, audio.head.durationMs,
+          m.mdatBytes, bytes.length.toLong)
+      }
+      .toDF("doc_id", "brand", "n_tracks", "duration_ms", "video_ms",
+        "audio_ms", "mdat_bytes", "file_bytes")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Every column re-derived arithmetically, file_bytes from the box
+    * grammar's fixed sizes: ftyp 24 + moov(8 + mvhd 108 + 2·trak 173) +
+    * mdat(8 + n%200 + 1) = 495 + n%200. */
+  val mp4CensusOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, length(text) AS n, (length(text) + 199) // 200 AS nf
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+      |  CAST(2 AS BIGINT) AS n_tracks,
+      |  CAST(greatest(nf * 40, n) AS BIGINT) AS duration_ms,
+      |  CAST(nf * 40 AS BIGINT) AS video_ms,
+      |  CAST(n AS BIGINT) AS audio_ms,
+      |  CAST(n % 200 + 1 AS BIGINT) AS mdat_bytes,
+      |  CAST(495 + n % 200 AS BIGINT) AS file_bytes
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // --- q153: parquet footer-only lake census ----------------------------------
   /** The "how healthy is this lake" pass that must NEVER read data: per
     * partition directory, file count, row count and the value column's
@@ -2284,6 +2362,7 @@ object SourceQueries {
     "q60w_scene_cut" -> ((s, d) => videoSceneCut(s, d)),
     "q140_subtitle_align" -> ((s, d) => subtitleAlign(s, d)),
     "q152_mp3_census" -> ((s, d) => mp3Census(s, d)),
+    "q157_mp4_census" -> ((s, d) => mp4Census(s, d)),
     "q153_footer_stats" -> ((s, d) => footerStats(s, d)),
     "q119_csv_quarantine" -> ((s, d) => csvQuarantine(s, d)),
     "q79_dsv2_blobs" -> ((s, d) => dsv2BlobScan(s, d)),
@@ -2359,6 +2438,7 @@ object SourceQueries {
     "q60w_scene_cut" -> videoSceneCutOracle,
     "q140_subtitle_align" -> subtitleAlignOracle,
     "q152_mp3_census" -> mp3CensusOracle,
+    "q157_mp4_census" -> mp4CensusOracle,
     "q153_footer_stats" -> footerStatsOracle,
     // q119: quarantine rule inlined so the oracle needs no CSV lake
     "q119_csv_quarantine" -> csvQuarantineOracle,
