@@ -924,7 +924,11 @@ object RagQueries {
     * VERBATIM — "incremental append + merged serve ≡ rebuild" is the
     * bit-exact invariant under test (the reference instead re-embeds
     * and recreates its whole collection per ingest, app.py:289-297). */
-  def bm25IncrementalAppend(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage (once per corpus fingerprint) the q130 base and delta BM25
+    * lakes; returns (baseRoot, deltaRoot). Shared by q130's merged-stats
+    * serve and q158's compaction so both exercise the same artifact
+    * generations. */
+  private def bm25IncRoots(spark: SparkSession, dir: String): (java.io.File, java.io.File) = {
     val docsAll = Tables.documents(spark, dir)
     val baseRoot = SourceQueries.stagedBlobs(dir, "bm25inc") { staging =>
       writeBm25Lake(spark, docsAll.filter(col("doc_id") % 10 =!= 7), staging)
@@ -932,6 +936,11 @@ object RagQueries {
     val deltaRoot = SourceQueries.stagedBlobs(dir, "bm25incd") { staging =>
       writeBm25Lake(spark, docsAll.filter(col("doc_id") % 10 === 7), staging)
     }
+    (baseRoot, deltaRoot)
+  }
+
+  def bm25IncrementalAppend(spark: SparkSession, dir: String): DataFrame = {
+    val (baseRoot, deltaRoot) = bm25IncRoots(spark, dir)
     def lake(root: java.io.File, part: String): DataFrame =
       spark.read.parquet(s"$root/$part")
     val doclens = lake(baseRoot, "doclens").unionByName(lake(deltaRoot, "doclens"))
@@ -943,10 +952,68 @@ object RagQueries {
     bm25Serve(spark, doclens, matched)
   }
 
+  // --- q158: postings-lake compaction (q156's text-side twin) ---------------
+  /** The lakehouse OPTIMIZE step for the q130 postings family: base +
+    * delta merge into ONE new generation WITHOUT re-tokenizing a single
+    * document — the compactor reads only the two ARTIFACT lakes (their
+    * slim (term, doc_id, dl, tf) rows, never text) and rewrites the
+    * union with the same term-sorted range layout and row-sized
+    * partition floors the build used, so row-group min/max skipping
+    * keeps working on the merged generation. Serving is [[bm25Serve]]
+    * over the compacted lake ALONE — one scan per query batch instead of
+    * base+delta per delta accumulated, with the query-term IN filter
+    * pushed into the single merged scan — and because merged-stats serve
+    * ≡ rebuild (q130's invariant), q81's whole-corpus oracle applies
+    * VERBATIM to the compacted generation: a dropped or duplicated
+    * posting anywhere in the merge breaks the bit-exact gate.
+    *
+    * 100 TB economics: compaction cost ∝ |index rows| (tens of bytes per
+    * posting), not |corpus text|; re-tokenizing at compaction time would
+    * be the corpus-sized pass this operator exists to avoid. Publish is
+    * atomic + fingerprint-idempotent (Bm25CompactSpec snapshots mtimes
+    * across a re-run). Reference anchor: the same standing-collection
+    * lifecycle as q156 (app.py:204-212, 261-271). */
+  private def bm25CompactedRoot(spark: SparkSession, dir: String): java.io.File = {
+    val (baseRoot, deltaRoot) = bm25IncRoots(spark, dir)
+    SourceQueries.stagedBlobs(dir, "bm25comp") { staging =>
+      val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+      def lake(root: java.io.File, part: String): DataFrame =
+        spark.read.parquet(new java.io.File(root, part).getAbsolutePath)
+      val doclens = lake(baseRoot, "doclens").unionByName(lake(deltaRoot, "doclens"))
+        .persist()
+      try {
+        val nDocs = doclens.count()
+        doclens
+          .repartition(math.max(1L, math.min(shuffleParts, nDocs / 2000)).toInt,
+            col("doc_id"))
+          .write.parquet(new java.io.File(staging, "doclens").getAbsolutePath)
+      } finally doclens.unpersist()
+      val postings = lake(baseRoot, "postings").unionByName(lake(deltaRoot, "postings"))
+        .persist()
+      try {
+        val nPost = postings.count()
+        postings
+          .repartitionByRange(
+            math.max(8L, math.min(shuffleParts, nPost / 2000)).toInt, col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.parquet(new java.io.File(staging, "postings").getAbsolutePath)
+      } finally postings.unpersist()
+    }
+  }
+
+  def bm25CompactedServe(spark: SparkSession, dir: String): DataFrame = {
+    val compRoot = bm25CompactedRoot(spark, dir)
+    val doclens = spark.read.parquet(s"$compRoot/doclens")
+    val matched = spark.read.parquet(s"$compRoot/postings")
+      .filter(col("term").isin(bm25QueryTerms: _*))
+    bm25Serve(spark, doclens, matched)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "q111_bm25_from_index" -> ((s, d) => bm25FromIndex(s, d)),
     "q130_bm25_incremental" -> ((s, d) => bm25IncrementalAppend(s, d)),
+    "q158_postings_compact" -> ((s, d) => bm25CompactedServe(s, d)),
     "q16_memory_window" -> ((s, d) => memoryWindow(s, d)),
     "q09_preview" -> ((s, d) => preview(s, d)),
     "q14_context_assembly" -> ((s, d) => contextAssembly(s, d)),
@@ -973,6 +1040,9 @@ object RagQueries {
     // the whole-corpus oracle applies verbatim — the incremental append
     // round trip is the delta under test
     "q130_bm25_incremental" -> bm25Oracle,
+    // q158: compacted-generation serve — merged-stats serve ≡ rebuild, so the
+    // whole-corpus oracle applies verbatim (the merge is the delta under test)
+    "q158_postings_compact" -> bm25Oracle,
     "q16_memory_window" -> memoryWindowOracle,
     "q09_preview" -> previewOracle,
     "q14_context_assembly" -> contextAssemblyOracle,
