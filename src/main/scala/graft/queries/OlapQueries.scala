@@ -1137,6 +1137,80 @@ object OlapQueries {
       |  max(doc_id) AS max_key, CAST(sum(doc_id) AS BIGINT) AS key_sum
       |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin
 
+  // --- q159: CDC apply / MERGE (ordered change log → snapshot) ---------------
+  /** The lakehouse MERGE primitive q137 diagnoses and q133 erases: APPLY
+    * an ordered CDC batch (upserts + deletes + inserts, each stamped with
+    * a change sequence) to a snapshot with last-writer-wins semantics —
+    * the ingestion step every warehouse runs against a replicated OLTP
+    * change stream. The change log derives deterministically: every 5th
+    * key gets an update at seq 1, every 7th a SECOND update at seq 2
+    * (LWW must pick it over seq 1 where both fire), every 11th a delete
+    * at seq 3 (deletes beat every update), and every 13th key re-keyed
+    * above max(doc_id) arrives as an insert — so the oracle re-derives
+    * the exact log and the applied snapshot is a pure function of the
+    * corpus. Output is the applied snapshot's per-row witness
+    * (sha256(text) + how many change ops touched the key), so a wrong
+    * winner, a lost delete, or a duplicated apply breaks the bit-exact
+    * gate row-by-row.
+    *
+    * 100 TB shape: base ∪ log is ONE hash aggregate on the key —
+    * max_by(struct(op, text), seq) with map-side partial merge — plus a
+    * same-key count; no window over the corpus, no driver state; the
+    * snapshot and the log shuffle once each on the merge key. (The
+    * file-granularity write side of MERGE is q133's copy-on-write
+    * mechanics; this operator is the row-semantics half.) */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // insert keys above the live key space, derived from the table max
+    // (q141's collision-proof synthetic-id discipline)
+    val maxKey = d.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+    def change(pred: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+               text: org.apache.spark.sql.Column, seq: Long, op: String) =
+      d.filter(pred).select(key.as("doc_id"), text.as("text"),
+        lit(seq).as("seq"), lit(op).as("op"))
+    val base = d.select(col("doc_id"), col("text"), lit(0L).as("seq"), lit("U").as("op"))
+    val log = change(col("doc_id") % 5 === 0, col("doc_id"),
+        concat(col("text"), lit(" [cdc1]")), 1L, "U")
+      .unionByName(change(col("doc_id") % 7 === 0, col("doc_id"),
+        concat(col("text"), lit(" [cdc2]")), 2L, "U"))
+      .unionByName(change(col("doc_id") % 11 === 0, col("doc_id"), lit(""), 3L, "D"))
+      .unionByName(change(col("doc_id") % 13 === 0, col("doc_id") + maxKey + 1L,
+        concat(col("text"), lit(" [new]")), 1L, "U"))
+    base.unionByName(log)
+      .groupBy(col("doc_id"))
+      .agg(expr("max_by(struct(op, text), seq)").as("w"),
+        sum(when(col("seq") > 0, 1L).otherwise(0L)).as("n_ops"))
+      .filter(col("w.op") =!= "D")
+      .select(col("doc_id"), sha2(col("w.text"), 256).as("text_sha"), col("n_ops"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The same log re-derived; LWW via a row_number window instead of the
+    * engine's max_by aggregate — two independent derivations of the
+    * winner. */
+  val cdcApplyOracle: String =
+    """WITH mk AS (SELECT max(doc_id) AS maxkey FROM documents),
+      |base AS (SELECT doc_id, text, 0 AS seq, 'U' AS op FROM documents),
+      |log AS (
+      |  SELECT doc_id, text || ' [cdc1]' AS text, 1 AS seq, 'U' AS op
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text || ' [cdc2]', 2, 'U' FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, '', 3, 'D' FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT maxkey FROM mk) + 1, text || ' [new]', 1, 'U'
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM log),
+      |w AS (SELECT doc_id, text, op,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
+      |        CAST(count(*) FILTER (seq > 0)
+      |             OVER (PARTITION BY doc_id) AS BIGINT) AS n_ops
+      |      FROM u)
+      |SELECT doc_id, sha256(text) AS text_sha, n_ops
+      |FROM w WHERE rn = 1 AND op <> 'D'
+      |ORDER BY doc_id""".stripMargin
+
   // --- q147: compaction EXECUTION (rewrite + read-back verification) ---------
   /** Closes the loop q126 opens: don't just PLAN the rewrite — do it.
     * The same sequential bin arithmetic (here with a FIXED 64 KiB target,
@@ -1286,6 +1360,7 @@ object OlapQueries {
     "q126_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
     "q136_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
     "q137_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
+    "q159_cdc_apply" -> ((s, d) => cdcApply(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
     "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
     "q143_attribution" -> ((s, d) => attribution(s, d)),
@@ -1311,6 +1386,7 @@ object OlapQueries {
     "q126_compaction_plan" -> compactionPlanOracle,
     "q136_cohort_retention" -> cohortRetentionOracle,
     "q137_snapshot_diff" -> snapshotDiffOracle,
+    "q159_cdc_apply" -> cdcApplyOracle,
     "q139_ks_drift" -> ksDriftOracle,
     "q142_incremental_mv" -> incrementalMvOracle,
     "q143_attribution" -> attributionOracle,
