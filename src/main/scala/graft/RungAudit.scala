@@ -214,13 +214,14 @@ object RungAudit {
     // ensure the artifacts exist (content-addressed: no-ops when staged)
     Seq("q111_bm25_from_index", "q35c_ann_ivf_index", "q38b_ann_pq_index",
         "q39b_ann_ivfpq_index", "q129_ivf_index_append",
-        "q130_bm25_incremental").foreach { q =>
+        "q130_bm25_incremental", "q156b_ann_compacted_serve",
+        "q158_postings_compact").foreach { q =>
       SparkEntry.queries(q)(spark, sfDir).count()
     }
     val sfName = new java.io.File(sfDir).getName
     val roots = new java.io.File("/root/repo/target").listFiles()
       .filter(f => f.isDirectory && f.getName.matches(
-        s"blobs_(bm25idx2|ivfidx|pqidx|ivfinc|ivfincd|bm25inc|bm25incd)_${java.util.regex.Pattern.quote(sfName)}_.*"))
+        s"blobs_(bm25idx2|ivfidx|pqidx|ivfinc|ivfincd|bm25inc|bm25incd|ivfcomp|bm25comp)_${java.util.regex.Pattern.quote(sfName)}_.*"))
     val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
     for (root <- roots.sortBy(_.getName);
          sub <- root.listFiles().filter(_.isDirectory).sortBy(_.getName)) {
