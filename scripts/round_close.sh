@@ -47,10 +47,14 @@ fi
 # add each artifact individually: `git add` fails ATOMICALLY on a missing
 # pathspec (e.g. COPYCHECK.json before the driver first drops it), and the
 # old single-command form silently staged NOTHING in that case
+# skip gitignored artifacts (e.g. COPYCHECK.json per the README policy):
+# `git add` on an ignored pathspec exits non-zero and would abort the sweep
 for f in BENCH_LOCAL.json BENCH_CLEAN.json BENCH_QUERIES.json \
          LEAKCHECK.json COPYCHECK.json SCALING.md \
          BENCH_r*.json CORRECTNESS_r*.json; do
-  [ -e "$f" ] && git add -A -- "$f"
+  [ -e "$f" ] || continue
+  git check-ignore -q -- "$f" && continue
+  git add -A -- "$f"
 done
 if ! git diff --cached --quiet; then
   git commit -m "Round close: refresh committed bench/correctness artifacts"
