@@ -135,6 +135,25 @@ def main():
             print(f"FAIL {name}: arrow schema fetch error: {e}")
             failures += 1
             continue
+        # hard lint (round-18 q139 incident): a DECIMAL result column is a
+        # silent false-negative class for this replica — decimal(38,0) on
+        # BOTH sides compares equal via repr here, yet the driver's
+        # arrow/pandas hash diverges on it (rows ✓ schema ✓ hash ✗ at the
+        # r18 gate; the board's one decimal output was its one hash fail).
+        # arrow_class above was built for int-vs-decimal ASYMMETRY and
+        # cannot catch symmetric decimal-vs-decimal, so: no query may EMIT
+        # a top-level decimal column at all. Keep decimal arithmetic
+        # internal and cast the final projection to BIGINT/DOUBLE.
+        dec = sorted({(f.name, str(f.type))
+                      for sch in (sp_arrow, du_arrow) for f in sch
+                      if pa.types.is_decimal(f.type)})
+        if dec:
+            print(f"FAIL {name}: decimal output column(s) {dec} — the "
+                  f"driver gate hash-fails decimal result columns even "
+                  f"when both sides are bit-identical (r18 q139); cast "
+                  f"the final projection on both engine and oracle")
+            failures += 1
+            continue
         sp_ty = {f.name: arrow_class(f.type) for f in sp_arrow}
         du_ty = {f.name: arrow_class(f.type) for f in du_arrow}
         ty_mismatch = [(c, sp_ty[c], du_ty[c]) for c in sorted(sp_ty)

@@ -1045,7 +1045,14 @@ object OlapQueries {
       .withColumn("diff", abs(col("a_cum").cast("decimal(38,0)") * col("n2") -
         col("b_cum").cast("decimal(38,0)") * col("n1")))
       .orderBy(desc("diff"), asc("value")).limit(1)
-      .select(col("n1"), col("n2"), col("diff").as("ks_num"),
+      // OUTPUT surface stays BIGINT (r17's): the driver gate's arrow/pandas
+      // hash cannot round-trip DECIMAL result columns (r18 incident — the
+      // board's one decimal output was its one hash fail). The decimal(38,0)
+      // math above stays; only this final projection narrows. int64 bound:
+      // ks_num ≤ n1·n2 overflows past ~3e9-row cohorts — the cast is ANSI
+      // (throws loudly there), the intermediates never overflow.
+      .select(col("n1"), col("n2"),
+        col("diff").cast("long").as("ks_num"),
         col("value").as("at_value"),
         expr("diff * 10000 div (CAST(n1 AS DECIMAL(38,0)) * n2)").as("ks_bp"))
   }
@@ -1065,7 +1072,7 @@ object OlapQueries {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |  d AS (SELECT value, abs(a_cum * t.n2 - b_cum * t.n1) AS diff FROM k, t)
       |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
-      |  CAST(d.diff AS DECIMAL(38,0)) AS ks_num, d.value AS at_value,
+      |  CAST(d.diff AS BIGINT) AS ks_num, d.value AS at_value,
       |  CAST(d.diff * 10000 // (t.n1 * t.n2) AS BIGINT) AS ks_bp
       |FROM d, t ORDER BY d.diff DESC, d.value LIMIT 1""".stripMargin
 

@@ -30,7 +30,8 @@ class KsDriftSpec extends SparkSuite {
       .withColumn("diff", abs(col("a_cum").cast("decimal(38,0)") * n2 -
         col("b_cum").cast("decimal(38,0)") * n1))
       .orderBy(desc("diff"), asc("value")).limit(1)
-      .select(lit(n1).as("n1"), lit(n2).as("n2"), col("diff").as("ks_num"),
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        col("diff").cast("long").as("ks_num"),
         col("value").as("at_value"),
         expr(s"diff * 10000 div ${n1 * n2}").as("ks_bp"))
       .collect().map(_.toSeq).toSeq
@@ -40,7 +41,7 @@ class KsDriftSpec extends SparkSuite {
   test("the statistic is a valid normalized distance") {
     val r = SparkEntry.queries("q139_ks_drift")(spark, sfDir).head()
     val (n1, n2, bp) = (r.getLong(0), r.getLong(1), r.getLong(4))
-    val num = r.getDecimal(2).longValueExact()
+    val num = r.getLong(2)
     assert(n1 > 0 && n2 > 0)
     assert(num >= 0 && num <= n1 * n2, "numerator bounded by n1*n2")
     assert(bp >= 0 && bp <= 10000, "D in [0,1] as basis points")
