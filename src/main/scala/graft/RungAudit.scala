@@ -33,11 +33,11 @@ object RungAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val known = Set("asof", "chunk", "srp", "lakes", "blobs", "buckets", "gc",
-      "bandlsh", "q116probe")
-    // bandlsh/q116probe are TIMING probes (box-dependent), not correctness
-    // audits — they run only when asked for explicitly
+      "bandlsh", "q116probe", "timeq")
+    // bandlsh/q116probe/timeq are TIMING probes (box-dependent), not
+    // correctness audits — they run only when asked for explicitly
     val modes = if (args.length > 1) args.drop(1).toSet
-                else known - "bandlsh" - "q116probe"
+                else known - "bandlsh" - "q116probe" - "timeq"
     require(modes.subsetOf(known),
       s"unknown mode(s) ${(modes -- known).mkString(", ")} — " +
         s"valid: ${known.mkString(", ")}")
@@ -61,6 +61,7 @@ object RungAudit {
     if (modes("gc")) gc(spark, sfDir, report)
     if (modes("bandlsh")) bandlsh(spark, sfDir, report)
     if (modes("q116probe")) q116probe(spark, sfDir, report)
+    if (modes("timeq")) timeq(spark, sfDir, report)
     spark.stop()
     if (failed) sys.exit(1)
   }
@@ -408,6 +409,38 @@ object RungAudit {
             f"(reps=$reps interleaved; rowsEqual=$rowsOk planShapesOk=$planOk; " +
             f"winner=${if (median(hTimes) <= median(mTimes)) "shuffle_hash" else "merge"})")
       }
+    }
+  }
+
+  /** Generic single-query timing probe in the bench's exact draw shape
+    * (entry() warm-up once, then clearCache + DataFrame.count per rep;
+    * cold first draw reported separately, median of 5 warm draws) —
+    * built for the record_suspects guard's named follow-ups, where ONE
+    * flagged query needs a quiet-box draw without paying a full bench
+    * run (first use: q32b's r18 "box wobble" adjudication, re-check
+    * trigger ">1.1 s on a quiet box next round"). Query names come from
+    * GRAFT_TIMEQ (comma-separated registry keys). */
+  private def timeq(spark: SparkSession, sfDir: String,
+                    report: (String, Boolean, String) => Unit): Unit = {
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val names = sys.env.getOrElse("GRAFT_TIMEQ", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    require(names.nonEmpty, "timeq: set GRAFT_TIMEQ=<query>[,<query>…]")
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"timeq: unknown queries ${unknown.mkString(", ")}")
+    try { SparkEntry.entry(spark).count(); () } catch { case _: Throwable => () }
+    for (q <- names) {
+      def draw(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = draw()
+      val warm = (1 to 5).map(_ => draw())
+      report(s"timeq_$q", true,
+        f"cold=$cold%.2fs warm_median=${median(warm)}%.2fs " +
+          s"draws=${warm.map(w => f"$w%.2f").mkString(",")}")
     }
   }
 
