@@ -1170,7 +1170,12 @@ object OlapQueries {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // insert keys above the live key space, derived from the table max
     // (q141's collision-proof synthetic-id discipline)
-    val maxKey = d.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+    // max over zero rows is null — fail with a clear message, not the
+    // opaque NPE getLong(0) would throw on an empty corpus
+    val maxKeyRow = d.agg(max(col("doc_id")).cast("long")).head()
+    require(!maxKeyRow.isNullAt(0),
+      "cdcApply: empty documents table — no key space to derive insert ids")
+    val maxKey = maxKeyRow.getLong(0)
     def change(pred: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
                text: org.apache.spark.sql.Column, seq: Long, op: String) =
       d.filter(pred).select(key.as("doc_id"), text.as("text"),

@@ -746,8 +746,12 @@ object RelationalQueries {
     // table's own max — a hard-coded +1e6 offset collides with real
     // custkeys once the table passes 1M rows (SF ≥ ~7) and silently
     // corrupts record identity; one column-pruned scalar agg (table-stats
-    // material at 100 TB) keeps the id spaces disjoint at any SF
-    val maxKey = cust.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    // material at 100 TB) keeps the id spaces disjoint at any SF.
+    // max over zero rows is null — fail clearly, not with getLong's NPE
+    val maxKeyRow = cust.agg(max(col("c_custkey")).cast("long")).head()
+    require(!maxKeyRow.isNullAt(0),
+      "entityResolution: empty customer table — no key space for variant ids")
+    val maxKey = maxKeyRow.getLong(0)
     val base = cust.select(col("c_custkey").as("record_id"), col("c_name").as("name"),
       col("c_nationkey").as("nation"), col("c_acctbal").as("bal"))
     val variants = cust.filter(col("c_custkey") % 7 === 0)
@@ -878,8 +882,12 @@ object RelationalQueries {
     // batch ids above the standing key space, derived from the table max
     // (same rationale as q141: a fixed +2e6 offset collides with real
     // custkeys at SF ≥ ~14); ×2 keeps the q155 batch space disjoint from
-    // q141's variant space too
-    val maxKey = cust.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    // q141's variant space too.
+    // max over zero rows is null — fail clearly, not with getLong's NPE
+    val maxKeyRow = cust.agg(max(col("c_custkey")).cast("long")).head()
+    require(!maxKeyRow.isNullAt(0),
+      "incrementalEr: empty customer table — no key space for batch ids")
+    val maxKey = maxKeyRow.getLong(0)
     val index = spark.read.parquet(
       new java.io.File(erIndexLake(spark, dir), "keys").getAbsolutePath)
       .select(col("block"), col("nation"), col("record_id").as("iid"),

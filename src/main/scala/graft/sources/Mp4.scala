@@ -42,6 +42,16 @@ object Mp4 {
   private def be32(v: Long): Array[Byte] =
     ByteBuffer.allocate(4).putInt(v.toInt).array()
 
+  /** Version-0 full boxes carry 32-bit tick fields: a timescale or tick
+    * count past 2³²−1 would silently truncate mod 2³² in putInt (e.g. a
+    * 48 kHz audio track overflows at ~89M-char docs) — refuse loudly,
+    * mirroring decode's strictness. */
+  private def u32Field(what: String, v: Long): Int = {
+    require(v >= 0 && v <= 0xffffffffL,
+      s"MP4 encode: $what $v does not fit unsigned 32 bits (version-0 box)")
+    v.toInt
+  }
+
   private def box(typ: String, body: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(body.length + 8)
     out.write(be32(body.length + 8L)); out.write(fourcc(typ)); out.write(body)
@@ -53,7 +63,8 @@ object Mp4 {
     val b = ByteBuffer.allocate(100)
     b.putInt(0)                       // version 0 + flags
     b.putInt(0).putInt(0)             // creation, modification
-    b.putInt(timescale.toInt).putInt(duration.toInt)
+    b.putInt(u32Field("mvhd timescale", timescale))
+    b.putInt(u32Field("mvhd duration", duration))
     b.putInt(0x00010000)              // rate 1.0
     b.putShort(0x0100.toShort)        // volume 1.0
     b.putShort(0); b.putInt(0).putInt(0) // reserved
@@ -70,7 +81,7 @@ object Mp4 {
     b.putInt(7)                       // version 0, flags: enabled|in_movie|in_preview
     b.putInt(0).putInt(0)             // creation, modification
     b.putInt(trackId); b.putInt(0)    // track_ID, reserved
-    b.putInt(duration.toInt)
+    b.putInt(u32Field("tkhd duration", duration))
     b.putInt(0).putInt(0)             // reserved
     b.putShort(0); b.putShort(0); b.putShort(0); b.putShort(0) // layer, group, volume, reserved
     Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
@@ -83,7 +94,8 @@ object Mp4 {
     val b = ByteBuffer.allocate(24)
     b.putInt(0)                       // version + flags
     b.putInt(0).putInt(0)             // creation, modification
-    b.putInt(timescale.toInt).putInt(duration.toInt)
+    b.putInt(u32Field("mdhd timescale", timescale))
+    b.putInt(u32Field("mdhd duration", duration))
     b.putShort(0x55c4.toShort)        // language 'und'
     b.putShort(0)                     // pre_defined
     box("mdhd", b.array())
@@ -111,7 +123,9 @@ object Mp4 {
     val ftyp = box("ftyp", ftypBody.toByteArray)
     val traks = tracks.zipWithIndex.map { case ((handler, ts, dur), i) =>
       val mdia = box("mdia", mdhd(ts, dur) ++ hdlr(handler))
-      box("trak", tkhd(i + 1, dur * timescale / ts) ++ mdia)
+      // rescale to movie ticks with overflow-exact multiply: both factors
+      // are u32-bounded but their product can exceed Long
+      box("trak", tkhd(i + 1, Math.multiplyExact(dur, timescale) / ts) ++ mdia)
     }
     val moov = box("moov",
       mvhd(timescale, durationTicks) ++ traks.reduce(_ ++ _))
@@ -179,6 +193,10 @@ object Mp4 {
       require(ts > 0, "corrupt MP4: zero track timescale")
       val hdlrs = mk.filter(_._1 == "hdlr")
       require(hdlrs.length == 1, s"corrupt MP4: ${hdlrs.length} hdlr in mdia")
+      // the handler fourcc sits at payload offset 8..12: bound it by the
+      // hdlr box END, not the file end — a short hdlr must throw, not
+      // read the neighboring box's bytes as the handler
+      require(hdlrs.head._3 - hdlrs.head._2 >= 12, "corrupt MP4: hdlr too short")
       val handler = typ(hdlrs.head._2 + 8)
       Track(handler, ts, dur)
     }

@@ -59,6 +59,50 @@ class Mp4CodecSpec extends AnyFunSuite {
       Mp4.encode("isom", 1000L, 0L, Seq.empty, Array[Byte](0)))
   }
 
+  test("encode refuses tick fields past unsigned 32 bits (no silent mod-2^32)") {
+    // 48 kHz audio track overflowing u32 ticks (~89M-char docs): must
+    // throw at encode, not truncate into a wrong census
+    intercept[IllegalArgumentException](
+      Mp4.encode("isom", 1000L, 1L, Seq(("soun", 48000L, 0x100000000L)), Array[Byte](1)))
+    // movie-level duration and timescales too
+    intercept[IllegalArgumentException](
+      Mp4.encode("isom", 1000L, 0x100000000L, Seq(("soun", 48000L, 48L)), Array[Byte](1)))
+    intercept[IllegalArgumentException](
+      Mp4.encode("isom", 0x100000000L, 1L, Seq(("soun", 48000L, 48L)), Array[Byte](1)))
+    // boundary value still encodes: u32 max ticks on the movie clock
+    val m = Mp4.decode(Mp4.encode("isom", 1000L, 0xffffffffL,
+      Seq(("soun", 48000L, 48L)), Array[Byte](1)))
+    assert(m.durationTicks == 0xffffffffL)
+  }
+
+  test("decode bounds the hdlr handler fourcc by the hdlr box end") {
+    // shrink the hdlr payload below 12 bytes so the handler fourcc would
+    // fall outside it: rebuild a movie whose hdlr box is truncated but
+    // whose containers re-tile exactly (all ancestor sizes shrunk by 17)
+    val ok = sample()
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // layout: ftyp 24, then moov. First trak starts at moov payload +108
+    // (mvhd 108); trak = tkhd 92 + mdia(mdhd 32 + hdlr 33). Shrink the
+    // first hdlr from 33 to 16 bytes (payload 8 < 12) and re-tile.
+    val moovOff = 24
+    val trakOff = moovOff + 8 + 108
+    val mdiaOff = trakOff + 8 + 92
+    val hdlrOff = mdiaOff + 8 + 32
+    assert(new String(ok, hdlrOff + 4, 4, java.nio.charset.StandardCharsets.US_ASCII) == "hdlr")
+    val cut = 17 // 33 - 16
+    val b = ok.slice(0, hdlrOff) ++ be32(16) ++ ok.slice(hdlrOff + 4, hdlrOff + 16) ++
+      ok.slice(hdlrOff + 33, ok.length)
+    def shrink(arr: Array[Byte], off: Int): Unit = {
+      val sz = java.nio.ByteBuffer.wrap(arr, off, 4).getInt - cut
+      System.arraycopy(be32(sz), 0, arr, off, 4)
+    }
+    shrink(b, moovOff); shrink(b, trakOff); shrink(b, mdiaOff)
+    val e = intercept[IllegalArgumentException](Mp4.decode(b))
+    assert(e.getMessage.contains("hdlr too short"))
+  }
+
   test("the box grammar's fixed sizes (the oracle's file_bytes arithmetic)") {
     // ftyp 24 + moov 462 + mdat 8+payload — the constants the q157
     // oracle bakes in; a layout change must fail HERE, not at the gate
