@@ -1166,35 +1166,51 @@ object OlapQueries {
     * snapshot and the log shuffle once each on the merge key. (The
     * file-granularity write side of MERGE is q133's copy-on-write
     * mechanics; this operator is the row-semantics half.) */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  /** The base snapshot q159/q160 apply changes to. */
+  private def cdcBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+
+  /** The deterministically-derived change log (doc_id, text, seq, op) —
+    * shared by q159 (applied DataFrame-native) and q160 (round-tripped
+    * through the Avro object-container codec first). */
+  private def cdcChangeLog(d: DataFrame): DataFrame = {
     // insert keys above the live key space, derived from the table max
     // (q141's collision-proof synthetic-id discipline)
     // max over zero rows is null — fail with a clear message, not the
     // opaque NPE getLong(0) would throw on an empty corpus
     val maxKeyRow = d.agg(max(col("doc_id")).cast("long")).head()
     require(!maxKeyRow.isNullAt(0),
-      "cdcApply: empty documents table — no key space to derive insert ids")
+      "cdcChangeLog: empty documents table — no key space to derive insert ids")
     val maxKey = maxKeyRow.getLong(0)
     def change(pred: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
                text: org.apache.spark.sql.Column, seq: Long, op: String) =
       d.filter(pred).select(key.as("doc_id"), text.as("text"),
         lit(seq).as("seq"), lit(op).as("op"))
-    val base = d.select(col("doc_id"), col("text"), lit(0L).as("seq"), lit("U").as("op"))
-    val log = change(col("doc_id") % 5 === 0, col("doc_id"),
+    change(col("doc_id") % 5 === 0, col("doc_id"),
         concat(col("text"), lit(" [cdc1]")), 1L, "U")
       .unionByName(change(col("doc_id") % 7 === 0, col("doc_id"),
         concat(col("text"), lit(" [cdc2]")), 2L, "U"))
       .unionByName(change(col("doc_id") % 11 === 0, col("doc_id"), lit(""), 3L, "D"))
       .unionByName(change(col("doc_id") % 13 === 0, col("doc_id") + maxKey + 1L,
         concat(col("text"), lit(" [new]")), 1L, "U"))
-    base.unionByName(log)
+  }
+
+  /** One-aggregate last-writer-wins apply → per-row witness (q159's
+    * 100 TB shape: max_by(struct(op, text), seq) with map-side partials,
+    * no window, no driver state). */
+  private def cdcLwwApply(base: DataFrame, log: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("text"), lit(0L).as("seq"), lit("U").as("op"))
+      .unionByName(log.select(col("doc_id"), col("text"), col("seq"), col("op")))
       .groupBy(col("doc_id"))
       .agg(expr("max_by(struct(op, text), seq)").as("w"),
         sum(when(col("seq") > 0, 1L).otherwise(0L)).as("n_ops"))
       .filter(col("w.op") =!= "D")
       .select(col("doc_id"), sha2(col("w.text"), 256).as("text_sha"), col("n_ops"))
       .orderBy(col("doc_id"))
+
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = cdcBase(spark, dir)
+    cdcLwwApply(d, cdcChangeLog(d))
   }
 
   /** The same log re-derived; LWW via a row_number window instead of the
@@ -1222,6 +1238,83 @@ object OlapQueries {
       |SELECT doc_id, sha256(text) AS text_sha, n_ops
       |FROM w WHERE rn = 1 AND op <> 'D'
       |ORDER BY doc_id""".stripMargin
+
+  // --- q160: Avro changelog ingest (CDC container → LWW apply) ---------------
+  /** q159 closed the MERGE row semantics but *derived* its change log
+    * arithmetically; this closes the INGEST half — the container real
+    * CDC streams (Debezium-class) actually arrive in. The same change
+    * log is round-tripped through the strict pure-JVM Avro
+    * object-container codec ([[graft.sources.Avro]]): staged once per
+    * corpus fingerprint as sync-framed .avro files (one per write
+    * partition, alternating `null`/`deflate` codecs so BOTH paths serve
+    * the gate; deletes carry a null `["null","string"]` union text —
+    * the Avro-idiomatic tombstone), then read back through a distributed
+    * binaryFile scan + per-file strict decode and fed to q159's
+    * one-aggregate LWW apply VERBATIM. The oracle re-derives the log
+    * arithmetically (q159's oracle, shared), so one wrong byte anywhere
+    * in the container framing, zigzag varints, union branches, or
+    * deflate stream breaks the bit-exact witness row-by-row. Reference
+    * anchor: the ingest-new-data lifecycle (app.py:204-212) behind
+    * q07/q129/q159.
+    *
+    * 100 TB shape: the lake write is one pass over the log (map-only,
+    * per-partition files chunked at 64Ki records so writer memory is
+    * bounded); the read is an embarrassingly-parallel binaryFile scan —
+    * one task per file, whole-file decode bounded by the write-side
+    * chunk size (the sync framing would support split reads, but
+    * bounding file size at write is the simpler scale contract); the
+    * apply is q159's single hash aggregate. */
+  private[graft] val avroChangeSchema: graft.sources.Avro.Schema = {
+    import graft.sources.Avro._
+    Schema("change", Vector(
+      Field("seq", ALong), Field("op", AString),
+      Field("doc_id", ALong), Field("text", ANullable(AString))))
+  }
+
+  private def avroChangelogLake(spark: SparkSession, dir: String): java.io.File = {
+    import spark.implicits._
+    SourceQueries.stagedBlobs(dir, "avrocdc") { staging =>
+      cdcChangeLog(cdcBase(spark, dir))
+        .select(col("seq"), col("op"), col("doc_id"),
+          when(col("op") === "D", lit(null)).otherwise(col("text")).as("text"))
+        .as[(Long, String, Long, Option[String])]
+        .foreachPartition { it: Iterator[(Long, String, Long, Option[String])] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val codec = if (pid % 2 == 0) "null" else "deflate"
+          it.grouped(65536).zipWithIndex.foreach { case (chunk, i) =>
+            val rows = chunk.map { case (seq, op, id, text) =>
+              Seq[Any](seq, op, id, text.orNull)
+            }
+            java.nio.file.Files.write(
+              new java.io.File(staging, f"changes_$pid%05d_$i%03d.avro").toPath,
+              graft.sources.Avro.encode(avroChangeSchema, rows, codec,
+                syncSeed = pid.toLong * 1000 + i))
+          }
+        }
+    }
+  }
+
+  def avroChangelog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = avroChangelogLake(spark, dir)
+    val log = spark.read.format("binaryFile").load(lake.getAbsolutePath)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val (schema, rows) = graft.sources.Avro.decode(bytes)
+        require(schema == avroChangeSchema,
+          s"unexpected changelog schema: ${schema.json}")
+        rows.map(r => (r(2).asInstanceOf[Long],
+          // restore q159's ""-text tombstone from the Avro null union
+          Option(r(3)).map(_.asInstanceOf[String]).getOrElse(""),
+          r(0).asInstanceOf[Long], r(1).asInstanceOf[String]))
+      }
+      .toDF("doc_id", "text", "seq", "op")
+    cdcLwwApply(cdcBase(spark, dir), log)
+  }
+
+  /** The log re-derived arithmetically — q159's oracle verbatim: the
+    * Avro round trip must be invisible to the applied snapshot. */
+  val avroChangelogOracle: String = cdcApplyOracle
 
   // --- q147: compaction EXECUTION (rewrite + read-back verification) ---------
   /** Closes the loop q126 opens: don't just PLAN the rewrite — do it.
@@ -1373,6 +1466,7 @@ object OlapQueries {
     "q136_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
     "q137_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
     "q159_cdc_apply" -> ((s, d) => cdcApply(s, d)),
+    "q160_avro_changelog" -> ((s, d) => avroChangelog(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
     "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
     "q143_attribution" -> ((s, d) => attribution(s, d)),
@@ -1399,6 +1493,7 @@ object OlapQueries {
     "q136_cohort_retention" -> cohortRetentionOracle,
     "q137_snapshot_diff" -> snapshotDiffOracle,
     "q159_cdc_apply" -> cdcApplyOracle,
+    "q160_avro_changelog" -> avroChangelogOracle,
     "q139_ks_drift" -> ksDriftOracle,
     "q142_incremental_mv" -> incrementalMvOracle,
     "q143_attribution" -> attributionOracle,
