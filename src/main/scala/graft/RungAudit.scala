@@ -250,12 +250,13 @@ object RungAudit {
   private def blobs(spark: SparkSession, sfDir: String,
                     report: (String, Boolean, String) => Unit): Unit = {
     // ensure the lakes exist (content-addressed: no-ops when staged)
-    Seq("q60s_jpeg_metadata", "q116_image_neardup", "q89c_jsonl_zstd").foreach { q =>
+    Seq("q60s_jpeg_metadata", "q116_image_neardup", "q89c_jsonl_zstd",
+        "q160_avro_changelog").foreach { q =>
       SparkEntry.queries(q)(spark, sfDir).count()
     }
     val sfName = new java.io.File(sfDir).getName
     val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
-    for (fmt <- Seq("jpg2", "pngmut", "jsonlzst")) {
+    for (fmt <- Seq("jpg2", "pngmut", "jsonlzst", "avrocdc")) {
       // newest generation by mtime — a regenerated source parquet leaves
       // the stale content-addressed lake behind, and name order is
       // arbitrary hash order; the ensure-step above staged the live one
@@ -271,7 +272,16 @@ object RungAudit {
         .load(root.getAbsolutePath)
       val parts = df.rdd.getNumPartitions
       val target = math.min(shuffleParts, fs.length.toLong)
-      report(s"blob_$fmt", parts >= target,
+      // avrocdc: one file per 64Ki-record write chunk — each decodes
+      // independently, so the recoverable parallelism floor is the FILE
+      // count; binaryFile legitimately bin-packs the small files into
+      // fewer partitions (openCost/maxPartitionBytes), which is packing,
+      // not collapse — accept it at the lakes() half-floor tolerance as
+      // long as the file count itself clears the floor
+      val ok = if (fmt == "avrocdc")
+        fs.length >= target && parts.toLong * 2 >= target
+      else parts >= target
+      report(s"blob_$fmt", ok,
         f"files=${fs.length} parts=$parts target=$target " +
           f"bytes=${fs.map(_.length()).sum / (1024 * 1024)}MiB")
     }
