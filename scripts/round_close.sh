@@ -47,10 +47,27 @@ fi
 # add each artifact individually: `git add` fails ATOMICALLY on a missing
 # pathspec (e.g. COPYCHECK.json before the driver first drops it), and the
 # old single-command form silently staged NOTHING in that case
+# suspect-ledger gate (VERDICT r18 task 7): every record suspect the
+# bench flagged in the committed ledger must carry a SCALING.md anchor
+# (the query name appears in SCALING.md) before the round may close —
+# the "explain each" discipline as enforcement, not memory.
+if [ -f SUSPECTS.json ]; then
+  python3 - <<'EOF'
+import json, sys
+d = json.load(open("SUSPECTS.json"))
+scaling = open("SCALING.md").read()
+missing = [s["q"] for s in d.get("suspects", []) if s["q"] not in scaling]
+if missing:
+    print("[round_close] FAIL: record suspects lack SCALING.md anchors: "
+          + ", ".join(missing), file=sys.stderr)
+    sys.exit(1)
+EOF
+fi
+
 # skip gitignored artifacts (e.g. COPYCHECK.json per the README policy):
 # `git add` on an ignored pathspec exits non-zero and would abort the sweep
 for f in BENCH_LOCAL.json BENCH_CLEAN.json BENCH_QUERIES.json \
-         LEAKCHECK.json COPYCHECK.json SCALING.md \
+         LEAKCHECK.json COPYCHECK.json SCALING.md SUSPECTS.json \
          BENCH_r*.json CORRECTNESS_r*.json; do
   [ -e "$f" ] || continue
   git check-ignore -q -- "$f" && continue

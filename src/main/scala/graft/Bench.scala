@@ -564,6 +564,21 @@ object Bench {
           (s""","record_diff_disengaged":"$reason"""", "")
         case Right(prevRecord) =>
           val susp = recordSuspects(results, prevRecord)
+          // committed suspect LEDGER (VERDICT r18 task 7): the guard's
+          // "explain each in SCALING.md" request, mechanized. The official
+          // config writes the full suspect list to SUSPECTS.json;
+          // round_close.sh refuses to close the round while any listed
+          // query lacks a SCALING.md anchor. Written even when empty so
+          // the ledger always reflects the latest official draw.
+          if (isOfficial(sfDir, cpus)) {
+            val items = susp.map { case (n, now, rec) =>
+              f"""{"q":"$n","now":$now%.3f,"rec":$rec%.3f}""" }
+              .mkString("[", ",", "]")
+            try java.nio.file.Files.writeString(
+              java.nio.file.Paths.get("SUSPECTS.json"),
+              s"""{"sf":"$sfDir","cpus":"$cpus","suspects":$items}""" + "\n")
+            catch { case _: Throwable => () } // read-only cwd: same policy as below
+          }
           if (susp.nonEmpty) {
             System.err.println(
               "[bench] RECORD SUSPECTS (>40% and >0.5 s vs committed " +
