@@ -251,12 +251,12 @@ object RungAudit {
                     report: (String, Boolean, String) => Unit): Unit = {
     // ensure the lakes exist (content-addressed: no-ops when staged)
     Seq("q60s_jpeg_metadata", "q116_image_neardup", "q89c_jsonl_zstd",
-        "q160_avro_changelog").foreach { q =>
+        "q160_avro_changelog", "q160b_avro_schema_evolution").foreach { q =>
       SparkEntry.queries(q)(spark, sfDir).count()
     }
     val sfName = new java.io.File(sfDir).getName
     val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
-    for (fmt <- Seq("jpg2", "pngmut", "jsonlzst", "avrocdc")) {
+    for (fmt <- Seq("jpg2", "pngmut", "jsonlzst", "avrocdc", "avrocdc2")) {
       // newest generation by mtime — a regenerated source parquet leaves
       // the stale content-addressed lake behind, and name order is
       // arbitrary hash order; the ensure-step above staged the live one
@@ -278,7 +278,7 @@ object RungAudit {
       // fewer partitions (openCost/maxPartitionBytes), which is packing,
       // not collapse — accept it at the lakes() half-floor tolerance as
       // long as the file count itself clears the floor
-      val ok = if (fmt == "avrocdc")
+      val ok = if (fmt.startsWith("avrocdc"))
         fs.length >= target && parts.toLong * 2 >= target
       else parts >= target
       report(s"blob_$fmt", ok,

@@ -1170,9 +1170,12 @@ object OlapQueries {
   private def cdcBase(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
 
-  /** The deterministically-derived change log (doc_id, text, seq, op) —
-    * shared by q159 (applied DataFrame-native) and q160 (round-tripped
-    * through the Avro object-container codec first). */
+  /** The deterministically-derived change log (doc_id, text, seq, op,
+    * source) — shared by q159 (applied DataFrame-native, source ignored),
+    * q160 (round-tripped through the Avro object-container codec), and
+    * q160b (split across two SCHEMA GENERATIONS by source: the
+    * 'upsert-stream' rows are written under the v1 schema that predates
+    * the source field, everything else under v2). */
   private def cdcChangeLog(d: DataFrame): DataFrame = {
     // insert keys above the live key space, derived from the table max
     // (q141's collision-proof synthetic-id discipline)
@@ -1183,16 +1186,18 @@ object OlapQueries {
       "cdcChangeLog: empty documents table — no key space to derive insert ids")
     val maxKey = maxKeyRow.getLong(0)
     def change(pred: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
-               text: org.apache.spark.sql.Column, seq: Long, op: String) =
+               text: org.apache.spark.sql.Column, seq: Long, op: String,
+               source: String) =
       d.filter(pred).select(key.as("doc_id"), text.as("text"),
-        lit(seq).as("seq"), lit(op).as("op"))
+        lit(seq).as("seq"), lit(op).as("op"), lit(source).as("source"))
     change(col("doc_id") % 5 === 0, col("doc_id"),
-        concat(col("text"), lit(" [cdc1]")), 1L, "U")
+        concat(col("text"), lit(" [cdc1]")), 1L, "U", "upsert-stream")
       .unionByName(change(col("doc_id") % 7 === 0, col("doc_id"),
-        concat(col("text"), lit(" [cdc2]")), 2L, "U"))
-      .unionByName(change(col("doc_id") % 11 === 0, col("doc_id"), lit(""), 3L, "D"))
+        concat(col("text"), lit(" [cdc2]")), 2L, "U", "priority-upsert-stream"))
+      .unionByName(change(col("doc_id") % 11 === 0, col("doc_id"), lit(""), 3L, "D",
+        "tombstone-stream"))
       .unionByName(change(col("doc_id") % 13 === 0, col("doc_id") + maxKey + 1L,
-        concat(col("text"), lit(" [new]")), 1L, "U"))
+        concat(col("text"), lit(" [new]")), 1L, "U", "insert-stream"))
   }
 
   /** One-aggregate last-writer-wins apply → per-row witness (q159's
@@ -1315,6 +1320,128 @@ object OlapQueries {
   /** The log re-derived arithmetically — q159's oracle verbatim: the
     * Avro round trip must be invisible to the applied snapshot. */
   val avroChangelogOracle: String = cdcApplyOracle
+
+  // --- q160b: Avro schema EVOLUTION (two-generation changelog, one reader) ---
+  /** The consumer-side reality q160 idealizes away: CDC schemas evolve
+    * mid-stream, and the reader must resolve OLD files under the NEW
+    * schema (the Avro spec's Schema Resolution — the mechanism that makes
+    * Avro the CDC container of choice). The derived change log is split
+    * across two schema generations by provenance: plain upserts were
+    * written before the `source` field existed (v1 = q160's schema), the
+    * priority-upsert / tombstone / insert streams after (v2 = v1 +
+    * `source: string, default "upsert-stream"`). ONE reader (v2) decodes
+    * both: v2 files carry their source verbatim, v1 files take the
+    * default — so the per-row `src` witness in the applied snapshot
+    * proves default FILL (every %5-winner reports 'upsert-stream'
+    * without the byte ever being stored), field DISCARD never fires but
+    * name-matching does (v1's four fields land by name, not position),
+    * and the LWW winner's provenance is end-to-end oracle-checked: the
+    * oracle re-derives each key's winning source arithmetically.
+    *
+    * 100 TB shape: identical to q160 (map-only scan, one hash aggregate);
+    * resolution is a per-FILE constant plan (computed once from the two
+    * schemas), never per-record work. */
+  private[graft] val avroChangeSchemaV2: graft.sources.Avro.Schema = {
+    import graft.sources.Avro._
+    Schema("change", avroChangeSchema.fields :+
+      Field("source", AString, Some(Default("upsert-stream"))))
+  }
+
+  private def avroEvolvedLake(spark: SparkSession, dir: String): java.io.File = {
+    import spark.implicits._
+    SourceQueries.stagedBlobs(dir, "avrocdc2") { staging =>
+      cdcChangeLog(cdcBase(spark, dir))
+        .select(col("seq"), col("op"), col("doc_id"),
+          when(col("op") === "D", lit(null)).otherwise(col("text")).as("text"),
+          col("source"))
+        .as[(Long, String, Long, Option[String], String)]
+        .foreachPartition {
+          it: Iterator[(Long, String, Long, Option[String], String)] =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val codec = if (pid % 2 == 0) "null" else "deflate"
+            it.grouped(65536).zipWithIndex.foreach { case (chunk, i) =>
+              // generation split by provenance: 'upsert-stream' rows are
+              // pre-evolution history (v1 files, no source byte stored);
+              // the rest are post-evolution (v2 files)
+              val (v1, v2) = chunk.partition(_._5 == "upsert-stream")
+              if (v1.nonEmpty)
+                java.nio.file.Files.write(
+                  new java.io.File(staging, f"gen1_$pid%05d_$i%03d.avro").toPath,
+                  graft.sources.Avro.encode(avroChangeSchema,
+                    v1.map { case (seq, op, id, text, _) =>
+                      Seq[Any](seq, op, id, text.orNull) },
+                    codec, syncSeed = pid.toLong * 2000 + i))
+              if (v2.nonEmpty)
+                java.nio.file.Files.write(
+                  new java.io.File(staging, f"gen2_$pid%05d_$i%03d.avro").toPath,
+                  graft.sources.Avro.encode(avroChangeSchemaV2,
+                    v2.map { case (seq, op, id, text, src) =>
+                      Seq[Any](seq, op, id, text.orNull, src) },
+                    codec, syncSeed = pid.toLong * 2000 + 1000 + i))
+            }
+        }
+    }
+  }
+
+  def avroSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = avroEvolvedLake(spark, dir)
+    val log = spark.read.format("binaryFile").load(lake.getAbsolutePath)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        // ONE reader schema resolves both generations; rows align with v2
+        val (writer, rows) = graft.sources.Avro.decodeAs(bytes, avroChangeSchemaV2)
+        require(writer == avroChangeSchema || writer == avroChangeSchemaV2,
+          s"unexpected changelog writer schema: ${writer.json}")
+        rows.map(r => (r(2).asInstanceOf[Long],
+          Option(r(3)).map(_.asInstanceOf[String]).getOrElse(""),
+          r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+          r(4).asInstanceOf[String]))
+      }
+      .toDF("doc_id", "text", "seq", "op", "source")
+    cdcBase(spark, dir)
+      .select(col("doc_id"), col("text"), lit(0L).as("seq"), lit("U").as("op"),
+        lit("base").as("source"))
+      .unionByName(log)
+      .groupBy(col("doc_id"))
+      .agg(expr("max_by(struct(op, text, source), seq)").as("w"),
+        sum(when(col("seq") > 0, 1L).otherwise(0L)).as("n_ops"))
+      .filter(col("w.op") =!= "D")
+      .select(col("doc_id"), sha2(col("w.text"), 256).as("text_sha"),
+        col("n_ops"), col("w.source").as("src"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q159's derivation extended with each change's provenance; the
+    * winning row's source is pure arithmetic, so a default-fill or
+    * resolution bug surfaces as a wrong `src` on a bit-exact row. */
+  val avroSchemaEvolutionOracle: String =
+    """WITH mk AS (SELECT max(doc_id) AS maxkey FROM documents),
+      |base AS (SELECT doc_id, text, 0 AS seq, 'U' AS op, 'base' AS source
+      |         FROM documents),
+      |log AS (
+      |  SELECT doc_id, text || ' [cdc1]' AS text, 1 AS seq, 'U' AS op,
+      |         'upsert-stream' AS source
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text || ' [cdc2]', 2, 'U', 'priority-upsert-stream'
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, '', 3, 'D', 'tombstone-stream'
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT maxkey FROM mk) + 1, text || ' [new]', 1, 'U',
+      |         'insert-stream'
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM log),
+      |w AS (SELECT doc_id, text, op, source,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
+      |        CAST(count(*) FILTER (seq > 0)
+      |             OVER (PARTITION BY doc_id) AS BIGINT) AS n_ops
+      |      FROM u)
+      |SELECT doc_id, sha256(text) AS text_sha, n_ops, source AS src
+      |FROM w WHERE rn = 1 AND op <> 'D'
+      |ORDER BY doc_id""".stripMargin
 
   // --- q147: compaction EXECUTION (rewrite + read-back verification) ---------
   /** Closes the loop q126 opens: don't just PLAN the rewrite — do it.
@@ -1467,6 +1594,7 @@ object OlapQueries {
     "q137_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
     "q159_cdc_apply" -> ((s, d) => cdcApply(s, d)),
     "q160_avro_changelog" -> ((s, d) => avroChangelog(s, d)),
+    "q160b_avro_schema_evolution" -> ((s, d) => avroSchemaEvolution(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
     "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
     "q143_attribution" -> ((s, d) => attribution(s, d)),
@@ -1494,6 +1622,7 @@ object OlapQueries {
     "q137_snapshot_diff" -> snapshotDiffOracle,
     "q159_cdc_apply" -> cdcApplyOracle,
     "q160_avro_changelog" -> avroChangelogOracle,
+    "q160b_avro_schema_evolution" -> avroSchemaEvolutionOracle,
     "q139_ks_drift" -> ksDriftOracle,
     "q142_incremental_mv" -> incrementalMvOracle,
     "q143_attribution" -> attributionOracle,

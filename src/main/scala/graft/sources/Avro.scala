@@ -41,7 +41,28 @@ object Avro {
     require(!inner.isInstanceOf[ANullable], "Avro: union inside union")
   }
 
-  final case class Field(name: String, tpe: AType)
+  /** A field default (Avro spec: the value substituted when a READER
+    * field is absent from the writer's schema). Wrapped so `Some(Default
+    * (null))` — the mandatory default of a `["null", T]` union, whose
+    * default must match the FIRST branch per the spec — stays
+    * distinguishable from "no default". */
+  final case class Default(value: Any)
+
+  final case class Field(name: String, tpe: AType,
+                         default: Option[Default] = None) {
+    default.foreach { d =>
+      (tpe, d.value) match {
+        case (ANullable(_), null) => // spec: union default matches branch 0
+        case (ANullable(_), v) => throw new IllegalArgumentException(
+          s"Avro: default of a [\"null\", T] union must be null, got $v")
+        case (ALong, _: Long) | (AInt, _: Int) | (AString, _: String) |
+             (ABoolean, _: Boolean) | (ADouble, _: Double) =>
+        case (t, v) => throw new IllegalArgumentException(
+          s"Avro: default $v does not fit $t")
+      }
+    }
+  }
+
   final case class Schema(name: String, fields: Vector[Field]) {
     require(fields.nonEmpty, "Avro: record with no fields")
     require(fields.map(_.name).distinct.length == fields.length,
@@ -57,7 +78,22 @@ object Avro {
         case ADouble => "\"double\""
         case ANullable(i) => s"""["null",${tj(i)}]"""
       }
-      val fs = fields.map(f => s"""{"name":"${f.name}","type":${tj(f.tpe)}}""")
+      def dj(v: Any): String = v match {
+        case null => "null"
+        case s: String =>
+          "\"" + s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
+        case b: Boolean => b.toString
+        case n => n.toString // Long / Int / Double
+      }
+      val fs = fields.map { f =>
+        val d = f.default.fold("")(d => s""","default":${dj(d.value)}""")
+        s"""{"name":"${f.name}","type":${tj(f.tpe)}$d}"""
+      }
       s"""{"type":"record","name":"$name","fields":[${fs.mkString(",")}]}"""
     }
   }
@@ -93,7 +129,25 @@ object Avro {
       }
       val fields = (0 until fieldsNode.size).map { i =>
         val f = fieldsNode.get(i)
-        Field(text(f, "name"), tpe(f.get("type")))
+        val t = tpe(f.get("type"))
+        val default = Option(f.get("default")).map { d =>
+          val v: Any = t match {
+            case ANullable(_) =>
+              require(d.isNull, "Avro: union default must be null"); null
+            case ALong =>
+              require(d.isIntegralNumber, s"Avro: bad long default $d"); d.asLong()
+            case AInt =>
+              require(d.isIntegralNumber, s"Avro: bad int default $d"); d.asInt()
+            case AString =>
+              require(d.isTextual, s"Avro: bad string default $d"); d.asText()
+            case ABoolean =>
+              require(d.isBoolean, s"Avro: bad boolean default $d"); d.asBoolean()
+            case ADouble =>
+              require(d.isNumber, s"Avro: bad double default $d"); d.asDouble()
+          }
+          Default(v)
+        }
+        Field(text(f, "name"), t, default)
       }.toVector
       Schema(name, fields)
     }
@@ -294,7 +348,21 @@ object Avro {
     * header, codec, every block's sync marker, exact record framing
     * (records must tile each block's payload), and end-of-file on a
     * block boundary. */
-  def decode(bytes: Array[Byte]): (Schema, Vector[Vector[Any]]) = {
+  def decode(bytes: Array[Byte]): (Schema, Vector[Vector[Any]]) =
+    decodeInternal(bytes, None)
+
+  /** Schema-RESOLUTION read (the Avro spec's "Schema Resolution", strict
+    * subset — what a CDC consumer does when the stream's schema evolved
+    * mid-stream): fields match by NAME; writer fields absent from the
+    * reader are decoded and DISCARDED; reader fields absent from the
+    * writer take their declared default (no default → throw, per spec);
+    * matched fields must have IDENTICAL types (promotions unsupported —
+    * this lake never needs them). Rows align with READER fields. */
+  def decodeAs(bytes: Array[Byte], reader: Schema): (Schema, Vector[Vector[Any]]) =
+    decodeInternal(bytes, Some(reader))
+
+  private def decodeInternal(bytes: Array[Byte],
+                             readerOpt: Option[Schema]): (Schema, Vector[Vector[Any]]) = {
     require(bytes.length >= Magic.length + 1 + SyncBytes,
       "corrupt Avro: shorter than any valid container")
     require(bytes.take(4).sameElements(Magic), "corrupt Avro: bad magic")
@@ -321,6 +389,29 @@ object Avro {
     require(codec == "null" || codec == "deflate",
       s"corrupt Avro: unsupported codec '$codec'")
     val sync = in.readSlice(SyncBytes, "header sync marker")
+    // resolution plan (computed once): writer field → reader position or
+    // discard; reader-only fields prefill from their defaults
+    val resolution = readerOpt.map { reader =>
+      val readerIdx = reader.fields.map(_.name).zipWithIndex.toMap
+      val targets = schema.fields.map { wf =>
+        readerIdx.get(wf.name) match {
+          case Some(i) =>
+            require(reader.fields(i).tpe == wf.tpe,
+              s"Avro: resolution type mismatch on '${wf.name}': writer " +
+                s"${wf.tpe} vs reader ${reader.fields(i).tpe} (promotions unsupported)")
+            i
+          case None => -1 // decode and discard
+        }
+      }
+      val writerNames = schema.fields.map(_.name).toSet
+      val prefill: Vector[Any] = reader.fields.map { rf =>
+        if (writerNames(rf.name)) null
+        else rf.default.getOrElse(throw new IllegalArgumentException(
+          s"Avro: reader field '${rf.name}' absent from writer schema " +
+            "and has no default")).value
+      }
+      (targets, prefill)
+    }
     val rows = Vector.newBuilder[Vector[Any]]
     while (!in.atEnd) {
       val count = in.readLong("block record count")
@@ -331,7 +422,17 @@ object Avro {
       val payload = if (codec == "deflate") inflate(payload0) else payload0
       val body = new Reader(payload, 0, payload.length)
       (0L until count).foreach { _ =>
-        rows += schema.fields.map(f => readValue(body, f.tpe))
+        rows += (resolution match {
+          case None => schema.fields.map(f => readValue(body, f.tpe))
+          case Some((targets, prefill)) =>
+            val arr = prefill.toArray
+            schema.fields.indices.foreach { wi =>
+              val v = readValue(body, schema.fields(wi).tpe)
+              val t = targets(wi)
+              if (t >= 0) arr(t) = v
+            }
+            arr.toVector
+        })
       }
       require(body.atEnd,
         s"corrupt Avro: ${body.end - body.off} bytes of block payload not consumed")

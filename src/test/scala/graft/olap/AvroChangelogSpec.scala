@@ -56,4 +56,36 @@ class AvroChangelogSpec extends SparkSuite {
     assert(total == expected, s"lake rows $total != derived log rows $expected")
     assert(deletes == d.filter(col("doc_id") % 11 === 0).count())
   }
+
+  test("q160b: two schema generations, one reader — provenance witness is arithmetic-exact") {
+    val out = SparkEntry.queries("q160b_avro_schema_evolution")(spark, sfDir)
+    // dropping src must reproduce q159 exactly
+    val native = SparkEntry.queries("q159_cdc_apply")(spark, sfDir)
+    assert(out.drop("src").exceptAll(native).count() == 0)
+    assert(native.exceptAll(out.drop("src")).count() == 0)
+    // winning-source distribution from first principles: %11 deleted;
+    // else %7 → priority (seq 2); else %5 → upsert (seq 1, DEFAULT-FILLED
+    // from v1 files that never stored the byte); else base; inserts are
+    // fresh keys
+    val keys = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = Map(
+      "priority-upsert-stream" -> keys.count(k => k % 11 != 0 && k % 7 == 0).toLong,
+      "upsert-stream" -> keys.count(k => k % 11 != 0 && k % 7 != 0 && k % 5 == 0).toLong,
+      "base" -> keys.count(k => k % 11 != 0 && k % 7 != 0 && k % 5 != 0).toLong,
+      "insert-stream" -> keys.count(_ % 13 == 0).toLong)
+    val got = out.groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.filter(_._2 > 0), s"src distribution $got != $expected")
+    // both generations really exist on disk
+    val root = graft.queries.SourceQueries.stagedBlobRoot(sfDir, "avrocdc2")
+    val names = root.listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("gen1_")) && names.exists(_.startsWith("gen2_")),
+      s"expected both generations in $root, saw ${names.take(5).mkString(",")}")
+    // and the v1 generation genuinely lacks the source field (schema check)
+    val gen1 = names.filter(_.startsWith("gen1_")).sorted.head
+    val (w1, _) = graft.sources.Avro.decode(
+      java.nio.file.Files.readAllBytes(new java.io.File(root, gen1).toPath))
+    assert(!w1.fields.exists(_.name == "source"))
+  }
 }

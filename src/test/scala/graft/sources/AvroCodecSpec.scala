@@ -135,6 +135,60 @@ class AvroCodecSpec extends AnyFunSuite {
       encode(changelog, Seq(Seq("1", "U", 2L, "t")), "null")) // type mismatch
   }
 
+  test("schema resolution: reader default fills a field the writer never stored") {
+    val v2 = Schema("change", changelog.fields :+
+      Field("source", AString, Some(Default("upsert-stream"))))
+    for (codec <- Seq("null", "deflate")) {
+      val (writer, out) = decodeAs(encode(changelog, rows, codec), v2)
+      assert(writer == changelog)
+      assert(out.map(_.length).forall(_ == 5))
+      assert(out.forall(_.last == "upsert-stream"))
+      assert(out.map(_.take(4)) == rows.map(_.toVector).toVector)
+    }
+  }
+
+  test("schema resolution: writer-only fields are decoded and discarded; names not positions") {
+    val v2 = Schema("change", changelog.fields :+ Field("source", AString))
+    val v2rows = rows.map(_ :+ "live")
+    // narrow reader (v1) over wide writer (v2): source decoded, dropped
+    val (_, narrow) = decodeAs(encode(v2, v2rows, "deflate"), changelog)
+    assert(narrow == rows.map(_.toVector).toVector)
+    // reordered reader: same fields, different order — match by NAME
+    val reordered = Schema("change", Vector(
+      changelog.fields(2), changelog.fields(0), changelog.fields(3), changelog.fields(1)))
+    val (_, out) = decodeAs(encode(changelog, rows, "null"), reordered)
+    assert(out == rows.map(r => Vector(r(2), r(0), r(3), r(1))).toVector)
+  }
+
+  test("schema resolution: missing default and type mismatches throw") {
+    val ok = encode(changelog, rows, "null")
+    // reader adds a field the writer lacks, with NO default
+    val noDefault = Schema("change", changelog.fields :+ Field("source", AString))
+    val e = intercept[IllegalArgumentException](decodeAs(ok, noDefault))
+    assert(e.getMessage.contains("no default"))
+    // matched name, different type: promotions unsupported
+    val retyped = Schema("change", changelog.fields.updated(0, Field("seq", AInt)))
+    val e2 = intercept[IllegalArgumentException](decodeAs(ok, retyped))
+    assert(e2.getMessage.contains("promotions unsupported"))
+    // a union default must be null; a string default must be textual
+    intercept[IllegalArgumentException](
+      Field("t", ANullable(AString), Some(Default("x"))))
+    intercept[IllegalArgumentException](Field("t", AString, Some(Default(1L))))
+  }
+
+  test("schema JSON round-trips defaults through the strict parser") {
+    val v2 = Schema("change", changelog.fields :+
+      Field("source", AString, Some(Default("upsert-stream"))))
+    assert(Schema.parse(v2.json) == v2)
+    val numeric = Schema("n", Vector(
+      Field("a", ALong, Some(Default(7L))), Field("b", ABoolean, Some(Default(true))),
+      Field("c", ANullable(AString), Some(Default(null)))))
+    assert(Schema.parse(numeric.json) == numeric)
+    intercept[IllegalArgumentException](Schema.parse(
+      """{"type":"record","name":"x","fields":[
+        {"name":"v","type":["null","string"],"default":"nope"}]}"""))
+  }
+
   test("sync marker is a pure function of schema and seed") {
     assert(syncMarker(changelog, 5L).toSeq == syncMarker(changelog, 5L).toSeq)
     assert(syncMarker(changelog, 5L).toSeq != syncMarker(changelog, 6L).toSeq)
