@@ -1443,6 +1443,120 @@ object OlapQueries {
       |FROM w WHERE rn = 1 AND op <> 'D'
       |ORDER BY doc_id""".stripMargin
 
+  // --- q161: manifest-driven pruned scan (Iceberg/Delta scan planning) -------
+  /** The open-table-format core trick, next to q153 (footer census) and
+    * q35c (DPP): plan the scan from an EXTERNAL metadata artifact instead
+    * of listing the lake. The events table is laid out as opaque unit
+    * directories (unit ids are a coprime-multiplier PERMUTATION of the
+    * day index, so neither path names nor path order carry any time
+    * information), and a deflate-coded Avro manifest
+    * ([[graft.sources.Avro]] — the container Iceberg actually uses for
+    * its manifests) records each unit's path, row count, and min/max
+    * event-time. The query reads ONLY the manifest, derives its time
+    * range from manifest stats (metadata-only planning — the lo/hi bounds
+    * come from min(min_us), no data touched), prunes to the units whose
+    * [min,max] overlaps the range, and scans just those directories. The
+    * oracle replays the aggregate from a full scan AND re-derives the
+    * pruned-unit count arithmetically — so a wrongly-pruned file breaks
+    * the aggregate columns and a failed-to-prune scan breaks the
+    * units_scanned witness.
+    *
+    * 100 TB shape: this is why table formats exist at that scale —
+    * listing a million-file lake dominates planning; the manifest makes
+    * planning O(#files) METADATA rows (here decoded driver-side, bounded
+    * by the day count — the q156 listFiles adjudication; a real
+    * deployment splits manifests and reads them distributed), and the
+    * data scan touches only surviving files. */
+  private[graft] val manifestSchema: graft.sources.Avro.Schema = {
+    import graft.sources.Avro._
+    Schema("manifest_entry", Vector(
+      Field("unit", ALong), Field("path", AString), Field("n_rows", ALong),
+      Field("min_us", ALong), Field("max_us", ALong)))
+  }
+
+  private def manifestLake(spark: SparkSession, dir: String): java.io.File = {
+    import spark.implicits._
+    SourceQueries.stagedBlobs(dir, "manifestlake", srcTable = "events") { staging =>
+      val e = Tables.events(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("day", expr("us div 86400000000"))
+      // unit ids permute the day index by a coprime multiplier: paths are
+      // deliberately OPAQUE — only the manifest knows each unit's clock
+      val days = e.select(col("day")).distinct()
+        .collect().map(_.getLong(0)).sorted // bounded by the time range
+      val n = days.length.toLong
+      require(n > 0, "manifestLake: empty events table")
+      val mult = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+        .find(m => BigInt(m).gcd(BigInt(n)) == 1).getOrElse(1L)
+      val mapping = days.zipWithIndex.map { case (d, i) => (d, (i * mult) % n) }
+      val mapDf = broadcast(mapping.toSeq.toDF("day", "unit"))
+      val withUnit = e.join(mapDf, "day")
+      withUnit.repartition(col("unit"))
+        .write.partitionBy("unit")
+        .parquet(new java.io.File(staging, "data").getAbsolutePath)
+      // the manifest: per-unit stats, one deflate Avro container
+      val stats = withUnit.groupBy(col("unit"))
+        .agg(count(lit(1)).as("n"), min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .collect().sortBy(_.getLong(0)) // ≤ |days| rows: bounded metadata
+        .map(r => Seq[Any](r.getLong(0), s"data/unit=${r.getLong(0)}",
+          r.getLong(1), r.getLong(2), r.getLong(3)))
+      java.nio.file.Files.write(
+        new java.io.File(staging, "manifest.avro").toPath,
+        graft.sources.Avro.encode(manifestSchema, stats.toIndexedSeq, "deflate"))
+    }
+  }
+
+  // predicate window: [t0 + 7d3h, t0 + 12d5h] — deliberately NOT
+  // day-aligned, so pruning must use true overlap, not day equality
+  private val manifestLoOffUs = 615600000000L  // 7d 3h
+  private val manifestHiOffUs = 1054800000000L // 12d 5h
+
+  def manifestScan(spark: SparkSession, dir: String): DataFrame = {
+    val lake = manifestLake(spark, dir)
+    val (writer, entries) = graft.sources.Avro.decode(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(lake, "manifest.avro").toPath))
+    require(writer == manifestSchema, s"unexpected manifest schema: ${writer.json}")
+    // metadata-only planning: the range derives from manifest stats
+    val t0 = entries.map(_(3).asInstanceOf[Long]).min
+    val lo = t0 + manifestLoOffUs
+    val hi = t0 + manifestHiOffUs
+    val surviving = entries.filter(r =>
+      r(4).asInstanceOf[Long] >= lo && r(3).asInstanceOf[Long] <= hi)
+    require(surviving.nonEmpty, "manifestScan: predicate range prunes every unit")
+    val paths = surviving.map(r =>
+      new java.io.File(lake, r(1).asInstanceOf[String]).getAbsolutePath)
+    spark.read
+      .option("basePath", new java.io.File(lake, "data").getAbsolutePath)
+      .parquet(paths: _*)
+      // filter on the stored ts column (not a derived epoch value) so the
+      // residual predicate pushes into the parquet scan of the surviving
+      // files — manifest pruning skips files, pushdown skips row groups
+      .filter(col("ts") >= timestamp_micros(lit(lo)) &&
+        col("ts") <= timestamp_micros(lit(hi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("units_total", lit(entries.length.toLong))
+      .withColumn("units_scanned", lit(surviving.length.toLong))
+      .orderBy(col("event_type"))
+  }
+
+  /** Full-scan replay + arithmetic re-derivation of the pruning counts. */
+  val manifestScanOracle: String =
+    s"""WITH b AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+      |e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |r AS (SELECT t0 + $manifestLoOffUs AS lo, t0 + $manifestHiOffUs AS hi FROM b),
+      |u AS (SELECT us // 86400000000 AS d, min(us) AS mn, max(us) AS mx
+      |      FROM e GROUP BY 1),
+      |agg AS (SELECT event_type, count(*) AS n,
+      |          CAST(sum(event_id) AS BIGINT) AS id_sum
+      |        FROM e, r WHERE e.us >= r.lo AND e.us <= r.hi GROUP BY 1)
+      |SELECT event_type, n, id_sum,
+      |  (SELECT count(*) FROM u) AS units_total,
+      |  (SELECT count(*) FROM u, r WHERE u.mx >= r.lo AND u.mn <= r.hi)
+      |    AS units_scanned
+      |FROM agg ORDER BY event_type""".stripMargin
+
   // --- q147: compaction EXECUTION (rewrite + read-back verification) ---------
   /** Closes the loop q126 opens: don't just PLAN the rewrite — do it.
     * The same sequential bin arithmetic (here with a FIXED 64 KiB target,
@@ -1595,6 +1709,7 @@ object OlapQueries {
     "q159_cdc_apply" -> ((s, d) => cdcApply(s, d)),
     "q160_avro_changelog" -> ((s, d) => avroChangelog(s, d)),
     "q160b_avro_schema_evolution" -> ((s, d) => avroSchemaEvolution(s, d)),
+    "q161_manifest_scan" -> ((s, d) => manifestScan(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
     "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
     "q143_attribution" -> ((s, d) => attribution(s, d)),
@@ -1623,6 +1738,7 @@ object OlapQueries {
     "q159_cdc_apply" -> cdcApplyOracle,
     "q160_avro_changelog" -> avroChangelogOracle,
     "q160b_avro_schema_evolution" -> avroSchemaEvolutionOracle,
+    "q161_manifest_scan" -> manifestScanOracle,
     "q139_ks_drift" -> ksDriftOracle,
     "q142_incremental_mv" -> incrementalMvOracle,
     "q143_attribution" -> attributionOracle,
