@@ -1557,6 +1557,145 @@ object OlapQueries {
       |    AS units_scanned
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // --- q161b: manifest generations — metadata-only expiry + append -----------
+  /** The commit lifecycle on top of q161's scan planning — the
+    * Iceberg-class pair `expire` + `append`, both METADATA-ONLY: a new
+    * manifest generation (g2) drops every unit whose max event-time
+    * predates the retention floor (t0 + 2 days) and adds late-arrival
+    * units (the %17 event stream replayed 31 days later), while g1's
+    * data files are never touched — the expired units' directories STAY
+    * on disk (the spec proves it) and simply stop being reachable from
+    * g2. Serving is q161's planner verbatim over manifest_g2: expired
+    * days cannot appear in the output (they are not in the metadata),
+    * appended days appear exactly once, and the oracle re-derives the
+    * whole generation arithmetically — retention floor, appended
+    * stream, pruning counts, and per-type aggregates.
+    *
+    * 100 TB shape: this is how lakehouses do GDPR-class retention and
+    * late-data commits without rewriting data — O(#units) metadata per
+    * generation; the q161 scan economics then apply unchanged. */
+  private val manifestRetainOffUs = 172800000000L  // expire units ending < t0+2d
+  private val manifestAppendShiftUs = 2678400000000L // late arrivals: +31d
+  private val manifestG2LoOffUs = 86400000000L      // serve window: [t0+1d,
+  private val manifestG2HiOffUs = 2851200000000L    //  t0+33d]
+
+  private def manifestG2Lake(spark: SparkSession, dir: String): java.io.File = {
+    import spark.implicits._
+    SourceQueries.stagedBlobs(dir, "manifestg2", srcTable = "events") { staging =>
+      val e = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("day", expr("us div 86400000000"))
+      val days = e.select(col("day")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val n = days.length.toLong
+      require(n > 0, "manifestG2Lake: empty events table")
+      val mult = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+        .find(m => BigInt(m).gcd(BigInt(n)) == 1).getOrElse(1L)
+      val mapping = days.zipWithIndex.map { case (d, i) => (d, (i * mult) % n) }
+      val mapDf = broadcast(mapping.toSeq.toDF("day", "unit"))
+      def writeUnits(df: DataFrame, sub: String): Array[Seq[Any]] = {
+        df.repartition(col("unit"))
+          .write.partitionBy("unit")
+          .parquet(new java.io.File(staging, sub).getAbsolutePath)
+        df.groupBy(col("unit"))
+          .agg(count(lit(1)).as("n"), min(col("us")).as("mn"), max(col("us")).as("mx"))
+          .collect().sortBy(_.getLong(0))
+          .map(r => Seq[Any](r.getLong(0), s"$sub/unit=${r.getLong(0)}",
+            r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      // generation 1: the full original window
+      val g1 = writeUnits(e.join(mapDf, "day"), "data")
+      // late arrivals: the %17 stream replayed +31d, appended as NEW unit
+      // dirs (ids continue above g1's space)
+      val late = e.filter(col("event_id") % 17 === 0)
+        .withColumn("us", col("us") + manifestAppendShiftUs)
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withColumn("day", expr("us div 86400000000"))
+      val lateDays = late.select(col("day")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val lateMap = broadcast(lateDays.zipWithIndex
+        .map { case (d, i) => (d, n + i) }.toSeq.toDF("day", "unit"))
+      val appended = writeUnits(late.join(lateMap, "day"), "delta")
+      val t0 = g1.map(_(3).asInstanceOf[Long]).min
+      // g2 = g1 minus expired (metadata-only: files stay) plus appended
+      val g2 = g1.filter(_(4).asInstanceOf[Long] >= t0 + manifestRetainOffUs) ++ appended
+      def writeManifest(name: String, entries: Seq[Seq[Any]]): Unit =
+        java.nio.file.Files.write(
+          new java.io.File(staging, name).toPath,
+          graft.sources.Avro.encode(manifestSchema, entries.toIndexedSeq, "deflate"))
+      writeManifest("manifest.avro", g1.toIndexedSeq)
+      writeManifest("manifest_g2.avro", g2.toIndexedSeq)
+    }
+  }
+
+  def manifestGenerations(spark: SparkSession, dir: String): DataFrame = {
+    val lake = manifestG2Lake(spark, dir)
+    def readManifest(name: String): Vector[Vector[Any]] = {
+      val (writer, entries) = graft.sources.Avro.decode(
+        java.nio.file.Files.readAllBytes(new java.io.File(lake, name).toPath))
+      require(writer == manifestSchema, s"unexpected manifest schema: ${writer.json}")
+      entries
+    }
+    val g1 = readManifest("manifest.avro")
+    val g2 = readManifest("manifest_g2.avro")
+    val t0 = g1.map(_(3).asInstanceOf[Long]).min
+    val lo = t0 + manifestG2LoOffUs
+    val hi = t0 + manifestG2HiOffUs
+    val surviving = g2.filter(r =>
+      r(4).asInstanceOf[Long] >= lo && r(3).asInstanceOf[Long] <= hi)
+    require(surviving.nonEmpty, "manifestGenerations: range prunes every unit")
+    val paths = surviving.map(r =>
+      new java.io.File(lake, r(1).asInstanceOf[String]).getAbsolutePath)
+    // two base dirs (data/ + delta/) — pass no basePath, the unit column
+    // is not needed downstream
+    spark.read.parquet(paths: _*)
+      .filter(col("ts") >= timestamp_micros(lit(lo)) &&
+        col("ts") <= timestamp_micros(lit(hi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("units_g1", lit(g1.length.toLong))
+      .withColumn("units_g2", lit(g2.length.toLong))
+      .withColumn("units_expired", lit(
+        g1.count(_(4).asInstanceOf[Long] < t0 + manifestRetainOffUs).toLong))
+      .withColumn("units_scanned", lit(surviving.length.toLong))
+      .orderBy(col("event_type"))
+  }
+
+  /** Whole generation re-derived arithmetically: retention floor,
+    * +31d late stream, per-day overlap counts, and the g2 aggregate
+    * (original days surviving retention ∪ appended days, both clipped
+    * to the serve window). */
+  val manifestGenerationsOracle: String =
+    s"""WITH b AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+      |e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |a AS (SELECT event_type, event_id, us + $manifestAppendShiftUs AS us
+      |      FROM e WHERE event_id % 17 = 0),
+      |u1 AS (SELECT us // 86400000000 AS d, min(us) AS mn, max(us) AS mx
+      |       FROM e GROUP BY 1),
+      |ua AS (SELECT us // 86400000000 AS d, min(us) AS mn, max(us) AS mx
+      |       FROM a GROUP BY 1),
+      |live AS (SELECT * FROM u1, b WHERE mx >= t0 + $manifestRetainOffUs),
+      |g2 AS (SELECT d, mn, mx FROM live UNION ALL SELECT d, mn, mx FROM ua),
+      |r AS (SELECT t0 + $manifestG2LoOffUs AS lo, t0 + $manifestG2HiOffUs AS hi
+      |      FROM b),
+      |rows_g2 AS (
+      |  SELECT e.* FROM e, b
+      |  WHERE us // 86400000000 IN (SELECT d FROM live)
+      |  UNION ALL SELECT * FROM a),
+      |agg AS (SELECT event_type, count(*) AS n,
+      |          CAST(sum(event_id) AS BIGINT) AS id_sum
+      |        FROM rows_g2, r WHERE us >= r.lo AND us <= r.hi GROUP BY 1)
+      |SELECT event_type, n, id_sum,
+      |  (SELECT count(*) FROM u1) AS units_g1,
+      |  (SELECT count(*) FROM g2) AS units_g2,
+      |  (SELECT count(*) FROM u1, b WHERE mx < t0 + $manifestRetainOffUs)
+      |    AS units_expired,
+      |  (SELECT count(*) FROM g2, r WHERE g2.mx >= r.lo AND g2.mn <= r.hi)
+      |    AS units_scanned
+      |FROM agg ORDER BY event_type""".stripMargin
+
   // --- q147: compaction EXECUTION (rewrite + read-back verification) ---------
   /** Closes the loop q126 opens: don't just PLAN the rewrite — do it.
     * The same sequential bin arithmetic (here with a FIXED 64 KiB target,
@@ -1710,6 +1849,7 @@ object OlapQueries {
     "q160_avro_changelog" -> ((s, d) => avroChangelog(s, d)),
     "q160b_avro_schema_evolution" -> ((s, d) => avroSchemaEvolution(s, d)),
     "q161_manifest_scan" -> ((s, d) => manifestScan(s, d)),
+    "q161b_manifest_generations" -> ((s, d) => manifestGenerations(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
     "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
     "q143_attribution" -> ((s, d) => attribution(s, d)),
@@ -1739,6 +1879,7 @@ object OlapQueries {
     "q160_avro_changelog" -> avroChangelogOracle,
     "q160b_avro_schema_evolution" -> avroSchemaEvolutionOracle,
     "q161_manifest_scan" -> manifestScanOracle,
+    "q161b_manifest_generations" -> manifestGenerationsOracle,
     "q139_ks_drift" -> ksDriftOracle,
     "q142_incremental_mv" -> incrementalMvOracle,
     "q143_attribution" -> attributionOracle,

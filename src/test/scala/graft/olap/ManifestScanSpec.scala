@@ -64,6 +64,40 @@ class ManifestScanSpec extends SparkSuite {
       s"scan lists $nPaths unit dirs, expected $nSurvive")
   }
 
+  test("q161b: expiry is metadata-only, append is real, generation arithmetic exact") {
+    val out = SparkEntry.queries("q161b_manifest_generations")(spark, sfDir).collect()
+    val r = out.head
+    val (g1, g2, expired, scanned) =
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    val t0 = dayStats.map(_._2).min
+    val expectExpired = dayStats.count(_._3 < t0 + 172800000000L).toLong
+    val lateDays = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 17 === 0)
+      .select((unix_micros(col("ts")) + 2678400000000L).as("us"))
+      .select(expr("us div 86400000000")).distinct().count()
+    assert(g1 == dayStats.length.toLong)
+    assert(expired == expectExpired && expired > 0)
+    assert(g2 == g1 - expired + lateDays, s"g2 $g2 != $g1 - $expired + $lateDays")
+    assert(scanned > 0 && scanned <= g2)
+    // metadata-only delete: every g1 unit dir STILL exists on disk, and
+    // the g2 manifest simply no longer references the expired ones
+    val root = graft.queries.SourceQueries.stagedBlobRoot(sfDir, "manifestg2",
+      srcTable = "events")
+    def entries(name: String) = graft.sources.Avro.decode(
+      java.nio.file.Files.readAllBytes(new java.io.File(root, name).toPath))._2
+    val m1 = entries("manifest.avro")
+    val m2 = entries("manifest_g2.avro")
+    m1.foreach { e =>
+      assert(new java.io.File(root, e(1).asInstanceOf[String]).isDirectory,
+        s"g1 unit dir ${e(1)} was touched by the metadata-only expiry")
+    }
+    val g2paths = m2.map(_(1).asInstanceOf[String]).toSet
+    val expiredPaths = m1.filter(_(4).asInstanceOf[Long] < t0 + 172800000000L)
+      .map(_(1).asInstanceOf[String])
+    assert(expiredPaths.nonEmpty && expiredPaths.forall(!g2paths.contains(_)))
+    assert(m2.count(_(1).asInstanceOf[String].startsWith("delta/")) == lateDays)
+  }
+
   test("the manifest is strict Avro over an opaque unit permutation; paths exist") {
     out.count() // force staging
     val root = graft.queries.SourceQueries.stagedBlobRoot(sfDir, "manifestlake",
