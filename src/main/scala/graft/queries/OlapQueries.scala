@@ -1491,7 +1491,13 @@ object OlapQueries {
       val mapping = days.zipWithIndex.map { case (d, i) => (d, (i * mult) % n) }
       val mapDf = broadcast(mapping.toSeq.toDF("day", "unit"))
       val withUnit = e.join(mapDf, "day")
-      withUnit.repartition(col("unit"))
+      // salt the write so each unit CAN land as multiple bounded files —
+      // at 100 TB a day-unit is terabytes and one-file-per-unit caps
+      // both write and (post-prune) read parallelism at #units; the
+      // manifest tracks stats per UNIT, so file fan-out is free. At test
+      // SFs AQE legitimately coalesces the tiny salted shuffle back to
+      // few files — the salt buys fan-out exactly when units are big
+      withUnit.repartition(col("unit"), pmod(col("event_id"), lit(4)))
         .write.partitionBy("unit")
         .parquet(new java.io.File(staging, "data").getAbsolutePath)
       // the manifest: per-unit stats, one deflate Avro container
@@ -1596,7 +1602,8 @@ object OlapQueries {
       val mapping = days.zipWithIndex.map { case (d, i) => (d, (i * mult) % n) }
       val mapDf = broadcast(mapping.toSeq.toDF("day", "unit"))
       def writeUnits(df: DataFrame, sub: String): Array[Seq[Any]] = {
-        df.repartition(col("unit"))
+        // salted like q161's writer: bounded files per unit at any scale
+        df.repartition(col("unit"), pmod(col("event_id"), lit(4)))
           .write.partitionBy("unit")
           .parquet(new java.io.File(staging, sub).getAbsolutePath)
         df.groupBy(col("unit"))
