@@ -1167,7 +1167,7 @@ object OlapQueries {
     * file-granularity write side of MERGE is q133's copy-on-write
     * mechanics; this operator is the row-semantics half.) */
   /** The base snapshot q159/q160 apply changes to. */
-  private def cdcBase(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def cdcBase(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
 
   /** The deterministically-derived change log (doc_id, text, seq, op,
@@ -1176,7 +1176,7 @@ object OlapQueries {
     * q160b (split across two SCHEMA GENERATIONS by source: the
     * 'upsert-stream' rows are written under the v1 schema that predates
     * the source field, everything else under v2). */
-  private def cdcChangeLog(d: DataFrame): DataFrame = {
+  private[queries] def cdcChangeLog(d: DataFrame): DataFrame = {
     // insert keys above the live key space, derived from the table max
     // (q141's collision-proof synthetic-id discipline)
     // max over zero rows is null — fail with a clear message, not the

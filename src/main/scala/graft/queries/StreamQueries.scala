@@ -635,7 +635,7 @@ object StreamQueries {
   val streamingHarness: Set[String] = Set(
     "q113_tws_session", "q123_stream_interval_join",
     "q125_stream_chained_agg", "q128_stream_outer_join",
-    "q151_stream_lake_sink")
+    "q151_stream_lake_sink", "q162_stream_cdc_lww")
 
   // --- q151: exactly-once streaming lake sink ---------------------------------
   /** The landing path every event pipeline starts with: the staged events
@@ -689,7 +689,120 @@ object StreamQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin
 
+  // --- q162: streaming CDC upsert (merge-on-write LWW sink) -------------------
+  /** The streaming MERGE: q159's change log arrives as a FILE STREAM
+    * (four staged seq-batches, maxFilesPerTrigger=1 → four genuine
+    * micro-batches in arrival order) and foreachBatch merges each batch
+    * into a keyed snapshot with last-writer-wins — the merge-on-write
+    * loop every streaming lakehouse ingestion runs. Exactly-once without
+    * relying on the checkpoint alone: each batch writes state generation
+    * `gen_<batchId>` to a temp dir and ATOMIC-RENAMES it into place, so
+    * a replayed batch (crash between sink write and checkpoint commit)
+    * finds its completed generation and SKIPS the merge — the idempotent-
+    * foreachBatch-sink discipline; an interrupted run resumes from the
+    * checkpoint and completes the remaining generations. The final
+    * answer reads the highest completed generation only; LWW itself is
+    * ORDER-independent (seq decides), so the oracle is q159's verbatim.
+    *
+    * 100 TB shape: each merge is one hash aggregate over
+    * state ∪ batch — the state rescan is the price of merge-on-write
+    * (real systems amortize it with file-level pruning, q161's
+    * machinery); state carries (key, seq, op, text, n_ops), never the
+    * corpus twice. Registered in streamingHarness — micro-batch
+    * bring-up cost class. */
+  def streamCdcLww(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.queries.{OlapQueries => OQ}
+    val sfName = new java.io.File(dir).getName
+    val srcFp = graft.core.Staging.hexFingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    // the staged change-log stream: four seq-ordered parquet files, one
+    // per CDC wave (atomic-publish; a regenerated corpus re-stages)
+    val logDir = SourceQueries.stagedBlobs(dir, "cdclog") { staging =>
+      val log = OQ.cdcChangeLog(OQ.cdcBase(spark, dir))
+        .select(col("doc_id"), col("text"), col("seq"), col("op"), col("source"))
+      Seq(("upsert-stream", 1), ("priority-upsert-stream", 2),
+          ("tombstone-stream", 3), ("insert-stream", 4)).foreach {
+        case (src, wave) =>
+          val tmp = new java.io.File(staging, s".wave_$wave")
+          log.filter(col("source") === src).drop("source")
+            .coalesce(1).write.parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(staging, f"wave_$wave%02d.parquet").toPath)
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      }
+    }
+    // checkpoint + state live at a stable fingerprinted path, NOT behind
+    // atomic-rename publish (q151's commit-log lesson)
+    val root = new java.io.File(
+      s"/root/repo/target/stream_cdc_${sfName}_$srcFp")
+    root.mkdirs()
+    val stateRoot = new java.io.File(root, "state")
+    stateRoot.mkdirs()
+    def gens(): Seq[(Long, java.io.File)] = stateRoot.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(f => (f.getName.stripPrefix("gen_").toLong, f)).toSeq.sortBy(_._1)
+    def writeGen(df: DataFrame, id: Long): Unit = {
+      val target = new java.io.File(stateRoot, s"gen_$id")
+      if (target.isDirectory) return // replayed batch: already merged
+      val tmp = new java.io.File(stateRoot,
+        s".gen_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      df.write.parquet(tmp.getAbsolutePath)
+      try java.nio.file.Files.move(tmp.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost a race
+      }
+    }
+    // generation 0: the base snapshot (idempotent)
+    if (gens().isEmpty)
+      writeGen(OQ.cdcBase(spark, dir)
+        .select(col("doc_id"), col("text"), lit(0L).as("seq"),
+          lit("U").as("op"), lit(0L).as("n_ops")), 0L)
+    val logSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(logDir.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", new java.io.File(root, "chk").getAbsolutePath)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val genId = id + 1 // gen 0 is the base snapshot
+        val prev = gens().filter(_._1 < genId).maxBy(_._1)._2
+        val state = batch.sparkSession.read.parquet(prev.getAbsolutePath)
+        val merged = state
+          .unionByName(batch.withColumn("n_ops", lit(1L)))
+          .groupBy(col("doc_id"))
+          .agg(expr("max_by(struct(seq, op, text), seq)").as("w"),
+            sum(col("n_ops")).as("n_ops"))
+          .select(col("doc_id"), col("w.text").as("text"),
+            col("w.seq").as("seq"), col("w.op").as("op"), col("n_ops"))
+        writeGen(merged, genId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val finalState = gens().maxBy(_._1)._2
+    spark.read.parquet(finalState.getAbsolutePath)
+      .filter(col("op") =!= "D")
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"), col("n_ops"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LWW is order-independent (seq decides), so the streamed apply must
+    * land exactly on q159's batch answer. */
+  val streamCdcLwwOracle: String = graft.queries.OlapQueries.cdcApplyOracle
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_stream_cdc_lww" -> ((s, d) => streamCdcLww(s, d)),
     "q151_stream_lake_sink" -> ((s, d) => streamLakeSink(s, d)),
     "q128_stream_outer_join" -> ((s, d) => streamIntervalJoinOuter(s, d)),
     "q125_stream_chained_agg" -> ((s, d) => streamChainedAgg(s, d)),
@@ -710,6 +823,7 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     // the streaming run must reproduce the BATCH interval join's answer —
     // same oracle as q55 (that is the point: stream ≡ batch ≡ DuckDB)
+    "q162_stream_cdc_lww" -> streamCdcLwwOracle,
     "q151_stream_lake_sink" -> streamLakeSinkOracle,
     "q128_stream_outer_join" -> streamIntervalJoinOuterOracle,
     "q125_stream_chained_agg" -> streamChainedAggOracle,
