@@ -1551,6 +1551,105 @@ object PipelineQueries {
       |SELECT cell, n_before, n_deleted, n_before - n_deleted AS n_after
       |FROM agg WHERE n_deleted > 0 ORDER BY cell""".stripMargin
 
+  // ---- q163: merge-on-read deletes (position + equality delete files) ------
+  /** The read-side third of the delete triad: q133 is COPY-ON-WRITE
+    * (the delete rewrites victim files), q162 MERGE-ON-WRITE (the sink
+    * folds changes into each generation); this is Iceberg-v2-class
+    * MERGE-ON-READ — a delete writes only small DELETE FILES next to the
+    * immutable data files, and every reader subtracts them at scan time.
+    * Both open-format delete shapes are exercised:
+    *
+    *  - POSITION deletes: (file, row-ordinal) pairs, the shape a
+    *    DELETE-by-predicate writes after locating victims once. Ordinals
+    *    are Spark's parquet `_metadata.row_index` (the same file-position
+    *    contract Iceberg readers use); the delete file stores ONLY
+    *    (file name, position) — no keys, no row data — so the read must
+    *    round-trip positions faithfully or the witness breaks.
+    *  - EQUALITY deletes: bare keys, the shape CDC tombstones arrive in —
+    *    written from arithmetic alone, no data scan.
+    *
+    * The read applies both as the open formats do: scan ⟕ position-deletes
+    * on (file, pos), ⟕ equality-deletes on key, keep rows matching
+    * neither (the left-anti composition, executed here as one marked scan
+    * so the per-unit witness — rows / pos-hits / eq-hits / survivors /
+    * survivor key-sum — comes from a single pass). Victims are
+    * `doc_id % 23 == 5` (positions) and `doc_id % 31 == 7` (keys);
+    * overlap rows count in both hit columns and never survive.
+    *
+    * 100 TB shape: deletes cost O(|victims|) bytes instead of a file
+    * rewrite — the write-amplification trade every format documents; the
+    * read pays two joins whose right sides are delete files (broadcast
+    * while bounded; a real table groups position deletes per data file
+    * and merges them file-locally). The scan itself is one pass, no
+    * window, no driver state. */
+  private def morLake(spark: SparkSession, dir: String): java.io.File =
+    SourceQueries.stagedBlobs(dir, "morlake") { staging =>
+      val data = new java.io.File(staging, "data")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(16L)).as("unit"))
+        .repartition(16, col("unit"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.partitionBy("unit").parquet(data.getAbsolutePath)
+      // position-delete build: ONE scan of the just-written lake locates
+      // victims and records (lake-relative file path, row ordinal). The
+      // path keeps its `unit=N/` dir — one write task emits the SAME
+      // part-file name into every partition dir it touches, so the bare
+      // name is ambiguous across units — but not the staging root, so
+      // the artifact survives the staging dir's atomic rename.
+      spark.read.parquet(data.getAbsolutePath)
+        .filter(col("doc_id") % 23 === 5)
+        .select(
+          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+            .as("fpath"),
+          col("_metadata.row_index").as("pos"))
+        .write.parquet(new java.io.File(staging, "pos_deletes").getAbsolutePath)
+      // equality deletes: keys only, derived without touching the lake
+      Tables.documents(spark, dir)
+        .select(col("doc_id")).filter(col("doc_id") % 31 === 7)
+        .write.parquet(new java.io.File(staging, "eq_deletes").getAbsolutePath)
+    }
+
+  def morDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val lake = morLake(spark, dir)
+    val data = spark.read.parquet(s"$lake/data")
+      .select(col("doc_id"), col("unit").cast("long").as("unit"),
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+          .as("fpath"),
+        col("_metadata.row_index").as("pos"))
+    val posDel = spark.read.parquet(s"$lake/pos_deletes")
+      .withColumn("posdel", lit(true))
+    val eqDel = spark.read.parquet(s"$lake/eq_deletes")
+      .withColumn("eqdel", lit(true))
+    // the MOR read: one scan, two broadcast delete-file joins (each
+    // delete file holds distinct keys by construction, so the left joins
+    // never fan out), survivors = rows matching neither
+    data.join(broadcast(posDel), Seq("fpath", "pos"), "left")
+      .join(broadcast(eqDel), Seq("doc_id"), "left")
+      .groupBy(col("unit"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("posdel"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("eqdel"), 1L).otherwise(0L)).as("n_eq"),
+        sum(when(col("posdel").isNull && col("eqdel").isNull, 1L)
+          .otherwise(0L)).as("n_live"),
+        sum(when(col("posdel").isNull && col("eqdel").isNull, col("doc_id"))
+          .otherwise(0L)).as("live_id_sum"))
+      .orderBy(col("unit"))
+  }
+
+  /** Pure arithmetic: the whole MOR read re-derived from the victim
+    * predicates — an unfaithful (file,pos)→row mapping, a lost delete,
+    * or a survivor miscount breaks any of the five columns. */
+  val morDeletesOracle: String =
+    """SELECT doc_id % 16 AS unit, count(*) AS n_rows,
+      |  CAST(count(*) FILTER (doc_id % 23 = 5) AS BIGINT) AS n_pos,
+      |  CAST(count(*) FILTER (doc_id % 31 = 7) AS BIGINT) AS n_eq,
+      |  CAST(count(*) FILTER (doc_id % 23 <> 5 AND doc_id % 31 <> 7)
+      |       AS BIGINT) AS n_live,
+      |  CAST(coalesce(sum(doc_id)
+      |       FILTER (doc_id % 23 <> 5 AND doc_id % 31 <> 7), 0) AS BIGINT)
+      |    AS live_id_sum
+      |FROM documents GROUP BY 1 ORDER BY unit""".stripMargin
+
   // ---- ANN: 1-bit sign quantization + Hamming shortlist --------------------
   /** Binary-quantized ANN: each d-dim vector compresses to ceil(d/64)
     * longs of sign bits — 64× smaller than float32, the most aggressive
@@ -2933,6 +3032,7 @@ object PipelineQueries {
     "q112_cluster_first_dedup" -> ((s, d) => clusterFirstNeardup(s, d)),
     "q132_leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
     "q133_cow_delete" -> ((s, d) => cowDelete(s, d)),
+    "q163_mor_deletes" -> ((s, d) => morDeletes(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
     "q91_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -2980,6 +3080,7 @@ object PipelineQueries {
     "q112_cluster_first_dedup" -> clusterFirstNeardupOracle,
     "q132_leakage_safe_split" -> leakageSafeSplitOracle,
     "q133_cow_delete" -> cowDeleteOracle,
+    "q163_mor_deletes" -> morDeletesOracle,
     "q77_semdedup" -> semDedupOracle,
     "q91_line_dedup" -> lineDedupOracle,
     "q92_cluster_topics" -> clusterTopicsOracle
