@@ -1585,9 +1585,17 @@ object OlapQueries {
   private val manifestG2LoOffUs = 86400000000L      // serve window: [t0+1d,
   private val manifestG2HiOffUs = 2851200000000L    //  t0+33d]
 
-  private def manifestG2Lake(spark: SparkSession, dir: String): java.io.File = {
+  private def manifestG2Lake(spark: SparkSession, dir: String): java.io.File =
+    stageManifestG2(spark, dir, "manifestg2")
+
+  /** Stages the two-generation manifest lake (g1 full window → g2 =
+    * expire + append) under the given artifact family — shared by q161b
+    * (metadata-only commits, lake immutable) and q164 (vacuum, which
+    * MUTATES its own copy, so the two must not share an artifact). */
+  private def stageManifestG2(spark: SparkSession, dir: String,
+      fmt: String): java.io.File = {
     import spark.implicits._
-    SourceQueries.stagedBlobs(dir, "manifestg2", srcTable = "events") { staging =>
+    SourceQueries.stagedBlobs(dir, fmt, srcTable = "events") { staging =>
       val e = Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
@@ -1637,16 +1645,18 @@ object OlapQueries {
     }
   }
 
+  private def readManifestFile(lake: java.io.File,
+      name: String): Vector[Vector[Any]] = {
+    val (writer, entries) = graft.sources.Avro.decode(
+      java.nio.file.Files.readAllBytes(new java.io.File(lake, name).toPath))
+    require(writer == manifestSchema, s"unexpected manifest schema: ${writer.json}")
+    entries
+  }
+
   def manifestGenerations(spark: SparkSession, dir: String): DataFrame = {
     val lake = manifestG2Lake(spark, dir)
-    def readManifest(name: String): Vector[Vector[Any]] = {
-      val (writer, entries) = graft.sources.Avro.decode(
-        java.nio.file.Files.readAllBytes(new java.io.File(lake, name).toPath))
-      require(writer == manifestSchema, s"unexpected manifest schema: ${writer.json}")
-      entries
-    }
-    val g1 = readManifest("manifest.avro")
-    val g2 = readManifest("manifest_g2.avro")
+    val g1 = readManifestFile(lake, "manifest.avro")
+    val g2 = readManifestFile(lake, "manifest_g2.avro")
     val t0 = g1.map(_(3).asInstanceOf[Long]).min
     val lo = t0 + manifestG2LoOffUs
     val hi = t0 + manifestG2HiOffUs
@@ -1701,6 +1711,133 @@ object OlapQueries {
       |    AS units_expired,
       |  (SELECT count(*) FROM g2, r WHERE g2.mx >= r.lo AND g2.mn <= r.hi)
       |    AS units_scanned
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  // --- q164: VACUUM — orphan-file GC + the time-travel horizon ---------------
+  /** The physical-reclaim half q161b deliberately leaves undone: expiry
+    * there is METADATA-ONLY (g2 stops referencing expired units, their
+    * files stay on disk so older snapshots still serve). VACUUM is the
+    * garbage collector every lakehouse schedules after retention passes:
+    * list the lake, keep every file the LIVE manifest generation (g2)
+    * references, physically delete the rest — and accept the documented
+    * price that time travel to g1 now dies at the vacuum horizon.
+    *
+    * Mechanics: the lake listing is a distributed binaryFile scan of the
+    * two data roots (at 100 TB listing is the dominant cost — it
+    * parallelizes; the manifest side is O(#units) metadata); orphans are
+    * a broadcast anti-join of listed files against g2's referenced unit
+    * paths; deletion executes distributed (foreachPartition over orphan
+    * files — the bulk bytes), with a driver-side sweep of the ≤#units
+    * orphan dirs for filesystem crumbs (checksum shadows, empty dirs).
+    * Everything in the OUTPUT derives from manifest METADATA plus one
+    * post-vacuum existence probe, so the query is idempotent: re-runs
+    * list no orphans and report identical numbers.
+    *
+    * Witness columns: q161b's g2 serve aggregate (proving vacuum spared
+    * every live file), units_g1/units_g2, units_vacuumed (manifest
+    * arithmetic), units_missing_g1 (POST-vacuum disk probe of g1's
+    * paths — the time-travel-horizon witness, which must equal
+    * units_vacuumed or the GC deleted too little/much), and
+    * rows_vacuumed (expired units' manifest row counts; the oracle
+    * re-counts them from the events table). */
+  def vacuumOrphans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = stageManifestG2(spark, dir, "vacuumlake")
+    val g1 = readManifestFile(lake, "manifest.avro")
+    val g2 = readManifestFile(lake, "manifest_g2.avro")
+    val t0 = g1.map(_(3).asInstanceOf[Long]).min
+    val expired = g1.filter(_(4).asInstanceOf[Long] < t0 + manifestRetainOffUs)
+    // the live set: unit paths the CURRENT generation references
+    val liveDf = broadcast(
+      g2.map(_(1).asInstanceOf[String]).toDF("unit_path"))
+    val roots = Seq("data", "delta")
+      .map(s => new java.io.File(lake, s).getAbsolutePath)
+    val orphans = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(roots: _*)
+      .select(col("path"),
+        regexp_extract(col("path"), "([^/]+/unit=[0-9]+)/[^/]+$", 1)
+          .as("unit_path"))
+      .filter(col("unit_path") =!= "")
+      .join(liveDf, Seq("unit_path"), "left_anti")
+    // GC: distributed delete of the orphan files (idempotent — a re-run
+    // lists nothing stale; deleteIfExists tolerates a racing vacuum)
+    orphans.select(col("path")).as[String]
+      .foreachPartition { it: Iterator[String] =>
+        it.foreach { p =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(new java.net.URI(p)))
+        }
+      }
+    // driver-side crumb sweep, bounded by #orphan units: hidden checksum
+    // shadows the listing skips, then the emptied dirs themselves
+    val liveSet = g2.map(_(1).asInstanceOf[String]).toSet
+    for (root <- roots;
+         d <- Option(new java.io.File(root).listFiles()).getOrElse(Array.empty[java.io.File])
+         if d.isDirectory && d.getName.startsWith("unit=") &&
+           !liveSet(new java.io.File(root).getName + "/" + d.getName)) {
+      d.listFiles().foreach(_.delete())
+      d.delete()
+    }
+    // the time-travel horizon: g1 paths that no longer exist on disk
+    val missingG1 = g1.count(r =>
+      !new java.io.File(lake, r(1).asInstanceOf[String]).exists()).toLong
+    // serve q161b's window over g2 AFTER the vacuum — every file it
+    // needs must have survived
+    val lo = t0 + manifestG2LoOffUs
+    val hi = t0 + manifestG2HiOffUs
+    val surviving = g2.filter(r =>
+      r(4).asInstanceOf[Long] >= lo && r(3).asInstanceOf[Long] <= hi)
+    require(surviving.nonEmpty, "vacuumOrphans: range prunes every unit")
+    val paths = surviving.map(r =>
+      new java.io.File(lake, r(1).asInstanceOf[String]).getAbsolutePath)
+    spark.read.parquet(paths: _*)
+      .filter(col("ts") >= timestamp_micros(lit(lo)) &&
+        col("ts") <= timestamp_micros(lit(hi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("units_g1", lit(g1.length.toLong))
+      .withColumn("units_g2", lit(g2.length.toLong))
+      .withColumn("units_vacuumed", lit(expired.length.toLong))
+      .withColumn("units_missing_g1", lit(missingG1))
+      .withColumn("rows_vacuumed",
+        lit(expired.map(_(2).asInstanceOf[Long]).sum))
+      .orderBy(col("event_type"))
+  }
+
+  /** q161b's generation arithmetic plus the vacuum witnesses: expired
+    * unit count doubles as the required missing-on-disk count, and the
+    * reclaimed row count re-derives from the events table. */
+  val vacuumOrphansOracle: String =
+    s"""WITH b AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+      |e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |a AS (SELECT event_type, event_id, us + $manifestAppendShiftUs AS us
+      |      FROM e WHERE event_id % 17 = 0),
+      |u1 AS (SELECT us // 86400000000 AS d, min(us) AS mn, max(us) AS mx
+      |       FROM e GROUP BY 1),
+      |ua AS (SELECT us // 86400000000 AS d, min(us) AS mn, max(us) AS mx
+      |       FROM a GROUP BY 1),
+      |live AS (SELECT * FROM u1, b WHERE mx >= t0 + $manifestRetainOffUs),
+      |g2 AS (SELECT d, mn, mx FROM live UNION ALL SELECT d, mn, mx FROM ua),
+      |r AS (SELECT t0 + $manifestG2LoOffUs AS lo, t0 + $manifestG2HiOffUs AS hi
+      |      FROM b),
+      |rows_g2 AS (
+      |  SELECT e.* FROM e, b
+      |  WHERE us // 86400000000 IN (SELECT d FROM live)
+      |  UNION ALL SELECT * FROM a),
+      |agg AS (SELECT event_type, count(*) AS n,
+      |          CAST(sum(event_id) AS BIGINT) AS id_sum
+      |        FROM rows_g2, r WHERE us >= r.lo AND us <= r.hi GROUP BY 1)
+      |SELECT event_type, n, id_sum,
+      |  (SELECT count(*) FROM u1) AS units_g1,
+      |  (SELECT count(*) FROM g2) AS units_g2,
+      |  (SELECT count(*) FROM u1, b WHERE mx < t0 + $manifestRetainOffUs)
+      |    AS units_vacuumed,
+      |  (SELECT count(*) FROM u1, b WHERE mx < t0 + $manifestRetainOffUs)
+      |    AS units_missing_g1,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e, b
+      |   WHERE us // 86400000000 IN
+      |     (SELECT d FROM u1, b WHERE mx < t0 + $manifestRetainOffUs))
+      |    AS rows_vacuumed
       |FROM agg ORDER BY event_type""".stripMargin
 
   // --- q147: compaction EXECUTION (rewrite + read-back verification) ---------
@@ -1857,6 +1994,7 @@ object OlapQueries {
     "q160b_avro_schema_evolution" -> ((s, d) => avroSchemaEvolution(s, d)),
     "q161_manifest_scan" -> ((s, d) => manifestScan(s, d)),
     "q161b_manifest_generations" -> ((s, d) => manifestGenerations(s, d)),
+    "q164_vacuum" -> ((s, d) => vacuumOrphans(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
     "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
     "q143_attribution" -> ((s, d) => attribution(s, d)),
@@ -1887,6 +2025,7 @@ object OlapQueries {
     "q160b_avro_schema_evolution" -> avroSchemaEvolutionOracle,
     "q161_manifest_scan" -> manifestScanOracle,
     "q161b_manifest_generations" -> manifestGenerationsOracle,
+    "q164_vacuum" -> vacuumOrphansOracle,
     "q139_ks_drift" -> ksDriftOracle,
     "q142_incremental_mv" -> incrementalMvOracle,
     "q143_attribution" -> attributionOracle,
