@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvPairExpr].getName, "graft_kmv_pair"),
       KmvPairExpr.sqlBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_bksample"),
+      new ExpressionInfo(classOf[BottomKSampleAgg].getName, "graft_bksample"),
+      BottomKSampleAgg.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bksample_quantile"),
+      new ExpressionInfo(classOf[BkSampleQuantileExpr].getName, "graft_bksample_quantile"),
+      BkSampleQuantileExpr.sqlBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv_estimate"),
       new ExpressionInfo(classOf[KmvEstimateExpr].getName, "graft_kmv_estimate"),
       KmvEstimateExpr.sqlBuilder))

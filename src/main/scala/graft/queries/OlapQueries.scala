@@ -237,6 +237,81 @@ object OlapQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  // --- q165: mergeable bottom-k sample quantile sketch ----------------------
+  /** The quantile member of the custom mergeable-summaries family
+    * ([[graft.functions.BottomKSampleAgg]]), completing the trio with
+    * KMV (distinct, q106) and SpaceSaving (frequency, q88): per-language
+    * document-length quantiles read from a k=1024 bottom-k uniform
+    * sample — deterministic by construction (hash-membership sampling;
+    * merge is k-smallest-of-union, identical under ANY merge tree), so
+    * unlike `approx_percentile` the sketch VALUE is reproducible across
+    * cluster sizes and its error bound can sit under the driver gate.
+    *
+    * Property-oracle (q66/q68 discipline): the driver-compared columns
+    * are the EXACT per-group quantiles (cross-engine arithmetic) plus
+    * per-quantile booleans witnessing the sketch estimate's rank within
+    * ε = 2.5/√k ≈ 0.078 of its target — two-sided and tie-proof:
+    * F(est⁻) < q + ε and F(est) ≥ q − ε, both computed EXACTLY against
+    * the full table (below k rows the sample IS the group and the
+    * witness margin is 0 by construction). DKW puts the failure mass at
+    * ~4·10⁻⁶ per check, and the draw is FIXED for a given corpus — a
+    * sketch regression flips a boolean and the gate goes red.
+    *
+    * 100 TB shape: the sketch build is one hash aggregate with ≤ k
+    * (hash, value) pairs per group per map task; the quantile read is
+    * per-GROUP eval. The exact-percentile and rank-check columns are the
+    * gate's witness (same adjudication as q68's exact column) — the
+    * production read path is the sketch alone, reusable for any p. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BkSampleQuantileExpr, BottomKSampleAgg}
+    val k = 1024
+    val eps = 2.5 / math.sqrt(k.toDouble)
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("double").as("v"))
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    val sk = d.groupBy(col("lang"))
+      .agg(
+        BottomKSampleAgg.bkSample(xxhash64(col("doc_id")), col("v"), k).as("sk"),
+        count(lit(1)).as("n"),
+        expr("percentile(v, array(0.25D, 0.5D, 0.75D, 0.95D))").as("exact"))
+      .select(Seq(col("lang"), col("n"),
+        round(element_at(col("exact"), 1), 4).as("p25_exact"),
+        round(element_at(col("exact"), 2), 4).as("p50_exact"),
+        round(element_at(col("exact"), 3), 4).as("p75_exact"),
+        round(element_at(col("exact"), 4), 4).as("p95_exact")) ++
+        probs.zipWithIndex.map { case (p, i) =>
+          BkSampleQuantileExpr.bkQuantile(col("sk"), p).as(s"e$i") }: _*)
+    // exact rank check of each estimate against the FULL table: one
+    // broadcast of ≤ |langs| estimate rows, one conditional aggregate
+    val rankCols = probs.indices.flatMap { i =>
+      Seq(
+        sum(when(col("v") < col(s"e$i"), 1L).otherwise(0L)).as(s"lt$i"),
+        sum(when(col("v") <= col(s"e$i"), 1L).otherwise(0L)).as(s"le$i"))
+    }
+    val ranked = d.join(broadcast(sk), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), rankCols: _*)
+    sk.join(ranked, Seq("lang"))
+      .select(Seq(col("lang"), col("n"), col("p25_exact"), col("p50_exact"),
+        col("p75_exact"), col("p95_exact")) ++
+        probs.zipWithIndex.map { case (p, i) =>
+          ((col(s"lt$i") / col("cnt") < p + eps) &&
+            (col(s"le$i") / col("cnt") >= p - eps))
+            .as(s"w${(p * 100).toInt}") }: _*)
+      .orderBy(col("lang"))
+  }
+
+  /** Exact quantile arithmetic (interpolated, q63/q68 rounding
+    * discipline) + literal TRUE witnesses. */
+  val quantileSketchOracle: String =
+    """SELECT lang, count(*) AS n,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS p25_exact,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_exact,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS p75_exact,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS p95_exact,
+      |  TRUE AS w25, TRUE AS w50, TRUE AS w75, TRUE AS w95
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // --- q84: z-order (Morton curve) data layout ------------------------------
   /** The multi-dimensional file-clustering optimization every lakehouse
     * ships (Delta/Iceberg `OPTIMIZE ZORDER`): interleave the bits of two
@@ -1995,6 +2070,7 @@ object OlapQueries {
     "q161_manifest_scan" -> ((s, d) => manifestScan(s, d)),
     "q161b_manifest_generations" -> ((s, d) => manifestGenerations(s, d)),
     "q164_vacuum" -> ((s, d) => vacuumOrphans(s, d)),
+    "q165_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
     "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
     "q143_attribution" -> ((s, d) => attribution(s, d)),
@@ -2026,6 +2102,7 @@ object OlapQueries {
     "q161_manifest_scan" -> manifestScanOracle,
     "q161b_manifest_generations" -> manifestGenerationsOracle,
     "q164_vacuum" -> vacuumOrphansOracle,
+    "q165_quantile_sketch" -> quantileSketchOracle,
     "q139_ks_drift" -> ksDriftOracle,
     "q142_incremental_mv" -> incrementalMvOracle,
     "q143_attribution" -> attributionOracle,
