@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BkSampleQuantileExpr].getName, "graft_bksample_quantile"),
       BkSampleQuantileExpr.sqlBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomSketchAgg].getName, "graft_bloom"),
+      BloomSketchAgg.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
+      BloomContainsExpr.sqlBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv_estimate"),
       new ExpressionInfo(classOf[KmvEstimateExpr].getName, "graft_kmv_estimate"),
       KmvEstimateExpr.sqlBuilder))

@@ -1915,6 +1915,92 @@ object OlapQueries {
       |    AS rows_vacuumed
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // --- q166: bloom-sidecar file skipping (point-predicate pruning) -----------
+  /** The OTHER skipping-index class, completing q153 (footer min/max
+    * stats) and q161 (manifest range pruning): min/max bounds cannot
+    * prune a POINT predicate on a high-cardinality unordered column —
+    * every unit's [min,max] user range covers every user — so lakehouses
+    * attach per-file BLOOM sidecars (Parquet bloom filters, Delta/Iceberg
+    * bloom indexes). Here each day-unit of the events lake carries a
+    * bloom sketch of its user_id set ([[graft.functions.BloomSketchAgg]],
+    * built distributed: bitwise-OR merge, one hash aggregate), persisted
+    * as a sidecar metadata table. A point lookup for the probe users
+    * (`user_id % 97 == 13`) consults ONLY the sidecars (units × probes
+    * metadata pairs), reads the bloom-positive units through a
+    * partition-pruned scan, and aggregates per user.
+    *
+    * Correctness sits under the bit-exact gate END TO END: blooms never
+    * false-negative, so the pruned scan must see every probe row — a
+    * skipped unit that actually held a probe user breaks n_events /
+    * value_sum / n_units_actual against the oracle's full-scan replay.
+    * False positives cost only extra scan; the committed `fp_bounded`
+    * boolean pins them (probed ≤ actual + max(2, ceil(5% of units)) —
+    * fpp=1%, deterministic sketch, fixed corpus; q165's bound-witness
+    * discipline).
+    *
+    * 100 TB shape: the sidecar table is O(#units) rows of ~5 KB sketches
+    * (expectedItems fixed at 4096 here; a real writer sizes it from unit
+    * stats); probing is metadata-only; the data scan touches only
+    * positive units and pushes the user predicate into parquet. */
+  def bloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BloomContainsExpr, BloomSketchAgg}
+    val lake = SourceQueries.stagedBlobs(dir, "bloomlake", srcTable = "events") { staging =>
+      val e = Tables.events(spark, dir)
+        .withColumn("unit", expr("unix_micros(ts) div 86400000000"))
+      // salted like q161's writer: bounded files per unit at any scale
+      e.repartition(col("unit"), pmod(col("event_id"), lit(4)))
+        .write.partitionBy("unit")
+        .parquet(new java.io.File(staging, "data").getAbsolutePath)
+      // the sidecar: one bloom per unit, built as ONE hash aggregate
+      e.groupBy(col("unit"))
+        .agg(BloomSketchAgg.bloomSketch(col("user_id"), 4096L, 0.01).as("bloom"))
+        .write.parquet(new java.io.File(staging, "blooms").getAbsolutePath)
+    }
+    val blooms = spark.read.parquet(s"$lake/blooms")
+    val probes = Tables.events(spark, dir)
+      .filter(col("user_id") % 97 === 13)
+      .select(col("user_id")).distinct()
+    // planning: units × probes METADATA pairs, bloom-consulted
+    val pairs = blooms.crossJoin(broadcast(probes))
+      .filter(BloomContainsExpr.bloomContains(col("bloom"), col("user_id")))
+      .select(col("unit"), col("user_id"))
+      .planCache()
+    val unitsTotal = blooms.count()
+    // bounded by #units: the driver-resident positive-unit list that
+    // becomes the partition filter (q161's listing adjudication)
+    val posUnits: Array[Long] = pairs.select(col("unit")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val probedPerUser = pairs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_units_probed"))
+    val fpSlack = math.max(2L, math.ceil(unitsTotal * 0.05).toLong)
+    spark.read.parquet(s"$lake/data")
+      .filter(col("unit").isin(posUnits: _*))
+      .filter(col("user_id") % 97 === 13)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+        countDistinct(col("unit")).as("n_units_actual"))
+      .join(broadcast(probedPerUser), Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("value_sum"),
+        col("n_units_actual"),
+        (col("n_units_probed") <= col("n_units_actual") + lit(fpSlack))
+          .as("fp_bounded"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Full-scan replay of the point lookups; a false NEGATIVE in the
+    * bloom path (a skipped unit holding a probe row) breaks the exact
+    * columns, the fp witness ships as literal TRUE. */
+  val bloomSkippingOracle: String =
+    """WITH e AS (SELECT user_id, value, epoch_us(ts) // 86400000000 AS unit
+      |           FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+      |  CAST(count(DISTINCT unit) AS BIGINT) AS n_units_actual,
+      |  TRUE AS fp_bounded
+      |FROM e WHERE user_id % 97 = 13
+      |GROUP BY 1 ORDER BY user_id""".stripMargin
+
   // --- q147: compaction EXECUTION (rewrite + read-back verification) ---------
   /** Closes the loop q126 opens: don't just PLAN the rewrite — do it.
     * The same sequential bin arithmetic (here with a FIXED 64 KiB target,
@@ -2071,6 +2157,7 @@ object OlapQueries {
     "q161b_manifest_generations" -> ((s, d) => manifestGenerations(s, d)),
     "q164_vacuum" -> ((s, d) => vacuumOrphans(s, d)),
     "q165_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
+    "q166_bloom_skipping" -> ((s, d) => bloomSkipping(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
     "q142_incremental_mv" -> ((s, d) => incrementalMv(s, d)),
     "q143_attribution" -> ((s, d) => attribution(s, d)),
@@ -2103,6 +2190,7 @@ object OlapQueries {
     "q161b_manifest_generations" -> manifestGenerationsOracle,
     "q164_vacuum" -> vacuumOrphansOracle,
     "q165_quantile_sketch" -> quantileSketchOracle,
+    "q166_bloom_skipping" -> bloomSkippingOracle,
     "q139_ks_drift" -> ksDriftOracle,
     "q142_incremental_mv" -> incrementalMvOracle,
     "q143_attribution" -> attributionOracle,
