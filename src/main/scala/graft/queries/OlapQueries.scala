@@ -1788,6 +1788,110 @@ object OlapQueries {
       |    AS units_scanned
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // --- q161c: partition-spec EVOLUTION under one manifest ---------------------
+  /** The table-format property that makes q161's design matter: because
+    * planning is driven by MANIFEST STATS, not directory layout, the
+    * partition spec can change mid-table without rewriting history or
+    * teaching readers two layouts — Iceberg's "hidden partitioning /
+    * partition evolution" claim, exercised for real. The events lake is
+    * written under TWO specs: days < t0+20d land as coarse DAY units
+    * (specA), later days as fine HOUR units (specB — the spec change a
+    * growing table makes when daily files get too big). ONE manifest
+    * lists both generations' units with identical stat rows; the q161
+    * planner prunes a window STRADDLING the spec boundary by pure
+    * [min,max] overlap, blind to which spec produced each unit. The
+    * witness reports scanned-unit counts PER SPEC, and the oracle
+    * re-derives both from day/hour arithmetic — so a planner that
+    * special-cased either layout, or a writer that leaked rows across
+    * the spec cut, breaks the gate.
+    *
+    * 100 TB shape: identical to q161 — O(#units) metadata planning, data
+    * scan touches only overlapping units; evolution costs ZERO data
+    * movement, which is exactly why stats-driven planning wins over
+    * path-convention planning at scale. */
+  private val specCutOffDays = 20L
+  private val evoLoOffUs = 1576800000000L // t0 + 18d 6h
+  private val evoHiOffUs = 1944000000000L // t0 + 22d 12h (straddles the cut)
+
+  private def evolutionLake(spark: SparkSession, dir: String): java.io.File = {
+    SourceQueries.stagedBlobs(dir, "specevo", srcTable = "events") { staging =>
+      val e = Tables.events(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+      val t0Row = e.agg(min(col("us"))).head()
+      require(!t0Row.isNullAt(0), "evolutionLake: empty events table")
+      val cutUs = (t0Row.getLong(0) / 86400000000L + specCutOffDays) * 86400000000L
+      def writeSpec(df: DataFrame, sub: String): Array[Seq[Any]] = {
+        df.repartition(col("unit"), pmod(col("event_id"), lit(4)))
+          .write.partitionBy("unit")
+          .parquet(new java.io.File(staging, sub).getAbsolutePath)
+        df.groupBy(col("unit"))
+          .agg(count(lit(1)).as("n"), min(col("us")).as("mn"), max(col("us")).as("mx"))
+          .collect().sortBy(_.getLong(0))
+          .map(r => Seq[Any](r.getLong(0), s"$sub/unit=${r.getLong(0)}",
+            r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      val specA = writeSpec(
+        e.filter(col("us") < cutUs)
+          .withColumn("unit", expr("us div 86400000000")), "specA")
+      val specB = writeSpec(
+        e.filter(col("us") >= cutUs)
+          .withColumn("unit", expr("us div 3600000000")), "specB")
+      java.nio.file.Files.write(
+        new java.io.File(staging, "manifest.avro").toPath,
+        graft.sources.Avro.encode(manifestSchema,
+          (specA ++ specB).toIndexedSeq, "deflate"))
+    }
+  }
+
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val lake = evolutionLake(spark, dir)
+    val entries = readManifestFile(lake, "manifest.avro")
+    val t0 = entries.map(_(3).asInstanceOf[Long]).min
+    val lo = t0 + evoLoOffUs
+    val hi = t0 + evoHiOffUs
+    // spec-blind planning: pure stats overlap, no layout knowledge
+    val surviving = entries.filter(r =>
+      r(4).asInstanceOf[Long] >= lo && r(3).asInstanceOf[Long] <= hi)
+    require(surviving.nonEmpty, "partitionEvolution: range prunes every unit")
+    def bySpec(es: Seq[Vector[Any]], s: String): Long =
+      es.count(_(1).asInstanceOf[String].startsWith(s)).toLong
+    val paths = surviving.map(r =>
+      new java.io.File(lake, r(1).asInstanceOf[String]).getAbsolutePath)
+    spark.read.parquet(paths: _*)
+      .filter(col("ts") >= timestamp_micros(lit(lo)) &&
+        col("ts") <= timestamp_micros(lit(hi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("units_day_spec", lit(bySpec(entries, "specA")))
+      .withColumn("units_hour_spec", lit(bySpec(entries, "specB")))
+      .withColumn("scanned_day_spec", lit(bySpec(surviving, "specA")))
+      .withColumn("scanned_hour_spec", lit(bySpec(surviving, "specB")))
+      .orderBy(col("event_type"))
+  }
+
+  /** Full-scan replay + per-spec unit arithmetic: day units below the
+    * cut, hour units at or above it, overlap counts per spec. */
+  val partitionEvolutionOracle: String =
+    s"""WITH b AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+      |c AS (SELECT (t0 // 86400000000 + $specCutOffDays) * 86400000000 AS cut,
+      |             t0 + $evoLoOffUs AS lo, t0 + $evoHiOffUs AS hi FROM b),
+      |e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |ud AS (SELECT us // 86400000000 AS u, min(us) AS mn, max(us) AS mx
+      |       FROM e, c WHERE us < cut GROUP BY 1),
+      |uh AS (SELECT us // 3600000000 AS u, min(us) AS mn, max(us) AS mx
+      |       FROM e, c WHERE us >= cut GROUP BY 1),
+      |agg AS (SELECT event_type, count(*) AS n,
+      |          CAST(sum(event_id) AS BIGINT) AS id_sum
+      |        FROM e, c WHERE us >= lo AND us <= hi GROUP BY 1)
+      |SELECT event_type, n, id_sum,
+      |  (SELECT count(*) FROM ud) AS units_day_spec,
+      |  (SELECT count(*) FROM uh) AS units_hour_spec,
+      |  (SELECT count(*) FROM ud, c WHERE mx >= lo AND mn <= hi)
+      |    AS scanned_day_spec,
+      |  (SELECT count(*) FROM uh, c WHERE mx >= lo AND mn <= hi)
+      |    AS scanned_hour_spec
+      |FROM agg ORDER BY event_type""".stripMargin
+
   // --- q164: VACUUM — orphan-file GC + the time-travel horizon ---------------
   /** The physical-reclaim half q161b deliberately leaves undone: expiry
     * there is METADATA-ONLY (g2 stops referencing expired units, their
@@ -2155,6 +2259,7 @@ object OlapQueries {
     "q160b_avro_schema_evolution" -> ((s, d) => avroSchemaEvolution(s, d)),
     "q161_manifest_scan" -> ((s, d) => manifestScan(s, d)),
     "q161b_manifest_generations" -> ((s, d) => manifestGenerations(s, d)),
+    "q161c_partition_evolution" -> ((s, d) => partitionEvolution(s, d)),
     "q164_vacuum" -> ((s, d) => vacuumOrphans(s, d)),
     "q165_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
     "q166_bloom_skipping" -> ((s, d) => bloomSkipping(s, d)),
@@ -2188,6 +2293,7 @@ object OlapQueries {
     "q160b_avro_schema_evolution" -> avroSchemaEvolutionOracle,
     "q161_manifest_scan" -> manifestScanOracle,
     "q161b_manifest_generations" -> manifestGenerationsOracle,
+    "q161c_partition_evolution" -> partitionEvolutionOracle,
     "q164_vacuum" -> vacuumOrphansOracle,
     "q165_quantile_sketch" -> quantileSketchOracle,
     "q166_bloom_skipping" -> bloomSkippingOracle,
