@@ -1720,7 +1720,7 @@ object OlapQueries {
     }
   }
 
-  private def readManifestFile(lake: java.io.File,
+  private[queries] def readManifestFile(lake: java.io.File,
       name: String): Vector[Vector[Any]] = {
     val (writer, entries) = graft.sources.Avro.decode(
       java.nio.file.Files.readAllBytes(new java.io.File(lake, name).toPath))

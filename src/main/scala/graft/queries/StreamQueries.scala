@@ -635,7 +635,8 @@ object StreamQueries {
   val streamingHarness: Set[String] = Set(
     "q113_tws_session", "q123_stream_interval_join",
     "q125_stream_chained_agg", "q128_stream_outer_join",
-    "q151_stream_lake_sink", "q162_stream_cdc_lww")
+    "q151_stream_lake_sink", "q162_stream_cdc_lww",
+    "q167_stream_manifest_commit")
 
   // --- q151: exactly-once streaming lake sink ---------------------------------
   /** The landing path every event pipeline starts with: the staged events
@@ -801,7 +802,167 @@ object StreamQueries {
     * land exactly on q159's batch answer. */
   val streamCdcLwwOracle: String = graft.queries.OlapQueries.cdcApplyOracle
 
+  // --- q167: streaming manifest commits (the streaming table-format sink) ----
+  /** q151 lands a file stream through Spark's _spark_metadata commit log;
+    * this is the TABLE-FORMAT version of the same contract — each
+    * micro-batch appends data units AND commits a new MANIFEST GENERATION
+    * (q161's Avro artifact), which is how a streaming lakehouse sink
+    * (Delta/Iceberg streaming writes) actually makes batches atomically
+    * visible: readers plan from the latest committed manifest, so a
+    * half-written batch (data on disk, manifest not committed) is
+    * invisible by construction. The staged events arrive as four
+    * time-quarter waves (maxFilesPerTrigger=1 → four real micro-batches);
+    * foreachBatch writes the wave's day-units under `data/w<wave>/`
+    * (temp + atomic rename), then commits `manifest_g<n>.avro` =
+    * previous generation + the new units (temp + ATOMIC_MOVE). A
+    * replayed batch finds its committed generation and SKIPS — the
+    * idempotent-sink discipline (q162), proven by the spec's
+    * delete-checkpoint-and-replay probe. Serving is q161's planner over
+    * the LATEST generation with a [t0+10d, t0+20d] window, so manifest
+    * pruning spans units from different commits; the oracle re-derives
+    * waves, units, pruning counts and the aggregate arithmetically.
+    *
+    * 100 TB shape: each commit is one map-only unit write plus O(#units)
+    * metadata; generations grow by append (real formats compact
+    * manifests — q161b's machinery); the serve pays q161's economics.
+    * Registered in streamingHarness — micro-batch bring-up cost class. */
+  def streamManifestCommit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.queries.{OlapQueries => OQ}
+    val sfName = new java.io.File(dir).getName
+    val srcFp = graft.core.Staging.hexFingerprint(
+      new java.io.File(s"$dir/events.parquet"))
+    // staged wave files: four time-quarter parquet files, wave-tagged so
+    // the batch→wave mapping is data-derived, not arrival-order-derived
+    val waveDir = SourceQueries.stagedBlobs(dir, "mfstwaves", srcTable = "events") {
+      staging =>
+        val e = Tables.events(spark, dir)
+          .withColumn("us", unix_micros(col("ts")))
+        val bounds = e.agg(min(col("us")), max(col("us"))).head()
+        require(!bounds.isNullAt(0), "streamManifestCommit: empty events table")
+        val (t0, tmax) = (bounds.getLong(0), bounds.getLong(1))
+        val waved = e.withColumn("wave",
+          expr(s"least(3L, ((us - ${t0}L) * 4) div ${tmax - t0 + 1}L)"))
+          .select(col("event_id"), col("ts"), col("event_type"),
+            col("us"), col("wave"))
+        for (w <- 0L to 3L) {
+          val tmp = new java.io.File(staging, s".wave_$w")
+          waved.filter(col("wave") === w)
+            .coalesce(1).write.parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(staging, f"wave_$w%02d.parquet").toPath)
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        }
+    }
+    // lake + checkpoint at a stable fingerprinted path — the manifest is
+    // the atomicity mechanism and records relative paths, but the
+    // checkpoint pins absolute source offsets (q151's lesson)
+    val root = new java.io.File(
+      s"/root/repo/target/stream_manifest_${sfName}_$srcFp")
+    root.mkdirs()
+    def genFile(n: Long) = new java.io.File(root, s"manifest_g$n.avro")
+    def commitManifest(n: Long, entries: Seq[Seq[Any]]): Unit = {
+      val tmp = new java.io.File(root,
+        s".mfst_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp.toPath,
+        graft.sources.Avro.encode(OQ.manifestSchema, entries.toIndexedSeq, "deflate"))
+      try java.nio.file.Files.move(tmp.toPath, genFile(n).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp.toPath) // lost a race
+      }
+    }
+    if (!genFile(0).isFile) commitManifest(0, Seq.empty) // the empty table
+    val waveSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("wave",
+        org.apache.spark.sql.types.LongType)))
+    spark.readStream.schema(waveSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(waveDir.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", new java.io.File(root, "chk").getAbsolutePath)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val genId = id + 1 // g0 is the empty table
+        if (!genFile(genId).isFile) {
+          val wave = batch.agg(min(col("wave"))).head().getLong(0)
+          val dataDir = new java.io.File(root, s"data/w$wave")
+          if (dataDir.isDirectory) // crashed half-commit: rewrite
+            org.apache.commons.io.FileUtils.deleteDirectory(dataDir)
+          val tmp = new java.io.File(root,
+            s"data/.w${wave}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+          val withUnit = batch.withColumn("unit", expr("us div 86400000000"))
+          withUnit.write.partitionBy("unit").parquet(tmp.getAbsolutePath)
+          java.nio.file.Files.move(tmp.toPath, dataDir.toPath)
+          val added = withUnit.groupBy(col("unit"))
+            .agg(count(lit(1)).as("n"), min(col("us")).as("mn"),
+              max(col("us")).as("mx"))
+            .collect().sortBy(_.getLong(0))
+            .map(r => Seq[Any](wave * 100000L + r.getLong(0),
+              s"data/w$wave/unit=${r.getLong(0)}",
+              r.getLong(1), r.getLong(2), r.getLong(3)))
+          val prev = OQ.readManifestFile(root, s"manifest_g${genId - 1}.avro")
+          commitManifest(genId, prev ++ added)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // serve: q161's planner over the LATEST committed generation
+    val nGens = root.listFiles()
+      .count(f => f.getName.matches("manifest_g\\d+\\.avro")).toLong
+    val entries = OQ.readManifestFile(root, s"manifest_g${nGens - 1}.avro")
+    require(entries.nonEmpty, "streamManifestCommit: empty final manifest")
+    val t0 = entries.map(_(3).asInstanceOf[Long]).min
+    val lo = t0 + 864000000000L  // t0 + 10d
+    val hi = t0 + 1728000000000L // t0 + 20d
+    val surviving = entries.filter(r =>
+      r(4).asInstanceOf[Long] >= lo && r(3).asInstanceOf[Long] <= hi)
+    require(surviving.nonEmpty, "streamManifestCommit: range prunes every unit")
+    val paths = surviving.map(r =>
+      new java.io.File(root, r(1).asInstanceOf[String]).getAbsolutePath)
+    spark.read.parquet(paths: _*)
+      .filter(col("ts") >= timestamp_micros(lit(lo)) &&
+        col("ts") <= timestamp_micros(lit(hi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("n_generations", lit(nGens))
+      .withColumn("units_total", lit(entries.length.toLong))
+      .withColumn("units_scanned", lit(surviving.length.toLong))
+      .orderBy(col("event_type"))
+  }
+
+  /** Waves, units, pruning counts and the windowed aggregate re-derived
+    * arithmetically: a lost batch, a double-committed unit, or a
+    * planner that read a stale generation breaks the witness. */
+  val streamManifestCommitOracle: String =
+    """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS tmax
+      |           FROM events),
+      |w AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+      |        least(3, ((epoch_us(ts) - t0) * 4) // (tmax - t0 + 1)) AS wave,
+      |        epoch_us(ts) // 86400000000 AS d
+      |      FROM events, b),
+      |u AS (SELECT wave, d, min(us) AS mn, max(us) AS mx FROM w GROUP BY 1, 2),
+      |r AS (SELECT t0 + 864000000000 AS lo, t0 + 1728000000000 AS hi FROM b),
+      |agg AS (SELECT event_type, count(*) AS n,
+      |          CAST(sum(event_id) AS BIGINT) AS id_sum
+      |        FROM w, r WHERE us >= lo AND us <= hi GROUP BY 1)
+      |SELECT event_type, n, id_sum,
+      |  CAST(5 AS BIGINT) AS n_generations,
+      |  (SELECT count(*) FROM u) AS units_total,
+      |  (SELECT count(*) FROM u, r WHERE mx >= lo AND mn <= hi)
+      |    AS units_scanned
+      |FROM agg ORDER BY event_type""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_stream_manifest_commit" -> ((s, d) => streamManifestCommit(s, d)),
     "q162_stream_cdc_lww" -> ((s, d) => streamCdcLww(s, d)),
     "q151_stream_lake_sink" -> ((s, d) => streamLakeSink(s, d)),
     "q128_stream_outer_join" -> ((s, d) => streamIntervalJoinOuter(s, d)),
@@ -823,6 +984,7 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     // the streaming run must reproduce the BATCH interval join's answer —
     // same oracle as q55 (that is the point: stream ≡ batch ≡ DuckDB)
+    "q167_stream_manifest_commit" -> streamManifestCommitOracle,
     "q162_stream_cdc_lww" -> streamCdcLwwOracle,
     "q151_stream_lake_sink" -> streamLakeSinkOracle,
     "q128_stream_outer_join" -> streamIntervalJoinOuterOracle,
