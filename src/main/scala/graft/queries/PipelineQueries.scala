@@ -1650,6 +1650,133 @@ object PipelineQueries {
       |    AS live_id_sum
       |FROM documents GROUP BY 1 ORDER BY unit""".stripMargin
 
+  // ---- q163b: MOR delete-file compaction (fold deletes into data) ----------
+  /** The operational closer of the merge-on-read story: delete files
+    * accumulate (every q163 read pays their joins forever), so real
+    * tables run MINOR COMPACTION — rewrite ONLY the files carrying
+    * deletes, emit a clean generation with NO delete files, hard-link
+    * everything untouched (q133/q156's inode discipline). After it, the
+    * serve is a plain scan again: MOR's read tax is traded back for one
+    * bounded rewrite.
+    *
+    * The lake here is its own staging (64 units, sparser victim sets
+    * than q163: positions `doc_id % 97 == 5`, keys `doc_id % 89 == 7`)
+    * so untouched units EXIST and the hard-link witness is non-vacuous.
+    * Affected units derive WITHOUT scanning the lake: position-delete
+    * files name their units in the recorded paths, equality keys map to
+    * units arithmetically (unit = key % 64 — q133's victim-derivation
+    * discipline). The rewrite is a partition-pruned read of just those
+    * units anti-joined against both delete manifests.
+    *
+    * Output: per affected unit, (n_before, n_pos, n_eq, n_after) with
+    * n_after measured FROM the rewritten generation — a compaction that
+    * dropped a survivor, kept a victim, or touched a clean unit breaks
+    * the arithmetic oracle (and the spec's inode/serve-equality
+    * checks). 100 TB shape: work is O(affected units + delete files);
+    * untouched data is metadata-only (links). */
+  private def morCompLake(spark: SparkSession, dir: String): java.io.File =
+    SourceQueries.stagedBlobs(dir, "morcomp") { staging =>
+      val data = new java.io.File(staging, "data")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(64L)).as("unit"))
+        .repartition(16, col("unit"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.partitionBy("unit").parquet(data.getAbsolutePath)
+      spark.read.parquet(data.getAbsolutePath)
+        .filter(col("doc_id") % 97 === 5)
+        .select(
+          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+            .as("fpath"),
+          col("_metadata.row_index").as("pos"))
+        .write.parquet(new java.io.File(staging, "pos_deletes").getAbsolutePath)
+      Tables.documents(spark, dir)
+        .select(col("doc_id")).filter(col("doc_id") % 89 === 7)
+        .write.parquet(new java.io.File(staging, "eq_deletes").getAbsolutePath)
+    }
+
+  def morCompact(spark: SparkSession, dir: String): DataFrame = {
+    val baseLake = morCompLake(spark, dir)
+    val posDel = spark.read.parquet(s"$baseLake/pos_deletes").planCache()
+    val eqDel = spark.read.parquet(s"$baseLake/eq_deletes").planCache()
+    // affected units WITHOUT a lake scan: paths name the position-side
+    // units; equality keys map arithmetically; both lists are bounded
+    // by the delete manifests (driver-resident, q133's adjudication)
+    val posUnits = posDel
+      .select(regexp_extract(col("fpath"), "unit=([0-9]+)/", 1).cast("long").as("u"))
+      .distinct().collect().map(_.getLong(0))
+    val eqUnits = eqDel.select(pmod(col("doc_id"), lit(64L)).as("u"))
+      .distinct().collect().map(_.getLong(0))
+    val affected: Array[Long] = (posUnits ++ eqUnits).distinct.sorted
+    val compLake = SourceQueries.stagedBlobs(dir, "morcompg2") { staging =>
+      val outData = new java.io.File(staging, "data")
+      outData.mkdirs()
+      val affectedSet = affected.toSet
+      val srcData = new java.io.File(baseLake, "data")
+      // untouched units: hard-link every file (same inode — zero copy)
+      for (unitDir <- srcData.listFiles() if unitDir.isDirectory) {
+        val id = unitDir.getName.stripPrefix("unit=").toLong
+        if (!affectedSet(id)) {
+          val out = new java.io.File(outData, unitDir.getName)
+          out.mkdirs()
+          for (f <- unitDir.listFiles() if f.isFile)
+            java.nio.file.Files.createLink(
+              new java.io.File(out, f.getName).toPath, f.toPath)
+        }
+      }
+      // affected units: pruned read, both delete families anti-joined,
+      // rewritten — the new generation carries NO delete files
+      val rewrite = new java.io.File(staging, "rewrite")
+      spark.read.parquet(srcData.getAbsolutePath)
+        .filter(col("unit").isin(affected: _*))
+        .withColumn("fpath",
+          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(broadcast(posDel), Seq("fpath", "pos"), "left_anti")
+        .join(broadcast(eqDel), Seq("doc_id"), "left_anti")
+        .drop("fpath", "pos")
+        .write.partitionBy("unit").parquet(rewrite.getAbsolutePath)
+      for (unitDir <- rewrite.listFiles() if unitDir.isDirectory &&
+             unitDir.getName.startsWith("unit="))
+        java.nio.file.Files.move(unitDir.toPath,
+          new java.io.File(outData, unitDir.getName).toPath)
+    }
+    val dataOld = spark.read.parquet(s"$baseLake/data")
+      .filter(col("unit").isin(affected: _*))
+      .select(col("doc_id"), col("unit").cast("long").as("unit"),
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+          .as("fpath"),
+        col("_metadata.row_index").as("pos"))
+    val before = dataOld.groupBy(col("unit")).agg(count(lit(1)).as("n_before"))
+    val posHits = dataOld.join(broadcast(posDel), Seq("fpath", "pos"), "left_semi")
+      .groupBy(col("unit")).agg(count(lit(1)).as("n_pos"))
+    val eqHits = dataOld.join(broadcast(eqDel), Seq("doc_id"), "left_semi")
+      .groupBy(col("unit")).agg(count(lit(1)).as("n_eq"))
+    val after = spark.read.parquet(s"$compLake/data")
+      .filter(col("unit").isin(affected: _*))
+      .groupBy(col("unit").cast("long").as("unit"))
+      .agg(count(lit(1)).as("n_after"))
+    before.join(posHits, Seq("unit"), "left").join(eqHits, Seq("unit"), "left")
+      .join(after, Seq("unit"), "left")
+      .select(col("unit"), col("n_before"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_eq"), lit(0L)).as("n_eq"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy(col("unit"))
+  }
+
+  /** Affected units and all four counts re-derived arithmetically. */
+  val morCompactOracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 64 AS unit,
+      |             doc_id % 97 = 5 AS posv, doc_id % 89 = 7 AS eqv
+      |           FROM documents)
+      |SELECT unit, count(*) AS n_before,
+      |  CAST(count(*) FILTER (posv) AS BIGINT) AS n_pos,
+      |  CAST(count(*) FILTER (eqv) AS BIGINT) AS n_eq,
+      |  CAST(count(*) FILTER (NOT posv AND NOT eqv) AS BIGINT) AS n_after
+      |FROM d
+      |WHERE unit IN (SELECT DISTINCT unit FROM d WHERE posv OR eqv)
+      |GROUP BY 1 ORDER BY unit""".stripMargin
+
   // ---- ANN: 1-bit sign quantization + Hamming shortlist --------------------
   /** Binary-quantized ANN: each d-dim vector compresses to ceil(d/64)
     * longs of sign bits — 64× smaller than float32, the most aggressive
@@ -3033,6 +3160,7 @@ object PipelineQueries {
     "q132_leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
     "q133_cow_delete" -> ((s, d) => cowDelete(s, d)),
     "q163_mor_deletes" -> ((s, d) => morDeletes(s, d)),
+    "q163b_mor_compact" -> ((s, d) => morCompact(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
     "q91_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -3081,6 +3209,7 @@ object PipelineQueries {
     "q132_leakage_safe_split" -> leakageSafeSplitOracle,
     "q133_cow_delete" -> cowDeleteOracle,
     "q163_mor_deletes" -> morDeletesOracle,
+    "q163b_mor_compact" -> morCompactOracle,
     "q77_semdedup" -> semDedupOracle,
     "q91_line_dedup" -> lineDedupOracle,
     "q92_cluster_topics" -> clusterTopicsOracle
