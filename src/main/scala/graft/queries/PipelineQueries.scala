@@ -1777,6 +1777,121 @@ object PipelineQueries {
       |WHERE unit IN (SELECT DISTINCT unit FROM d WHERE posv OR eqv)
       |GROUP BY 1 ORDER BY unit""".stripMargin
 
+  // ---- q168: deletion vectors (bitmap sidecars — MOR without the join) -----
+  /** The modern evolution of q163's delete files: DELETION VECTORS
+    * (Iceberg v3 Puffin blobs, Delta's DV files) replace per-row delete
+    * records with ONE compressed position bitmap per data file. The
+    * build is the same single victim-locating scan as q163, but the
+    * artifact is a roaring bitmap of row ordinals per file
+    * (RoaringBitmap — the same container format both open formats
+    * standardize on, and the one Spark itself ships for shuffle
+    * tracking), serialized into a parquet sidecar table of
+    * `(fpath, card, dv: binary)`.
+    *
+    * The READ is where the design pays: q163's serve joins the scan
+    * against delete files (a broadcast hash join per delete family);
+    * here the sidecar table is metadata-sized (one row per touched
+    * FILE, not per deleted row), so it deserializes driver-side into a
+    * `Map[file → bitmap]`, broadcasts once, and the scan drops victims
+    * with a constant-time `bitmap.contains(ordinal)` membership test —
+    * NO join operator in the plan at all (the spec pins that). Victims
+    * are `doc_id % 19 == 3`, disjoint from q163's predicates so the two
+    * lakes stay independently witnessed.
+    *
+    * 100 TB shape: a billion-row delete costs ~2 bytes/position in
+    * array containers (runs compress further) vs 8+ bytes/row for
+    * (file,pos) records, and the serve adds zero shuffle and zero join
+    * build — the filter rides inside the scan's WholeStageCodegen span
+    * (one non-codegen predicate call per row). The broadcast stays
+    * bounded because its unit is FILES-WITH-DELETES; a real table
+    * additionally scopes DV retrieval per file-split, which this read
+    * approximates by keying the map on the file path. Row ordinals are
+    * file-local (`_metadata.row_index`), so int32 positions hold to
+    * >2G rows per file — far past any sane file size; the build
+    * enforces it loudly. */
+  private def dvLake(spark: SparkSession, dir: String): java.io.File =
+    SourceQueries.stagedBlobs(dir, "dvlake") { staging =>
+      import spark.implicits._
+      val data = new java.io.File(staging, "data")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(16L)).as("unit"))
+        .repartition(16, col("unit"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.partitionBy("unit").parquet(data.getAbsolutePath)
+      // DV build: one scan locates victims, then one shuffle keyed by
+      // FILE (the bitmap's unit of atomicity) folds ordinals into a
+      // roaring bitmap per file — distributed, no driver row traffic
+      spark.read.parquet(data.getAbsolutePath)
+        .filter(col("doc_id") % 19 === 3)
+        .select(
+          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+            .as("fpath"),
+          col("_metadata.row_index").as("pos"))
+        .groupBy(col("fpath"))
+        .agg(collect_list(col("pos")).as("ps"))
+        .as[(String, Seq[Long])]
+        .map { case (f, ps) =>
+          val bm = new org.roaringbitmap.RoaringBitmap()
+          ps.foreach { p =>
+            require(p >= 0 && p <= Int.MaxValue,
+              s"deletion vector: row ordinal $p exceeds int32 position space")
+            bm.add(p.toInt)
+          }
+          bm.runOptimize()
+          val bos = new java.io.ByteArrayOutputStream()
+          bm.serialize(new java.io.DataOutputStream(bos))
+          (f, bm.getLongCardinality, bos.toByteArray)
+        }
+        .toDF("fpath", "card", "dv")
+        .write.parquet(new java.io.File(staging, "dvs").getAbsolutePath)
+    }
+
+  def deletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = dvLake(spark, dir)
+    // sidecar load: one row per file WITH deletes — metadata-scale by
+    // construction (≤ #files; the q156 listFiles adjudication class)
+    val dvMap: Map[String, org.roaringbitmap.RoaringBitmap] =
+      spark.read.parquet(s"$lake/dvs")
+        .select(col("fpath"), col("dv")).as[(String, Array[Byte])]
+        .collect()
+        .map { case (f, bytes) =>
+          val bm = new org.roaringbitmap.RoaringBitmap()
+          bm.deserialize(new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          f -> bm
+        }.toMap
+    val bc = spark.sparkContext.broadcast(dvMap)
+    // constant-time membership instead of a delete-file join: the one
+    // deliberate non-codegen call in this plan (scaladoc trade-off note)
+    val dvHit = udf { (f: String, pos: Long) =>
+      bc.value.get(f).exists(_.contains(pos.toInt))
+    }
+    spark.read.parquet(s"$lake/data")
+      .select(col("doc_id"), col("unit").cast("long").as("unit"),
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+          .as("fpath"),
+        col("_metadata.row_index").as("pos"))
+      .withColumn("dvhit", dvHit(col("fpath"), col("pos")))
+      .groupBy(col("unit"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("dvhit"), 1L).otherwise(0L)).as("n_dv"),
+        sum(when(!col("dvhit"), 1L).otherwise(0L)).as("n_live"),
+        sum(when(!col("dvhit"), col("doc_id")).otherwise(0L)).as("live_id_sum"))
+      .orderBy(col("unit"))
+  }
+
+  /** Pure arithmetic: an unfaithful bitmap round-trip (lost position,
+    * wrong file key, int truncation) breaks hit/survivor counts or the
+    * survivor key-sum. */
+  val deletionVectorsOracle: String =
+    """SELECT doc_id % 16 AS unit, count(*) AS n_rows,
+      |  CAST(count(*) FILTER (doc_id % 19 = 3) AS BIGINT) AS n_dv,
+      |  CAST(count(*) FILTER (doc_id % 19 <> 3) AS BIGINT) AS n_live,
+      |  CAST(coalesce(sum(doc_id) FILTER (doc_id % 19 <> 3), 0) AS BIGINT)
+      |    AS live_id_sum
+      |FROM documents GROUP BY 1 ORDER BY unit""".stripMargin
+
   // ---- ANN: 1-bit sign quantization + Hamming shortlist --------------------
   /** Binary-quantized ANN: each d-dim vector compresses to ceil(d/64)
     * longs of sign bits — 64× smaller than float32, the most aggressive
@@ -3161,6 +3276,7 @@ object PipelineQueries {
     "q133_cow_delete" -> ((s, d) => cowDelete(s, d)),
     "q163_mor_deletes" -> ((s, d) => morDeletes(s, d)),
     "q163b_mor_compact" -> ((s, d) => morCompact(s, d)),
+    "q168_deletion_vectors" -> ((s, d) => deletionVectors(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
     "q91_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -3210,6 +3326,7 @@ object PipelineQueries {
     "q133_cow_delete" -> cowDeleteOracle,
     "q163_mor_deletes" -> morDeletesOracle,
     "q163b_mor_compact" -> morCompactOracle,
+    "q168_deletion_vectors" -> deletionVectorsOracle,
     "q77_semdedup" -> semDedupOracle,
     "q91_line_dedup" -> lineDedupOracle,
     "q92_cluster_topics" -> clusterTopicsOracle
