@@ -2019,6 +2019,378 @@ object OlapQueries {
       |    AS rows_vacuumed
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // --- q170: incremental scan (consume appends between snapshots) ------------
+  /** The consumption pattern that turns a lakehouse table into a FEED:
+    * a downstream pipeline that already processed snapshot g1 must pick
+    * up exactly what g2 ADDED — without re-reading the table and without
+    * trusting the producer to publish a separate queue (Iceberg's
+    * incremental append scan, Delta's startingVersion read). Planning is
+    * a pure manifest DIFF: entries in g2 whose unit id is absent from g1
+    * are the appended units (q161b's late-arrival commit); entries
+    * absent from g2 are retention-expired and must NOT reappear in the
+    * delta. The scan then touches ONLY the appended units' files and
+    * aggregates them; `rows_added` cross-checks the manifests' stated
+    * row counts against the oracle's re-derivation of the late stream,
+    * so a diff that leaked an expired unit, double-counted a shared
+    * unit, or missed an append breaks the gate.
+    *
+    * Shares q161b's staged two-generation lake (same artifact family —
+    * the diff is a READ protocol, not a new commit). 100 TB shape:
+    * planning is O(#units) metadata with zero data I/O; the data read
+    * is proportional to the DELTA, not the table — the property that
+    * makes incremental consumers viable on tables where a full rescan
+    * is hours. */
+  def incrementalScan(spark: SparkSession, dir: String): DataFrame = {
+    val lake = manifestG2Lake(spark, dir)
+    val g1 = readManifestFile(lake, "manifest.avro")
+    val g2 = readManifestFile(lake, "manifest_g2.avro")
+    val g1Ids = g1.map(_(0).asInstanceOf[Long]).toSet
+    val g2Ids = g2.map(_(0).asInstanceOf[Long]).toSet
+    val added = g2.filter(r => !g1Ids(r(0).asInstanceOf[Long]))
+    require(added.nonEmpty, "incrementalScan: no appended units between snapshots")
+    val removed = g1.count(r => !g2Ids(r(0).asInstanceOf[Long]))
+    val paths = added.map(r =>
+      new java.io.File(lake, r(1).asInstanceOf[String]).getAbsolutePath)
+    spark.read.parquet(paths: _*)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("units_added", lit(added.length.toLong))
+      .withColumn("units_removed", lit(removed.toLong))
+      .withColumn("rows_added", lit(
+        added.map(_(2).asInstanceOf[Long]).sum))
+      .orderBy(col("event_type"))
+  }
+
+  /** The appended late stream (+31d, %17) re-derived end to end. */
+  val incrementalScanOracle: String =
+    s"""WITH b AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+      |e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |a AS (SELECT event_type, event_id, us + $manifestAppendShiftUs AS us
+      |      FROM e WHERE event_id % 17 = 0),
+      |u1 AS (SELECT us // 86400000000 AS d, max(us) AS mx FROM e GROUP BY 1),
+      |agg AS (SELECT event_type, count(*) AS n,
+      |          CAST(sum(event_id) AS BIGINT) AS id_sum
+      |        FROM a GROUP BY 1)
+      |SELECT event_type, n, id_sum,
+      |  (SELECT count(DISTINCT us // 86400000000) FROM a) AS units_added,
+      |  (SELECT count(*) FROM u1, b WHERE mx < t0 + $manifestRetainOffUs)
+      |    AS units_removed,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS rows_added
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  // --- q169: optimistic-concurrency commit (conflict detect + rebase) --------
+  /** The multi-writer half of the table-format story: q161b/q164 commit
+    * from ONE writer; real lakehouses let independent writers race and
+    * resolve at COMMIT time via optimistic concurrency — validate your
+    * base snapshot is still what you read, else detect the conflict and
+    * REBASE onto the winner (Iceberg's commit loop, Delta's conflict
+    * checker). The staged saga runs both protagonists of the classic
+    * race:
+    *
+    *  - Writer A (compactor): folds every unit ending before t0+3d into
+    *    one compacted unit, commits g2 = g1 − folded + compact. First
+    *    to commit — always wins.
+    *  - Writer B (deleter): against the SAME base g1, deletes `click`
+    *    events in [t0+2d, t0+4d11h]. Its write set is the g1 units
+    *    overlapping that window. At commit time the base has moved:
+    *    validation finds part of its write set no longer live in g2
+    *    (compacted away) — a TRUE conflict (its rewrites would resurrect
+    *    A's folded files), so the commit is refused. B rebases: re-plans
+    *    the SAME logical delete against g2 (the overlap set now includes
+    *    the compacted unit), rewrites those units minus victims, and
+    *    commits g3 = g2 − rewritten + rewrites. Untouched units are
+    *    carried by REFERENCE (snapshots share data files; nothing is
+    *    copied or linked).
+    *
+    * The commit log (an Avro container, like the manifests) records all
+    * three attempts; the serve scans g3 and reports the final per-type
+    * aggregate plus the protocol witness (commits / conflicts /
+    * conflict-unit count and generation sizes). The oracle re-derives
+    * everything arithmetically: final content = events minus B's victims
+    * (A is content-preserving), conflict units = |B's g1 overlap set ∩
+    * A's folded set| — a validator that missed the conflict, a rebase
+    * that re-deleted against stale paths, or a resurrect-style rewrite
+    * breaks content or witness.
+    *
+    * 100 TB shape: validation is manifest-vs-manifest set arithmetic —
+    * O(#units) METADATA, no data read (exactly why OCC scales where
+    * lock-the-table cannot); the retry re-plans from updated metadata
+    * and touches only overlap units' data. */
+  private val occCompactCutOffUs = 259200000000L // A folds units ending < t0+3d
+  private val occDelLoOffUs = 172800000000L      // B deletes clicks in
+  private val occDelHiOffUs = 385200000000L      //   [t0+2d, t0+4d11h]
+  private val occCompactUnitId = 100000L
+
+  private val occCommitSchema: graft.sources.Avro.Schema = {
+    import graft.sources.Avro._
+    Schema("commit_entry", Vector(
+      Field("seq", ALong), Field("writer", AString), Field("base_gen", AString),
+      Field("outcome", AString), Field("n_conflict", ALong)))
+  }
+
+  private def occLake(spark: SparkSession, dir: String): java.io.File = {
+    import spark.implicits._
+    SourceQueries.stagedBlobs(dir, "occlake", srcTable = "events") { staging =>
+      val e = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("unit", expr("us div 86400000000"))
+      def statsOf(df: DataFrame, pathOf: Long => String): Array[Seq[Any]] =
+        df.groupBy(col("unit"))
+          .agg(count(lit(1)).as("n"), min(col("us")).as("mn"), max(col("us")).as("mx"))
+          .collect().sortBy(_.getLong(0))
+          .map(r => Seq[Any](r.getLong(0), pathOf(r.getLong(0)),
+            r.getLong(1), r.getLong(2), r.getLong(3)))
+      // base table + g1 manifest
+      e.repartition(col("unit"), pmod(col("event_id"), lit(4)))
+        .write.partitionBy("unit")
+        .parquet(new java.io.File(staging, "data").getAbsolutePath)
+      val g1 = statsOf(e, u => s"data/unit=$u")
+      val t0 = g1.map(_(3).asInstanceOf[Long]).min
+      val cut = t0 + occCompactCutOffUs
+      val (lo, hi) = (t0 + occDelLoOffUs, t0 + occDelHiOffUs)
+      // --- writer A: compaction, first to commit ---
+      val folded = g1.filter(_(4).asInstanceOf[Long] < cut)
+      require(folded.nonEmpty, "occLake: nothing to compact before the cut")
+      val foldedIds = folded.map(_(0).asInstanceOf[Long]).toSet
+      val foldedPaths = folded.map(r =>
+        new java.io.File(staging, r(1).asInstanceOf[String]).getAbsolutePath)
+      val compacted = spark.read.parquet(foldedPaths: _*)
+      compacted.repartition(4)
+        .write.parquet(new java.io.File(staging, "compact").getAbsolutePath)
+      val cStats = compacted.agg(count(lit(1)), min(col("us")), max(col("us"))).head()
+      val g2 = g1.filterNot(r => foldedIds(r(0).asInstanceOf[Long])) ++
+        Array(Seq[Any](occCompactUnitId, "compact",
+          cStats.getLong(0), cStats.getLong(1), cStats.getLong(2)))
+      // --- writer B: delete, prepared against g1, validated against g2 ---
+      val overlapG1 = g1.filter(r =>
+        r(4).asInstanceOf[Long] >= lo && r(3).asInstanceOf[Long] <= hi)
+      val g2Ids = g2.map(_(0).asInstanceOf[Long]).toSet
+      val conflictUnits = overlapG1.count(r => !g2Ids(r(0).asInstanceOf[Long]))
+      require(conflictUnits > 0,
+        "occLake: the staged race produced no conflict — saga is vacuous")
+      // rebase: re-plan the SAME logical delete against g2's live stats
+      val overlapG2 = g2.filter(r =>
+        r(4).asInstanceOf[Long] >= lo && r(3).asInstanceOf[Long] <= hi)
+      val rwIds = overlapG2.map(_(0).asInstanceOf[Long]).toSet
+      val rwPaths = overlapG2.map(r =>
+        new java.io.File(staging, r(1).asInstanceOf[String]).getAbsolutePath)
+      // survivors keep their source ENTRY as the rewrite unit (the
+      // compacted unit stays compacted — the rebase must not undo A)
+      val rw = spark.read.parquet(rwPaths: _*)
+        .withColumn("unit",
+          coalesce(nullif(regexp_extract(
+            col("_metadata.file_path"), "unit=([0-9]+)/", 1), lit(""))
+            .cast("long"), lit(occCompactUnitId)))
+        .filter(!(col("event_type") === "click" &&
+          col("us") >= lo && col("us") <= hi))
+      rw.repartition(col("unit"), pmod(col("event_id"), lit(4)))
+        .write.partitionBy("unit")
+        .parquet(new java.io.File(staging, "rw").getAbsolutePath)
+      val rwStats = statsOf(rw, u => s"rw/unit=$u")
+      require(rwStats.length == rwIds.size,
+        s"occLake: rewrite lost a unit (${rwStats.length} of ${rwIds.size})")
+      val g3 = g2.filterNot(r => rwIds(r(0).asInstanceOf[Long])) ++ rwStats
+      def writeManifest(name: String, entries: Seq[Seq[Any]]): Unit =
+        java.nio.file.Files.write(
+          new java.io.File(staging, name).toPath,
+          graft.sources.Avro.encode(manifestSchema, entries.toIndexedSeq, "deflate"))
+      writeManifest("manifest_g1.avro", g1.toIndexedSeq)
+      writeManifest("manifest_g2.avro", g2.toIndexedSeq)
+      writeManifest("manifest_g3.avro", g3.toIndexedSeq)
+      java.nio.file.Files.write(
+        new java.io.File(staging, "commits.avro").toPath,
+        graft.sources.Avro.encode(occCommitSchema, Vector(
+          Seq[Any](1L, "compactor", "g1", "committed", 0L),
+          Seq[Any](2L, "deleter", "g1", "conflict", conflictUnits.toLong),
+          Seq[Any](3L, "deleter", "g2", "committed", 0L)), "deflate"))
+    }
+  }
+
+  def commitConflict(spark: SparkSession, dir: String): DataFrame = {
+    val lake = occLake(spark, dir)
+    val g1 = readManifestFile(lake, "manifest_g1.avro")
+    val g2 = readManifestFile(lake, "manifest_g2.avro")
+    val g3 = readManifestFile(lake, "manifest_g3.avro")
+    val (cw, commits) = graft.sources.Avro.decode(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(lake, "commits.avro").toPath))
+    require(cw == occCommitSchema, s"unexpected commit-log schema: ${cw.json}")
+    val conflicts = commits.filter(_(3).asInstanceOf[String] == "conflict")
+    val paths = g3.map(r =>
+      new java.io.File(lake, r(1).asInstanceOf[String]).getAbsolutePath)
+    spark.read.parquet(paths: _*)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("units_g1", lit(g1.length.toLong))
+      .withColumn("units_g2", lit(g2.length.toLong))
+      .withColumn("commits", lit(
+        commits.count(_(3).asInstanceOf[String] == "committed").toLong))
+      .withColumn("conflicts", lit(conflicts.length.toLong))
+      .withColumn("conflict_units", lit(
+        conflicts.map(_(4).asInstanceOf[Long]).sum))
+      .orderBy(col("event_type"))
+  }
+
+  /** Final content (events minus B's victims — A is content-preserving)
+    * and the whole protocol witness re-derived from day arithmetic. */
+  val commitConflictOracle: String =
+    s"""WITH b AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+      |e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |r AS (SELECT t0 + $occDelLoOffUs AS lo, t0 + $occDelHiOffUs AS hi,
+      |             t0 + $occCompactCutOffUs AS cut FROM b),
+      |u AS (SELECT us // 86400000000 AS d, min(us) AS mn, max(us) AS mx
+      |      FROM e GROUP BY 1),
+      |sa AS (SELECT d FROM u, r WHERE mx < cut),
+      |rb1 AS (SELECT d FROM u, r WHERE mx >= lo AND mn <= hi),
+      |live AS (SELECT event_type, event_id FROM e, r
+      |         WHERE NOT (event_type = 'click' AND us >= lo AND us <= hi)),
+      |agg AS (SELECT event_type, count(*) AS n,
+      |          CAST(sum(event_id) AS BIGINT) AS id_sum
+      |        FROM live GROUP BY 1)
+      |SELECT event_type, n, id_sum,
+      |  (SELECT count(*) FROM u) AS units_g1,
+      |  (SELECT count(*) FROM u) - (SELECT count(*) FROM sa) + 1 AS units_g2,
+      |  CAST(2 AS BIGINT) AS commits,
+      |  CAST(1 AS BIGINT) AS conflicts,
+      |  (SELECT count(*) FROM rb1 WHERE d IN (SELECT d FROM sa))
+      |    AS conflict_units
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  // --- q171: write-audit-publish (staged branch + per-unit quality gate) -----
+  /** The ingestion pattern that keeps a production table clean: new data
+    * NEVER lands on main directly — it commits to a staging BRANCH,
+    * an audit pass grades it there, and only passing units fast-forward
+    * into main (Iceberg's WAP workflow, the lakehouse form of the
+    * quarantine queues q119/q46 implement row-wise). Mechanics:
+    *
+    *  - Stage: a re-ingest batch (docs `% 3 == 0`, re-keyed past the live
+    *    id space — q129/q159's synthetic-id discipline) lands as 8 branch
+    *    units with their own manifest; main's manifest is untouched.
+    *  - Audit: per-UNIT gate — a unit is quarantined if it contains ANY
+    *    flagged row (`new_id % 24 == 11 OR new_id % 16 == 5`, a
+    *    deterministic stand-in for a PII/decontamination hit; the real
+    *    scorers live in q40/q95/q154 — the gate's UNIT granularity is
+    *    the point: one poisoned row quarantines its whole file, the
+    *    isolation WAP exists to provide). Both moduli are multiples of
+    *    the unit fan-out (8), so flagged rows land ONLY in units 3 and
+    *    5 — the pass/quarantine split is non-vacuous at EVERY scale,
+    *    where a unit-independent flag rate would quarantine all units
+    *    once they grow past ~1/rate rows.
+    *  - Publish: main_g2 = main + passing units BY REFERENCE (a manifest
+    *    append; quarantined units stay reachable only from the branch
+    *    for forensics — no data moves in either direction).
+    *
+    * The serve re-derives the audit from the branch CONTENT (not the
+    * stored verdicts), checks the published manifest's unit set matches
+    * it exactly, and proves the publish by SCANNING main_g2 for its
+    * row count — so a leaked quarantined unit, a lost passing unit, or
+    * an id-space collision breaks the gate.
+    *
+    * 100 TB shape: audit cost is proportional to the BATCH, publish is
+    * O(#units) metadata, and main's serving plans never see unaudited
+    * files — the isolation is free because snapshots share data files. */
+  private def wapLake(spark: SparkSession, dir: String): java.io.File = {
+    SourceQueries.stagedBlobs(dir, "waplake") { staging =>
+      val d = Tables.documents(spark, dir)
+      val maxKeyRow = d.agg(max(col("doc_id")).cast("long")).head()
+      require(!maxKeyRow.isNullAt(0),
+        "wapLake: empty documents table — no id space to re-key the batch")
+      val maxKey = maxKeyRow.getLong(0)
+      def statsOf(df: DataFrame, idOff: Long, sub: String): Array[Seq[Any]] =
+        df.groupBy(col("unit"))
+          .agg(count(lit(1)).as("n"),
+            min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .collect().sortBy(_.getLong(0))
+          .map(r => Seq[Any](r.getLong(0) + idOff, s"$sub/unit=${r.getLong(0)}",
+            r.getLong(1), r.getLong(2), r.getLong(3)))
+      def writeManifest(name: String, entries: Seq[Seq[Any]]): Unit =
+        java.nio.file.Files.write(
+          new java.io.File(staging, name).toPath,
+          graft.sources.Avro.encode(manifestSchema, entries.toIndexedSeq, "deflate"))
+      // main: the live table, 16 units
+      val main = d.select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(16L)).as("unit"))
+      main.repartition(col("unit"))
+        .write.partitionBy("unit")
+        .parquet(new java.io.File(staging, "main").getAbsolutePath)
+      writeManifest("main.avro", statsOf(main, 0L, "main").toIndexedSeq)
+      // branch: the re-keyed batch, 8 units, its own manifest
+      val batch = d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + maxKey + 1L).as("doc_id"), col("text"))
+        .withColumn("unit", pmod(col("doc_id"), lit(8L)))
+      batch.repartition(col("unit"))
+        .write.partitionBy("unit")
+        .parquet(new java.io.File(staging, "branch").getAbsolutePath)
+      val branchEntries = statsOf(batch, 2000L, "branch")
+      writeManifest("branch.avro", branchEntries.toIndexedSeq)
+      // audit on the branch, publish by reference
+      val verdicts = spark.read.parquet(
+        new java.io.File(staging, "branch").getAbsolutePath)
+        .groupBy(col("unit"))
+        .agg(sum(when(col("doc_id") % 24 === 11 || col("doc_id") % 16 === 5,
+          1L).otherwise(0L)).as("flagged"))
+        .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+      require(verdicts.values.exists(_ > 0) && verdicts.values.exists(_ == 0),
+        "wapLake: audit gate is vacuous (all units pass or all quarantined)")
+      val passing = branchEntries.filter(e =>
+        verdicts(e(0).asInstanceOf[Long] - 2000L) == 0L)
+      val mainEntries = readManifestFile(staging, "main.avro")
+      writeManifest("main_g2.avro", (mainEntries ++ passing).toIndexedSeq)
+    }
+  }
+
+  def wapPublish(spark: SparkSession, dir: String): DataFrame = {
+    val lake = wapLake(spark, dir)
+    val main = readManifestFile(lake, "main.avro")
+    val g2 = readManifestFile(lake, "main_g2.avro")
+    val mainIds = main.map(_(0).asInstanceOf[Long]).toSet
+    val publishedIds = g2.map(_(0).asInstanceOf[Long]).filterNot(mainIds).toSet
+    // audit replay from branch CONTENT — the serve trusts no stored verdict
+    val audit = spark.read.parquet(s"$lake/branch")
+      .groupBy(col("unit").cast("long").as("unit"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("doc_id") % 24 === 11 || col("doc_id") % 16 === 5,
+          1L).otherwise(0L)).as("n_flagged"))
+    // publish witness: the g2 manifest's added units must equal the
+    // passing audit set, and its SCANNED size must equal main + passed
+    val g2Paths = g2.map(r =>
+      new java.io.File(lake, r(1).asInstanceOf[String]).getAbsolutePath)
+    val rowsAfter = spark.read.parquet(g2Paths: _*).count()
+    val rowsBefore = main.map(_(2).asInstanceOf[Long]).sum
+    audit
+      .withColumn("published", col("n_flagged") === 0L)
+      .withColumn("rows_main_before", lit(rowsBefore))
+      .withColumn("rows_main_after", lit(rowsAfter))
+      .select(col("unit"), col("n_rows"), col("n_flagged"), col("published"),
+        col("rows_main_before"), col("rows_main_after"))
+      .orderBy(col("unit"))
+      .filter( // manifest ↔ audit agreement, enforced in the plan itself
+        when(col("published"),
+          col("unit").isin(publishedIds.map(i => i - 2000L).toSeq: _*))
+          .otherwise(!col("unit").isin(publishedIds.map(i => i - 2000L).toSeq: _*)))
+  }
+
+  /** The batch, the per-unit audit, and both table sizes re-derived
+    * arithmetically from the id-space re-key. */
+  val wapPublishOracle: String =
+    """WITH mk AS (SELECT max(doc_id) AS maxkey,
+      |             CAST(count(*) AS BIGINT) AS n_main FROM documents),
+      |batch AS (SELECT doc_id + maxkey + 1 AS new_id FROM documents, mk
+      |          WHERE doc_id % 3 = 0),
+      |u AS (SELECT new_id % 8 AS unit, count(*) AS n_rows,
+      |        CAST(count(*) FILTER (new_id % 24 = 11 OR new_id % 16 = 5)
+      |             AS BIGINT) AS n_flagged
+      |      FROM batch GROUP BY 1),
+      |pub AS (SELECT CAST(coalesce(sum(n_rows) FILTER (n_flagged = 0), 0)
+      |          AS BIGINT) AS published_rows FROM u)
+      |SELECT unit, n_rows, n_flagged, n_flagged = 0 AS published,
+      |  (SELECT n_main FROM mk) AS rows_main_before,
+      |  (SELECT n_main FROM mk) + (SELECT published_rows FROM pub)
+      |    AS rows_main_after
+      |FROM u ORDER BY unit""".stripMargin
+
   // --- q166: bloom-sidecar file skipping (point-predicate pruning) -----------
   /** The OTHER skipping-index class, completing q153 (footer min/max
     * stats) and q161 (manifest range pruning): min/max bounds cannot
@@ -2261,6 +2633,9 @@ object OlapQueries {
     "q161b_manifest_generations" -> ((s, d) => manifestGenerations(s, d)),
     "q161c_partition_evolution" -> ((s, d) => partitionEvolution(s, d)),
     "q164_vacuum" -> ((s, d) => vacuumOrphans(s, d)),
+    "q169_commit_conflict" -> ((s, d) => commitConflict(s, d)),
+    "q170_incremental_scan" -> ((s, d) => incrementalScan(s, d)),
+    "q171_wap_publish" -> ((s, d) => wapPublish(s, d)),
     "q165_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
     "q166_bloom_skipping" -> ((s, d) => bloomSkipping(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
@@ -2295,6 +2670,9 @@ object OlapQueries {
     "q161b_manifest_generations" -> manifestGenerationsOracle,
     "q161c_partition_evolution" -> partitionEvolutionOracle,
     "q164_vacuum" -> vacuumOrphansOracle,
+    "q169_commit_conflict" -> commitConflictOracle,
+    "q170_incremental_scan" -> incrementalScanOracle,
+    "q171_wap_publish" -> wapPublishOracle,
     "q165_quantile_sketch" -> quantileSketchOracle,
     "q166_bloom_skipping" -> bloomSkippingOracle,
     "q139_ks_drift" -> ksDriftOracle,
