@@ -1892,6 +1892,126 @@ object PipelineQueries {
       |    AS live_id_sum
       |FROM documents GROUP BY 1 ORDER BY unit""".stripMargin
 
+  // ---- q168b: deletion-vector maintenance (OR-merge across generations) ----
+  /** What happens to q168's design on the SECOND delete: the file
+    * already carries a DV, so the writer must supersede it with the
+    * bitwise OR of old and new positions (Delta's DV update, Iceberg's
+    * puffin rewrite) — deletes stay idempotent and the reader still
+    * loads exactly ONE bitmap per file. Two delete generations land
+    * here (`% 19 == 3`, then `% 13 == 3`), deliberately OVERLAPPING
+    * (doc_id ≡ 3 (mod 247) hits both), and the merge happens
+    * DISTRIBUTED: one shuffle keyed by file folds each file's ≤2
+    * generation bitmaps into their union via max_by-free binary
+    * aggregation (deserialize, `RoaringBitmap.or`, reserialize) — the
+    * same mergeable-summary discipline as the sketch aggregates
+    * (q88/q106). The witness proves TRUE set semantics: per unit,
+    * merged hits < gen1 + gen2 hits exactly where the overlap lives,
+    * and the serve is q168's join-free broadcast-membership scan over
+    * the merged map.
+    *
+    * 100 TB shape: the merge is O(#files-with-deletes) metadata rows —
+    * never a row-level operation — and repeated delete waves keep the
+    * read path at one bitmap probe per row regardless of how many
+    * generations folded in. */
+  private def dvMergeLake(spark: SparkSession, dir: String): java.io.File =
+    SourceQueries.stagedBlobs(dir, "dvlake2") { staging =>
+      import spark.implicits._
+      val data = new java.io.File(staging, "data")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(16L)).as("unit"))
+        .repartition(16, col("unit"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.partitionBy("unit").parquet(data.getAbsolutePath)
+      def buildDvs(victim: org.apache.spark.sql.Column, sub: String): Unit =
+        spark.read.parquet(data.getAbsolutePath)
+          .filter(victim)
+          .select(
+            regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+              .as("fpath"),
+            col("_metadata.row_index").as("pos"))
+          .groupBy(col("fpath"))
+          .agg(collect_list(col("pos")).as("ps"))
+          .as[(String, Seq[Long])]
+          .map { case (f, ps) =>
+            val bm = new org.roaringbitmap.RoaringBitmap()
+            ps.foreach { p =>
+              require(p >= 0 && p <= Int.MaxValue,
+                s"deletion vector: row ordinal $p exceeds int32 position space")
+              bm.add(p.toInt)
+            }
+            bm.runOptimize()
+            val bos = new java.io.ByteArrayOutputStream()
+            bm.serialize(new java.io.DataOutputStream(bos))
+            (f, bm.getLongCardinality, bos.toByteArray)
+          }
+          .toDF("fpath", "card", "dv")
+          .write.parquet(new java.io.File(staging, sub).getAbsolutePath)
+      buildDvs(col("doc_id") % 19 === 3, "dvs_g1")
+      buildDvs(col("doc_id") % 13 === 3, "dvs_g2")
+    }
+
+  def dvMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = dvMergeLake(spark, dir)
+    // the supersede: union both generations per file, DISTRIBUTED — one
+    // shuffle over metadata-sized sidecar rows, then a bounded collect
+    val merged: Array[(String, Array[Byte])] =
+      spark.read.parquet(s"$lake/dvs_g1")
+        .unionByName(spark.read.parquet(s"$lake/dvs_g2"))
+        .select(col("fpath"), col("dv")).as[(String, Array[Byte])]
+        .groupByKey(_._1)
+        .mapGroups { (f, it) =>
+          val acc = new org.roaringbitmap.RoaringBitmap()
+          it.foreach { case (_, bytes) =>
+            val bm = new org.roaringbitmap.RoaringBitmap()
+            bm.deserialize(new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(bytes)))
+            acc.or(bm)
+          }
+          acc.runOptimize()
+          val bos = new java.io.ByteArrayOutputStream()
+          acc.serialize(new java.io.DataOutputStream(bos))
+          (f, bos.toByteArray)
+        }.collect()
+    val dvMap: Map[String, org.roaringbitmap.RoaringBitmap] =
+      merged.map { case (f, bytes) =>
+        val bm = new org.roaringbitmap.RoaringBitmap()
+        bm.deserialize(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        f -> bm
+      }.toMap
+    val bc = spark.sparkContext.broadcast(dvMap)
+    val dvHit = udf { (f: String, pos: Long) =>
+      bc.value.get(f).exists(_.contains(pos.toInt))
+    }
+    spark.read.parquet(s"$lake/data")
+      .select(col("doc_id"), col("unit").cast("long").as("unit"),
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+          .as("fpath"),
+        col("_metadata.row_index").as("pos"))
+      .withColumn("dvhit", dvHit(col("fpath"), col("pos")))
+      .groupBy(col("unit"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("doc_id") % 19 === 3, 1L).otherwise(0L)).as("n_g1"),
+        sum(when(col("doc_id") % 13 === 3, 1L).otherwise(0L)).as("n_g2"),
+        sum(when(col("dvhit"), 1L).otherwise(0L)).as("n_merged"),
+        sum(when(!col("dvhit"), col("doc_id")).otherwise(0L)).as("live_id_sum"))
+      .orderBy(col("unit"))
+  }
+
+  /** Set semantics in arithmetic: merged = |A ∪ B| per unit, with the
+    * mod-247 overlap keeping it strictly below |A| + |B|. */
+  val dvMergeOracle: String =
+    """SELECT doc_id % 16 AS unit, count(*) AS n_rows,
+      |  CAST(count(*) FILTER (doc_id % 19 = 3) AS BIGINT) AS n_g1,
+      |  CAST(count(*) FILTER (doc_id % 13 = 3) AS BIGINT) AS n_g2,
+      |  CAST(count(*) FILTER (doc_id % 19 = 3 OR doc_id % 13 = 3) AS BIGINT)
+      |    AS n_merged,
+      |  CAST(coalesce(sum(doc_id)
+      |       FILTER (doc_id % 19 <> 3 AND doc_id % 13 <> 3), 0) AS BIGINT)
+      |    AS live_id_sum
+      |FROM documents GROUP BY 1 ORDER BY unit""".stripMargin
+
   // ---- ANN: 1-bit sign quantization + Hamming shortlist --------------------
   /** Binary-quantized ANN: each d-dim vector compresses to ceil(d/64)
     * longs of sign bits — 64× smaller than float32, the most aggressive
@@ -3277,6 +3397,7 @@ object PipelineQueries {
     "q163_mor_deletes" -> ((s, d) => morDeletes(s, d)),
     "q163b_mor_compact" -> ((s, d) => morCompact(s, d)),
     "q168_deletion_vectors" -> ((s, d) => deletionVectors(s, d)),
+    "q168b_dv_merge" -> ((s, d) => dvMerge(s, d)),
     "q77_semdedup" -> ((s, d) => semDedup(s, d)),
     "q37_ann_mllib" -> ((s, d) => annMllibCrossCheck(s, d)),
     "q91_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -3327,6 +3448,7 @@ object PipelineQueries {
     "q163_mor_deletes" -> morDeletesOracle,
     "q163b_mor_compact" -> morCompactOracle,
     "q168_deletion_vectors" -> deletionVectorsOracle,
+    "q168b_dv_merge" -> dvMergeOracle,
     "q77_semdedup" -> semDedupOracle,
     "q91_line_dedup" -> lineDedupOracle,
     "q92_cluster_topics" -> clusterTopicsOracle

@@ -92,4 +92,28 @@ class DeletionVectorSpec extends SparkSuite {
       .map(r => r.getAs[Long]("unit") -> r.getAs[Long]("n_live")).toMap
     assert(byDv === byJoin, "DV membership read diverged from the join read")
   }
+
+  test("q168b: generation merge is a true set union (overlap collapses)") {
+    val report = SparkEntry.queries("q168b_dv_merge")(spark, sfDir).collect()
+    val (g1, g2, merged) = (
+      report.map(_.getAs[Long]("n_g1")).sum,
+      report.map(_.getAs[Long]("n_g2")).sum,
+      report.map(_.getAs[Long]("n_merged")).sum)
+    assert(g1 > 0 && g2 > 0, "a delete generation is empty")
+    // doc_id ≡ 3 (mod 247) hits both generations: the union must be
+    // strictly smaller than the sum, or the merge double-counted
+    val overlap = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 247 === 3).count()
+    assert(overlap > 0, "overlap family empty — merge check is vacuous")
+    assert(merged === g1 + g2 - overlap,
+      s"merged $merged != $g1 + $g2 - $overlap")
+    for (r <- report)
+      assert(r.getAs[Long]("n_merged") <=
+        r.getAs[Long]("n_g1") + r.getAs[Long]("n_g2"))
+    // same join-free serve as q168
+    val formatted = SparkEntry.queries("q168b_dv_merge")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!formatted.contains("Join"), "merged-DV serve should join nothing")
+  }
 }
