@@ -2078,6 +2078,66 @@ object OlapQueries {
       |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS rows_added
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // --- q172: rollback + cherry-pick (metadata-only history surgery) ----------
+  /** The undo half of the commit lifecycle: q161b's table expired old
+    * units and appended late data in one commit (g2). Operations teams
+    * routinely need to UNDO one effect of a commit while KEEPING the
+    * other — here, roll back the retention expiry (the data files still
+    * exist; only g2's metadata dropped them) but cherry-pick the
+    * append. Both are pure manifest COMPOSITION: g4 = g1 ∪ (g2 − g1) —
+    * every entry REFERENCED from the existing generations' manifests,
+    * zero data written, zero files moved (the spec pins path identity
+    * and that the artifact's mtimes never change). This is Iceberg's
+    * rollback/cherrypick pair and Delta's RESTORE + re-apply, and it
+    * only works because expiry was metadata-only — q164's vacuum is
+    * exactly the operation that KILLS this ability (its horizon witness
+    * documents the trade).
+    *
+    * The serve scans the composed generation and aggregates; the oracle
+    * re-derives it as original ∪ late stream, and the unit-count
+    * witness distinguishes a rollback that missed expired units from a
+    * cherry-pick that dragged the expiry along. 100 TB shape: history
+    * surgery is O(#units) metadata arithmetic — no data I/O until the
+    * serve, which reads each referenced unit exactly once. */
+  def rollbackCherryPick(spark: SparkSession, dir: String): DataFrame = {
+    val lake = manifestG2Lake(spark, dir)
+    val g1 = readManifestFile(lake, "manifest.avro")
+    val g2 = readManifestFile(lake, "manifest_g2.avro")
+    val g1Ids = g1.map(_(0).asInstanceOf[Long]).toSet
+    val cherry = g2.filter(r => !g1Ids(r(0).asInstanceOf[Long]))
+    require(cherry.nonEmpty, "rollbackCherryPick: nothing to cherry-pick")
+    val g4 = g1 ++ cherry
+    val paths = g4.map(r =>
+      new java.io.File(lake, r(1).asInstanceOf[String]).getAbsolutePath)
+    spark.read.parquet(paths: _*)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("units_rolled_back", lit(g1.length.toLong))
+      .withColumn("units_cherry_picked", lit(cherry.length.toLong))
+      .withColumn("units_g4", lit(g4.length.toLong))
+      .withColumn("rows_g4", lit(g4.map(_(2).asInstanceOf[Long]).sum))
+      .orderBy(col("event_type"))
+  }
+
+  /** Composed history re-derived: original table ∪ the +31d late
+    * stream, with unit counts from day arithmetic. */
+  val rollbackCherryPickOracle: String =
+    s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |a AS (SELECT event_type, event_id, us + $manifestAppendShiftUs AS us
+      |      FROM e WHERE event_id % 17 = 0),
+      |g4 AS (SELECT event_type, event_id FROM e
+      |       UNION ALL SELECT event_type, event_id FROM a),
+      |agg AS (SELECT event_type, count(*) AS n,
+      |          CAST(sum(event_id) AS BIGINT) AS id_sum
+      |        FROM g4 GROUP BY 1)
+      |SELECT event_type, n, id_sum,
+      |  (SELECT count(DISTINCT us // 86400000000) FROM e) AS units_rolled_back,
+      |  (SELECT count(DISTINCT us // 86400000000) FROM a) AS units_cherry_picked,
+      |  (SELECT count(DISTINCT us // 86400000000) FROM e)
+      |    + (SELECT count(DISTINCT us // 86400000000) FROM a) AS units_g4,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM g4) AS rows_g4
+      |FROM agg ORDER BY event_type""".stripMargin
+
   // --- q169: optimistic-concurrency commit (conflict detect + rebase) --------
   /** The multi-writer half of the table-format story: q161b/q164 commit
     * from ONE writer; real lakehouses let independent writers race and
@@ -2636,6 +2696,7 @@ object OlapQueries {
     "q169_commit_conflict" -> ((s, d) => commitConflict(s, d)),
     "q170_incremental_scan" -> ((s, d) => incrementalScan(s, d)),
     "q171_wap_publish" -> ((s, d) => wapPublish(s, d)),
+    "q172_rollback_cherry_pick" -> ((s, d) => rollbackCherryPick(s, d)),
     "q165_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
     "q166_bloom_skipping" -> ((s, d) => bloomSkipping(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
@@ -2673,6 +2734,7 @@ object OlapQueries {
     "q169_commit_conflict" -> commitConflictOracle,
     "q170_incremental_scan" -> incrementalScanOracle,
     "q171_wap_publish" -> wapPublishOracle,
+    "q172_rollback_cherry_pick" -> rollbackCherryPickOracle,
     "q165_quantile_sketch" -> quantileSketchOracle,
     "q166_bloom_skipping" -> bloomSkippingOracle,
     "q139_ks_drift" -> ksDriftOracle,
