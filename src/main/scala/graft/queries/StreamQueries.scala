@@ -636,7 +636,7 @@ object StreamQueries {
     "q113_tws_session", "q123_stream_interval_join",
     "q125_stream_chained_agg", "q128_stream_outer_join",
     "q151_stream_lake_sink", "q162_stream_cdc_lww",
-    "q167_stream_manifest_commit")
+    "q167_stream_manifest_commit", "q173_stream_dv_apply")
 
   // --- q151: exactly-once streaming lake sink ---------------------------------
   /** The landing path every event pipeline starts with: the staged events
@@ -961,7 +961,184 @@ object StreamQueries {
       |    AS units_scanned
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // --- q173: streaming deletion-vector maintenance ----------------------------
+  /** q168's deletion vectors meeting the stream: CDC tombstones arrive
+    * as four delete waves (keys only — the equality-delete shape) and
+    * each micro-batch must fold them into the table's per-file bitmaps
+    * WITHOUT touching data files. Per batch: the wave's keys resolve to
+    * (file, ordinal) through a PRE-BUILT position index (one scan at
+    * stage time — q134's index-table discipline; a real table keeps this
+    * as a key→file index or re-locates per batch), the wave's bitmaps
+    * build distributed (one file-keyed shuffle), and the new DV
+    * GENERATION = previous generation ∪ wave, OR-merged per file
+    * (q168b's mergeable-summary fold). Exactly-once is q162's
+    * idempotent-sink discipline verbatim: each generation writes to a
+    * temp dir and ATOMIC-RENAMES into place; a replayed batch finds its
+    * completed generation and skips, so losing the checkpoint changes
+    * nothing (spec-proven). The serve is q168's join-free membership
+    * scan over the LATEST generation.
+    *
+    * 100 TB shape: each batch's work is O(|wave| + #touched-files)
+    * — row-proportional only in the wave, never the table; generations
+    * supersede (readers load ONE bitmap per file regardless of how many
+    * delete waves have landed), and the data lake is never rewritten.
+    * Registered in streamingHarness — micro-batch bring-up cost class. */
+  def streamDvApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val sfName = new java.io.File(dir).getName
+    val srcFp = graft.core.Staging.hexFingerprint(
+      new java.io.File(s"$dir/documents.parquet"))
+    val lake = SourceQueries.stagedBlobs(dir, "dvstream") { staging =>
+      val data = new java.io.File(staging, "data")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(16L)).as("unit"))
+        .repartition(16, col("unit"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.partitionBy("unit").parquet(data.getAbsolutePath)
+      // the position index: ONE scan maps CDC keys to (file, ordinal)
+      spark.read.parquet(data.getAbsolutePath)
+        .select(col("doc_id"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+            .as("fpath"),
+          col("_metadata.row_index").as("pos"))
+        .write.parquet(new java.io.File(staging, "posmap").getAbsolutePath)
+      // four key-only delete waves, one file each, under their own dir
+      val wavesDir = new java.io.File(staging, "waves")
+      wavesDir.mkdirs()
+      Seq((1, "doc_id % 19 = 3"), (2, "doc_id % 13 = 3"),
+          (3, "doc_id % 17 = 2"), (4, "doc_id % 29 = 8")).foreach {
+        case (w, pred) =>
+          val tmp = new java.io.File(staging, s".wave_$w")
+          Tables.documents(spark, dir).filter(expr(pred))
+            .select(col("doc_id"))
+            .coalesce(1).write.parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(wavesDir, f"wave_$w%02d.parquet").toPath)
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      }
+    }
+    val root = new java.io.File(s"/root/repo/target/stream_dv_${sfName}_$srcFp")
+    root.mkdirs()
+    val dvRoot = new java.io.File(root, "dvs")
+    dvRoot.mkdirs()
+    def gens(): Seq[(Long, java.io.File)] = dvRoot.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(f => (f.getName.stripPrefix("gen_").toLong, f)).toSeq.sortBy(_._1)
+    def writeGen(df: DataFrame, id: Long): Unit = {
+      val target = new java.io.File(dvRoot, s"gen_$id")
+      if (target.isDirectory) return // replayed batch: already applied
+      val tmp = new java.io.File(dvRoot,
+        s".gen_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      df.write.parquet(tmp.getAbsolutePath)
+      try java.nio.file.Files.move(tmp.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost a race
+      }
+    }
+    val dvSchema = StructType(Seq(StructField("fpath", StringType),
+      StructField("card", LongType), StructField("dv", BinaryType)))
+    val keySchema = StructType(Seq(StructField("doc_id", LongType)))
+    spark.readStream.schema(keySchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(new java.io.File(lake, "waves").getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", new java.io.File(root, "chk").getAbsolutePath)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val genId = id + 1
+        val ss = batch.sparkSession
+        import ss.implicits._
+        val prev = gens().filter(_._1 < genId).sortBy(_._1).lastOption
+          .map(p => ss.read.parquet(p._2.getAbsolutePath))
+          .getOrElse(ss.createDataFrame(
+            ss.sparkContext.emptyRDD[org.apache.spark.sql.Row], dvSchema))
+        val waveDvs = ss.read.parquet(s"$lake/posmap")
+          .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+          .groupBy(col("fpath"))
+          .agg(collect_list(col("pos")).as("ps"))
+          .as[(String, Seq[Long])]
+          .map { case (f, ps) =>
+            val bm = new org.roaringbitmap.RoaringBitmap()
+            ps.foreach { p =>
+              require(p >= 0 && p <= Int.MaxValue,
+                s"deletion vector: row ordinal $p exceeds int32 position space")
+              bm.add(p.toInt)
+            }
+            bm.runOptimize()
+            val bos = new java.io.ByteArrayOutputStream()
+            bm.serialize(new java.io.DataOutputStream(bos))
+            (f, bm.getLongCardinality, bos.toByteArray)
+          }.toDF("fpath", "card", "dv")
+        val merged = prev.unionByName(waveDvs)
+          .select(col("fpath"), col("dv")).as[(String, Array[Byte])]
+          .groupByKey(_._1)
+          .mapGroups { (f, it) =>
+            val acc = new org.roaringbitmap.RoaringBitmap()
+            it.foreach { case (_, bytes) =>
+              val bm = new org.roaringbitmap.RoaringBitmap()
+              bm.deserialize(new java.io.DataInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+              acc.or(bm)
+            }
+            acc.runOptimize()
+            val bos = new java.io.ByteArrayOutputStream()
+            acc.serialize(new java.io.DataOutputStream(bos))
+            (f, acc.getLongCardinality, bos.toByteArray)
+          }.toDF("fpath", "card", "dv")
+        writeGen(merged, genId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val (lastGen, lastDir) = gens().maxBy(_._1)
+    import spark.implicits._
+    val dvMap: Map[String, org.roaringbitmap.RoaringBitmap] =
+      spark.read.parquet(lastDir.getAbsolutePath)
+        .select(col("fpath"), col("dv")).as[(String, Array[Byte])]
+        .collect()
+        .map { case (f, bytes) =>
+          val bm = new org.roaringbitmap.RoaringBitmap()
+          bm.deserialize(new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          f -> bm
+        }.toMap
+    val bc = spark.sparkContext.broadcast(dvMap)
+    val dvHit = udf { (f: String, pos: Long) =>
+      bc.value.get(f).exists(_.contains(pos.toInt))
+    }
+    spark.read.parquet(s"$lake/data")
+      .select(col("doc_id"), col("unit").cast("long").as("unit"),
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+          .as("fpath"),
+        col("_metadata.row_index").as("pos"))
+      .withColumn("dvhit", dvHit(col("fpath"), col("pos")))
+      .groupBy(col("unit"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("dvhit"), 1L).otherwise(0L)).as("n_dv"),
+        sum(when(!col("dvhit"), 1L).otherwise(0L)).as("n_live"),
+        sum(when(!col("dvhit"), col("doc_id")).otherwise(0L)).as("live_id_sum"))
+      .withColumn("n_gens", lit(lastGen))
+      .orderBy(col("unit"))
+  }
+
+  /** The union of all four wave predicates, in arithmetic. */
+  val streamDvApplyOracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 16 AS unit,
+      |    (doc_id % 19 = 3 OR doc_id % 13 = 3 OR doc_id % 17 = 2
+      |     OR doc_id % 29 = 8) AS victim
+      |  FROM documents)
+      |SELECT unit, count(*) AS n_rows,
+      |  CAST(count(*) FILTER (victim) AS BIGINT) AS n_dv,
+      |  CAST(count(*) FILTER (NOT victim) AS BIGINT) AS n_live,
+      |  CAST(coalesce(sum(doc_id) FILTER (NOT victim), 0) AS BIGINT)
+      |    AS live_id_sum,
+      |  CAST(4 AS BIGINT) AS n_gens
+      |FROM d GROUP BY 1 ORDER BY unit""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_stream_dv_apply" -> ((s, d) => streamDvApply(s, d)),
     "q167_stream_manifest_commit" -> ((s, d) => streamManifestCommit(s, d)),
     "q162_stream_cdc_lww" -> ((s, d) => streamCdcLww(s, d)),
     "q151_stream_lake_sink" -> ((s, d) => streamLakeSink(s, d)),
@@ -984,6 +1161,7 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     // the streaming run must reproduce the BATCH interval join's answer —
     // same oracle as q55 (that is the point: stream ≡ batch ≡ DuckDB)
+    "q173_stream_dv_apply" -> streamDvApplyOracle,
     "q167_stream_manifest_commit" -> streamManifestCommitOracle,
     "q162_stream_cdc_lww" -> streamCdcLwwOracle,
     "q151_stream_lake_sink" -> streamLakeSinkOracle,
