@@ -1638,6 +1638,107 @@ object OlapQueries {
       |    AS units_scanned
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // --- q174: sharded manifests — DISTRIBUTED scan planning --------------------
+  /** The scale-out of q161's planner: a million-file table's manifest
+    * no longer fits one driver-side decode (Iceberg splits it into
+    * manifest FILES under a manifest list, and plans big tables with a
+    * distributed manifest-reader job). Here the same unit stats land as
+    * MANY Avro shard files, and planning itself becomes a Spark job:
+    * a binaryFile scan of the shards, per-executor Avro decode
+    * (q160's decode-on-executors pattern), ONE bounded aggregate for
+    * the time origin, and a distributed overlap filter. The driver
+    * materializes only (a) one scalar t0, (b) the surviving unit paths
+    * — bounded by the PRUNED set, strictly smaller than q161's
+    * full-manifest decode. The serve then scans surviving units with
+    * the residual predicate pushed down, identical to q161.
+    *
+    * Gate design: the output shape, constants, and aggregate are
+    * q161's VERBATIM, and the registered oracle IS q161's oracle — two
+    * independent planners (driver-side decode vs distributed
+    * manifest job) must land on the same bit-exact answer.
+    *
+    * 100 TB shape: planning cost is O(#files) spread across the
+    * cluster instead of the driver; shard decode parallelism is the
+    * shard count (each shard decodes independently); the data-scan
+    * economics are unchanged. */
+  private def shardedManifestLake(spark: SparkSession, dir: String): java.io.File = {
+    import spark.implicits._
+    SourceQueries.stagedBlobs(dir, "shardman", srcTable = "events") { staging =>
+      val e = Tables.events(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("day", expr("us div 86400000000"))
+      val days = e.select(col("day")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val n = days.length.toLong
+      require(n > 0, "shardedManifestLake: empty events table")
+      val mult = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+        .find(m => BigInt(m).gcd(BigInt(n)) == 1).getOrElse(1L)
+      val mapping = days.zipWithIndex.map { case (d, i) => (d, (i * mult) % n) }
+      val mapDf = broadcast(mapping.toSeq.toDF("day", "unit"))
+      val withUnit = e.join(mapDf, "day")
+      withUnit.repartition(col("unit"), pmod(col("event_id"), lit(4)))
+        .write.partitionBy("unit")
+        .parquet(new java.io.File(staging, "data").getAbsolutePath)
+      val stats = withUnit.groupBy(col("unit"))
+        .agg(count(lit(1)).as("n"), min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => Seq[Any](r.getLong(0), s"data/unit=${r.getLong(0)}",
+          r.getLong(1), r.getLong(2), r.getLong(3)))
+      // shard the manifest: one Avro file per ≤4 entries — the
+      // manifest-FILE granularity a split manifest list would carry
+      val shardDir = new java.io.File(staging, "manifests")
+      shardDir.mkdirs()
+      stats.grouped(4).zipWithIndex.foreach { case (chunk, i) =>
+        java.nio.file.Files.write(
+          new java.io.File(shardDir, f"manifest_$i%03d.avro").toPath,
+          graft.sources.Avro.encode(manifestSchema, chunk.toIndexedSeq,
+            "deflate", syncSeed = i.toLong))
+      }
+    }
+  }
+
+  def shardedManifestScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = shardedManifestLake(spark, dir)
+    // planning as a Spark job: decode shards ON EXECUTORS
+    val entries = spark.read.format("binaryFile")
+      .load(new java.io.File(lake, "manifests").getAbsolutePath)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val (writer, rows) = graft.sources.Avro.decode(bytes)
+        require(writer == manifestSchema,
+          s"unexpected manifest shard schema: ${writer.json}")
+        rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[String],
+          r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
+          r(4).asInstanceOf[Long]))
+      }
+      .toDF("unit", "path", "n", "mn", "mx")
+      .planCache()
+    // one bounded aggregate: the time origin (a single scalar crosses
+    // the driver boundary)
+    val t0 = entries.agg(min(col("mn"))).head().getLong(0)
+    val lo = t0 + manifestLoOffUs
+    val hi = t0 + manifestHiOffUs
+    val unitsTotal = entries.count()
+    // distributed overlap filter; only the SURVIVING paths materialize
+    val surviving = entries
+      .filter(col("mx") >= lo && col("mn") <= hi)
+      .select(col("path")).collect().map(_.getString(0))
+    require(surviving.nonEmpty,
+      "shardedManifestScan: predicate range prunes every unit")
+    val paths = surviving.map(p => new java.io.File(lake, p).getAbsolutePath)
+    spark.read
+      .option("basePath", new java.io.File(lake, "data").getAbsolutePath)
+      .parquet(paths.toIndexedSeq: _*)
+      .filter(col("ts") >= timestamp_micros(lit(lo)) &&
+        col("ts") <= timestamp_micros(lit(hi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .withColumn("units_total", lit(unitsTotal))
+      .withColumn("units_scanned", lit(surviving.length.toLong))
+      .orderBy(col("event_type"))
+  }
+
   // --- q161b: manifest generations — metadata-only expiry + append -----------
   /** The commit lifecycle on top of q161's scan planning — the
     * Iceberg-class pair `expire` + `append`, both METADATA-ONLY: a new
@@ -2697,6 +2798,7 @@ object OlapQueries {
     "q170_incremental_scan" -> ((s, d) => incrementalScan(s, d)),
     "q171_wap_publish" -> ((s, d) => wapPublish(s, d)),
     "q172_rollback_cherry_pick" -> ((s, d) => rollbackCherryPick(s, d)),
+    "q174_sharded_manifest" -> ((s, d) => shardedManifestScan(s, d)),
     "q165_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
     "q166_bloom_skipping" -> ((s, d) => bloomSkipping(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
@@ -2735,6 +2837,9 @@ object OlapQueries {
     "q170_incremental_scan" -> incrementalScanOracle,
     "q171_wap_publish" -> wapPublishOracle,
     "q172_rollback_cherry_pick" -> rollbackCherryPickOracle,
+    // two independent planners, one oracle: the distributed manifest job
+    // must land exactly on q161's driver-side-planned answer
+    "q174_sharded_manifest" -> manifestScanOracle,
     "q165_quantile_sketch" -> quantileSketchOracle,
     "q166_bloom_skipping" -> bloomSkippingOracle,
     "q139_ks_drift" -> ksDriftOracle,
