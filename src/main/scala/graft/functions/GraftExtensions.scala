@@ -64,6 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kmv_estimate"),
       new ExpressionInfo(classOf[KmvEstimateExpr].getName, "graft_kmv_estimate"),
       KmvEstimateExpr.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_min"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "graft_count_min"),
+      CountMinAgg.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cm_estimate"),
+      new ExpressionInfo(classOf[CountMinEstimateExpr].getName, "graft_cm_estimate"),
+      CountMinEstimateExpr.sqlBuilder))
     // whole-operator tier: the merge-based as-of join (plans/AsOfJoinPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer-rule tier: collapse idempotent nested NFC applications

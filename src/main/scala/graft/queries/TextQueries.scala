@@ -645,6 +645,53 @@ object TextQueries {
       .limit(20)
   }
 
+  // --- q175: Count-Min point-frequency sketch --------------------------------
+  /** The point-frequency member of the sketch ladder
+    * ([[graft.functions.CountMinAgg]]): where q88's Space-Saving RANKS
+    * the heavy keys, Count-Min answers "how often does THIS key occur"
+    * from a fixed depth×width grid — the structure a 100 TB pipeline
+    * keeps per shard to price tokens (dedup priors, stop-token
+    * detection, DSIR-style importance hints) without a vocabulary-sized
+    * state. One pass builds the sketch (map-side partials carry the
+    * constant-size grid through the shuffle — never the vocabulary) and
+    * the exact top-20 pass (q59's arithmetic verbatim) provides the
+    * witness keys; each is probed against the sketch with the
+    * metadata-scale estimate expression, and the output pins CM's
+    * one-sided contract per key: `never_under` (est ≥ exact — the hard
+    * guarantee) and `within_bound` (est ≤ exact + 3N/width — the ε·N
+    * class bound, deterministic for this fixed corpus+geometry; q166's
+    * fp-bound discipline). The estimates themselves stay out of the
+    * output surface — they are hash-geometry artifacts; the ORACLE
+    * checks the exact counts and the pinned booleans. */
+  def countMinFreq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CountMinAgg, CountMinEstimateExpr}
+    val toks = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+    val sketch = toks.agg(
+      CountMinAgg.countMin(col("token"), 4, 2048).as("sk"),
+      count(lit(1)).as("total"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(20)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est", CountMinEstimateExpr.cmEstimate(col("sk"), col("token")))
+      .select(col("token"), col("n"),
+        (col("est") >= col("n")).as("never_under"),
+        (col("est") <= col("n") + (lit(3) * col("total")) / lit(2048))
+          .as("within_bound"))
+      .orderBy(desc("n"), asc("token"))
+  }
+
+  /** q59's exact arithmetic for the keys and counts; the sketch's
+    * contract booleans pinned TRUE — a CM row that undercounts (broken
+    * hash alignment) or blows the ε·N class bound (broken merge) flips
+    * a boolean and fails the gate. */
+  val countMinFreqOracle: String =
+    """SELECT token, count(*) AS n,
+      |  TRUE AS never_under, TRUE AS within_bound
+      |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   // --- q83: BPE tokenizer training (Sennrich et al. 2016) -------------------
   /** The ordered merge table a subword tokenizer is built from, learned
     * distributed ([[graft.text.Bpe]]): one corpus scan to word
@@ -1342,6 +1389,7 @@ object TextQueries {
     "q83_bpe_train" -> ((s, d) => bpeTrainChecked(s, d)),
     "q83b_bpe_encode" -> ((s, d) => bpeEncodeChecked(s, d)),
     "q88_heavy_hitters_sketch" -> ((s, d) => heavyHittersSketch(s, d)),
+    "q175_countmin_freq" -> ((s, d) => countMinFreq(s, d)),
     "q95_gopher_rules" -> ((s, d) => gopherRules(s, d)),
     "q114_gopher_repetition" -> ((s, d) => gopherRepetition(s, d)),
     "q115_sequence_packing" -> ((s, d) => sequencePacking(s, d)),
@@ -1366,6 +1414,7 @@ object TextQueries {
     // the sketch-first path confirms candidates with exact counts, so the
     // exact top-20 oracle applies verbatim — the sketch is the delta
     "q88_heavy_hitters_sketch" -> heavyHittersOracle,
+    "q175_countmin_freq" -> countMinFreqOracle,
     // witness tier: split-based counts recomputed by DuckDB, encode
     // invariants as literal-TRUE booleans (q66 precedent)
     "q83b_bpe_encode" -> bpeEncodeCheckedOracle,
