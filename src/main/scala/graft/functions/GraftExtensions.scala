@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cm_estimate"),
       new ExpressionInfo(classOf[CountMinEstimateExpr].getName, "graft_cm_estimate"),
       CountMinEstimateExpr.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ams_f2"),
+      new ExpressionInfo(classOf[AmsF2Agg].getName, "graft_ams_f2"),
+      AmsF2Agg.sqlBuilder))
     // whole-operator tier: the merge-based as-of join (plans/AsOfJoinPlan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer-rule tier: collapse idempotent nested NFC applications

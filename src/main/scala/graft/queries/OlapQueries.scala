@@ -2419,6 +2419,43 @@ object OlapQueries {
       |    AS conflict_units
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // --- q176: AMS F2 sketch — self-join size for the cost model ----------------
+  /** The optimizer-statistics member of the sketch ladder
+    * ([[graft.functions.AmsF2Agg]]): F2 = Σ_k n_k² over a join key IS
+    * the self-join row count, the number a cost-based planner needs
+    * before choosing shuffle vs broadcast vs skew-salting (q64's skew
+    * handling assumes someone MEASURED the skew — this is the
+    * constant-state way to measure it). The sketch is 512 running
+    * tug-of-war sums (element-wise merge: constant-size partials
+    * through the shuffle regardless of key cardinality); the estimate
+    * is a median of 16 means of 32 counters (empirical ratios across
+    * the four rungs: 0.91–1.01 — the ±25% pin carries 3σ-class margin).
+    *
+    * Gate design (q175's discipline): the estimate is a hash-geometry
+    * artifact, so the OUTPUT carries the exact F2 (one vocabulary-sized
+    * groupBy — the cost the sketch avoids, paid here once as the
+    * witness) and a pinned `within_25pct` contract boolean, both
+    * re-derived by DuckDB. The concentration bound is probabilistic in
+    * general but DETERMINISTIC for this fixed corpus + seeded geometry
+    * — held at all four rungs before pinning. */
+  def selfJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"))
+    val est = e.agg(graft.functions.AmsF2Agg.amsF2(col("user_id"), 512).as("est"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).cast("long").as("selfjoin_rows"))
+    exact.crossJoin(broadcast(est))
+      .select(col("selfjoin_rows"),
+        (col("est").cast("double") >= col("selfjoin_rows") * 0.75d &&
+          col("est").cast("double") <= col("selfjoin_rows") * 1.25d)
+          .as("within_25pct"))
+  }
+
+  /** Exact F2 via the squared group sizes; the contract boolean pinned. */
+  val selfJoinSizeOracle: String =
+    """SELECT CAST(sum(n * n) AS BIGINT) AS selfjoin_rows,
+      |  TRUE AS within_25pct
+      |FROM (SELECT count(*) AS n FROM events GROUP BY user_id)""".stripMargin
+
   // --- q171: write-audit-publish (staged branch + per-unit quality gate) -----
   /** The ingestion pattern that keeps a production table clean: new data
     * NEVER lands on main directly — it commits to a staging BRANCH,
@@ -2799,6 +2836,7 @@ object OlapQueries {
     "q171_wap_publish" -> ((s, d) => wapPublish(s, d)),
     "q172_rollback_cherry_pick" -> ((s, d) => rollbackCherryPick(s, d)),
     "q174_sharded_manifest" -> ((s, d) => shardedManifestScan(s, d)),
+    "q176_selfjoin_size" -> ((s, d) => selfJoinSize(s, d)),
     "q165_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
     "q166_bloom_skipping" -> ((s, d) => bloomSkipping(s, d)),
     "q139_ks_drift" -> ((s, d) => ksDrift(s, d)),
@@ -2840,6 +2878,7 @@ object OlapQueries {
     // two independent planners, one oracle: the distributed manifest job
     // must land exactly on q161's driver-side-planned answer
     "q174_sharded_manifest" -> manifestScanOracle,
+    "q176_selfjoin_size" -> selfJoinSizeOracle,
     "q165_quantile_sketch" -> quantileSketchOracle,
     "q166_bloom_skipping" -> bloomSkippingOracle,
     "q139_ks_drift" -> ksDriftOracle,
