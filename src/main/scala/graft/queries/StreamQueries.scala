@@ -360,6 +360,69 @@ object StreamQueries {
     }
   }
 
+  /** Scale-adaptive state-store partition count for the stateful
+    * streaming harness (optimization guide §2: derive the partitioning
+    * from input size, never a constant tuned for one box — and streaming
+    * is the one plan family AQE cannot coalesce, so the session's
+    * `spark.sql.shuffle.partitions` lands verbatim on every stateful
+    * exchange AND becomes the state-store partition count).
+    *
+    * Why it matters: each stateful operator opens one state store PER
+    * PARTITION per micro-batch (a stream-stream join opens FOUR per
+    * partition); on RocksDB every open is a native DB instance with its
+    * own commit/snapshot. At the bench's shuffle.partitions=32 the
+    * interval joins pay 128 RocksDB instance bring-ups to shuffle ~13 MB
+    * of events — the measured r19-baseline cost class (q123 6.97 s /
+    * q128 10.10 s while the same join SHAPE in batch, q55/q55b, runs
+    * ~0.3 s). State volume tracks source bytes, so with two measured
+    * constants — a 64 MB/partition ceiling target
+    * (`SPARK_GRAFT_STREAM_STATE_TARGET_BYTES`, the usual shuffle-partition
+    * sizing band) and a 256 KB/partition bring-up floor
+    * (`SPARK_GRAFT_STREAM_STATE_MIN_BYTES`: below that a partition's
+    * per-row put workload costs less than its store's bring-up, so more
+    * partitions only add overhead; constants sized by a 1/4/8/32-partition
+    * sweep at sf0.1, OPTIMIZATION_r19.md) —
+    *   floor = min(cores, ceil(bytes / 256 KB))  // keep cores busy, never
+    *                                             // sub-bring-up slices
+    *   parts = clamp(ceil(bytes / 64 MB), max(1, floor), 8 × cores)
+    * Local sf0.1 (2 MB staged events) → 8; sf0.01 → 1; a 100 TB events
+    * source → ~1.6 M by the ratio, clamped to 8 × cluster parallelism —
+    * the production operating point, NOT the local one, so the rule is
+    * scale-adaptive rather than a local[32] tune. Partition count never
+    * changes stateful-aggregation/join RESULTS (hash partitioning is a
+    * routing choice), only where state rows live; the oracle gate pins
+    * that.
+    *
+    * Restores the previous conf afterwards — batch queries sharing the
+    * bench session keep their own partitioning. */
+  /** The pure derivation (unit-tested in StreamStatePartsSpec). */
+  private[graft] def adaptiveStateParts(bytes: Long, cores: Int,
+                                        target: Long, minBytes: Long): Int = {
+    val c = math.max(1, cores)
+    val floor = math.max(1L, math.min(c.toLong, (bytes + minBytes - 1) / minBytes))
+    val cap = c.toLong * 8
+    math.min(cap, math.max(floor, (bytes + target - 1) / target)).toInt
+  }
+
+  private[graft] def withAdaptiveStateParts[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val bytes =
+      if (src.isDirectory)
+        Option(src.listFiles()).map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+      else src.length()
+    val target = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_TARGET_BYTES",
+      (64L * 1024 * 1024).toString).toLong
+    val minBytes = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_MIN_BYTES",
+      (256L * 1024).toString).toLong
+    val parts = adaptiveStateParts(bytes,
+      spark.sparkContext.defaultParallelism, target, minBytes)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, parts.toString)
+    try body
+    finally spark.conf.set(key, prev)
+  }
+
   def twsSessionState(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.LongType
@@ -375,12 +438,12 @@ object StreamQueries {
       .as[Sessionize.Ev]
     // unique per invocation: bench reps re-run the query in one session
     val sinkName = s"q113_tws_${System.nanoTime()}"
-    withRocksDb(spark) {
+    withAdaptiveStateParts(spark, dir) { withRocksDb(spark) {
       SessionizeTws.updates(evs)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
-    }
+    } }
     val sink = spark.table(sinkName)
     // Materialize off the memory sink, then DROP it: the sink rows are
     // already driver-resident, so the collect adds nothing, and dropping
@@ -460,11 +523,11 @@ object StreamQueries {
       tsed.filter(col("event_type") === "view"),
       tsed.filter(col("event_type") === "purchase"))
     val sinkName = s"q123_ssj_${System.nanoTime()}"
-    withRocksDb(spark) {
+    withAdaptiveStateParts(spark, dir) { withRocksDb(spark) {
       joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
-    }
+    } }
     val sink = spark.table(sinkName)
     // roll up the emitted pairs exactly like batch q55; materialize off
     // the driver-resident sink, then drop it (bench-rep hygiene, q113's
@@ -515,11 +578,11 @@ object StreamQueries {
       .groupBy(window(col("window"), "1 hour"))
       .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_events"))
     val sinkName = s"q125_chain_${System.nanoTime()}"
-    withRocksDb(spark) {
+    withAdaptiveStateParts(spark, dir) { withRocksDb(spark) {
       hours.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
-    }
+    } }
     val sink = spark.table(sinkName)
     val rows = sink
       .select(unix_micros(col("window.start")).as("hour_us"),
@@ -577,11 +640,11 @@ object StreamQueries {
       tsed.filter(col("event_type") === "view"),
       tsed.filter(col("event_type") === "purchase"))
     val sinkName = s"q128_ssjo_${System.nanoTime()}"
-    withRocksDb(spark) {
+    withAdaptiveStateParts(spark, dir) { withRocksDb(spark) {
       joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
-    }
+    } }
     val sink = spark.table(sinkName)
     val rows = sink
       .groupBy(unix_micros(date_trunc("hour", col("p_ts"))).as("hour_us"))
