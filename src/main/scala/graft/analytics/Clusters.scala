@@ -51,6 +51,17 @@ object Clusters {
       .localCheckpoint(false) // materialized by round 1's convergence action
     var converged = false
     var iter = 0
+    // r19: the localCheckpoint FINAL stage bypasses AQE's partition
+    // coalescing, so every round materialized labels at the session's
+    // full shuffle.partitions even when the label table is kilobytes —
+    // 32 near-empty tasks per round at the local bench, pure scheduling
+    // overhead. Scale-adaptively cap it from the node count the round-1
+    // convergence agg already returns (zero extra actions): ~4 M
+    // (id, label) longs ≈ 64 MB per partition; coalesce is a no-op
+    // whenever the computed cap exceeds the actual partition count, so a
+    // 100 TB label table keeps its full parallelism.
+    val labelRowsPerPartition = 4000000L
+    var nodeCount = -1L
     while (!converged && iter < maxIter) {
       // every node adopts min(own label, neighbors' labels)
       val neighborLabels = edges
@@ -63,13 +74,20 @@ object Clusters {
       // rounds. Old rounds' checkpoint blocks are dropped by the
       // ContextCleaner once the superseded DataFrame is unreachable. The
       // prior label rides along as `old` purely for the changed count.
-      val step = labels.join(neighborLabels, Seq("id"), "left")
+      val stepWide = labels.join(neighborLabels, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
+      val step = (if (nodeCount >= 0)
+                    stepWide.coalesce(math.max(1L,
+                      (nodeCount + labelRowsPerPartition - 1) / labelRowsPerPartition)
+                      .min(Int.MaxValue).toInt)
+                  else stepWide)
         .localCheckpoint(false)
       val changedRow = step.agg(
-        sum(when(col("label") < col("old"), 1L).otherwise(0L))).collect()(0)
+        sum(when(col("label") < col("old"), 1L).otherwise(0L)),
+        count(lit(1))).collect()(0)
       val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
+      nodeCount = changedRow.getLong(1)
       labels = step.select(col("id"), col("label"))
       converged = changed == 0L
       iter += 1

@@ -725,6 +725,12 @@ object CurationQueries {
           length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("long").as("symbols"),
         length(col("text")).cast("long").as("n_chars"))
       .filter(col("words") > 0)
+    // deliberately NOT cached, measured both ways (r19): five consumers
+    // recompute this signal pass, but each recompute pipelines INTO its
+    // leg's range exchange (5 parallel scans), while a planCache inserts
+    // a materialization barrier the legs then wait on — cache 1.68 s vs
+    // recompute 1.45 s at sf0.1, 8.52 vs 8.07 s at the 16×-docs rung.
+    // The q106 lesson again: cache decisions are measured, not assumed.
     val r1 = rankedBy(sig, -col("words"), "r_words")
     val r2 = rankedBy(sig, abs(col("wchars") / col("words") - 5.0), "r_wordlen")
     val r3 = rankedBy(sig, -(col("dwords") / col("words")), "r_diversity")

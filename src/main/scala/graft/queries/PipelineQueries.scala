@@ -274,8 +274,14 @@ object PipelineQueries {
     // planCache: the sha256 pass feeds both the cluster election and the
     // representative re-join — one corpus digest pass, not two
     val hashed = corpus.withColumn("h", sha2(col("text"), 256)).planCache()
+    // planCache: read by BOTH the exact-pair branch and the representative
+    // election join below — uncached, the groupBy shuffle ran twice
+    // (r19 JobProfile: q132 was 50 small AQE-stage jobs, several of them
+    // this recompute). One row per distinct sha — far smaller than the
+    // already-cached `hashed`.
     val clusters = hashed.groupBy(col("h"))
       .agg(min("doc_id").as("rep_id"), collect_list(col("doc_id")).as("ids"))
+      .planCache()
     // exact star pairs: rep ↔ every other member of its sha cluster
     val exactPairs = clusters.filter(size(col("ids")) > 1)
       .select(col("rep_id").as("id1"), explode(col("ids")).as("id2"))
@@ -298,13 +304,17 @@ object PipelineQueries {
     val cc = graft.analytics.Clusters.connectedComponents(
         exactPairs.unionByName(nearPairs))
       .withColumnRenamed("id", "doc_id")
-    val assigned = corpus.select(col("doc_id"))
+    // read the cached `hashed` frame, not `corpus`: these two branches
+    // were the only remaining corpusMutant recomputations (each a fresh
+    // documents scan + union + substring; canonFp additionally re-ran
+    // md5 over the full text) — same rows, served from cache (r19)
+    val assigned = hashed.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
     // the split key is the CANONICAL's content fingerprint (q76's md5
     // family) — content-stable, and constant across the whole component
-    val canonFp = corpus
+    val canonFp = hashed
       .select(col("doc_id").as("canonical_id"),
         pmod(expr(CurationQueries.fpExpr), lit(100L)).as("bucket"))
     assigned.join(canonFp, Seq("canonical_id"))

@@ -54,17 +54,36 @@ object Pq {
   }
 
   /** `iters` Lloyd rounds from `init` (m, code, cv). Empty cells keep
-    * their previous centroid (left-join + coalesce) so the codebook never
-    * shrinks. Returns (m, code, cv) with exactly the init's (m, code)
-    * key set. */
+    * their previous centroid so the codebook never shrinks. Returns
+    * (m, code, cv) with exactly the init's (m, code) key set.
+    *
+    * r19: the codebook LIVES ON THE DRIVER between rounds — the MLlib
+    * KMeans pattern, scale-safe because M×K is a bounded dictionary (128
+    * rows here) independent of corpus size. Each round is then exactly
+    * ONE distributed job (the means agg collect) against a broadcast
+    * LocalRelation, where the previous DataFrame-resident loop paid a
+    * lazy-localCheckpoint materialization plus a query-side
+    * broadcast-build job per round (JobProfile r19: q39 ran 47 small
+    * sequential jobs; the train ladder was a third of them). The means
+    * ARITHMETIC is unchanged — same scaled-long distributed sums — so
+    * the trained codebook and every downstream code are bit-identical
+    * (PqSpec + the q38/q39 hash gate pin this). */
   def train(sub: DataFrame, init: DataFrame, iters: Int): DataFrame = {
-    // the codebook is M×K rows (128 here) — coalesce(1) before each
-    // checkpoint so its materialization is one task, not
-    // shuffle.partitions near-empty ones (it broadcasts downstream
-    // regardless; measured ~5-10% off q38 end-to-end at sf0.1/16×-docs)
-    var cb = init.coalesce(1).localCheckpoint(false)
+    val spark = sub.sparkSession
+    import org.apache.spark.sql.types._
+    val cbSchema = StructType(Seq(StructField("m", IntegerType),
+      StructField("code", IntegerType), StructField("cv", ArrayType(DoubleType))))
+    def toDf(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (m, c, v) =>
+          org.apache.spark.sql.Row(m, c, v) }, 1), cbSchema)
+    // driver-resident codebook: (m, code) → cv, insertion-ordered by init
+    var cb: Seq[(Int, Int, Seq[Double])] = init
+      .select(col("m").cast("int"), col("code").cast("int"), col("cv"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     for (_ <- 1 to iters) {
-      val assigned = assignKeeping(sub, cb)
+      val assigned = assignKeeping(sub, toDf(cb))
       // elementwise mean per cell: explode the dsub positions, average,
       // reassemble in position order — shuffles (m, code, pos, x) scalars
       // the mean's SUM runs over SCALED LONGS so it is exact and therefore
@@ -84,12 +103,13 @@ object Pq {
           (count(lit(1)) * lit(scale.toDouble))).as("mx"))
         .groupBy(col("m"), col("code"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("ncv"))
-      cb = cb.join(means, Seq("m", "code"), "left")
-        .select(col("m"), col("code"), coalesce(col("ncv"), col("cv")).as("cv"))
-        .coalesce(1)
-        .localCheckpoint(false)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      // empty cells keep their previous centroid (the old left-join +
+      // coalesce, now a bounded driver-side map lookup)
+      cb = cb.map { case (m, c, cv) => (m, c, means.getOrElse((m, c), cv)) }
     }
-    cb
+    toDf(cb)
   }
 
   /** Per-id code arrays in subspace order: (id, codes ARRAY<INT>). */
