@@ -82,10 +82,15 @@ object Pq {
       .select(col("m").cast("int"), col("code").cast("int"), col("cv"))
       .collect().toSeq
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    // subvector width is a codebook property — read it off the (bounded,
+    // driver-resident) init instead of threading a parameter
+    val dsub = cb.head._3.length
     for (_ <- 1 to iters) {
       val assigned = assignKeeping(sub, toDf(cb))
-      // elementwise mean per cell: explode the dsub positions, average,
-      // reassemble in position order — shuffles (m, code, pos, x) scalars
+      // elementwise mean per cell, ONE hash aggregate: dsub per-position
+      // scaled-long sums + a count per (m, code) group (r19 — the prior
+      // posexplode + two-level groupBy shuffled dsub× the rows through
+      // an extra exchange for the same sums).
       // the mean's SUM runs over SCALED LONGS so it is exact and therefore
       // order-insensitive — a double sum's value depends on shuffle-merge
       // arrival order, which would make the trained codebook (and every
@@ -96,15 +101,17 @@ object Pq {
       // normalization ⇒ overflow headroom is 2²⁹ (~537 M) members per
       // cell; beyond that, shard cells or fall back to DECIMAL.
       val scale = 17179869184L // 2^34
+      val sums = (0 until dsub).map(p =>
+        sum(expr(s"cast(round(sv[$p] * $scale) as bigint)")).as(s"s$p"))
       val means = assigned
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("m"), col("code"), col("pos"))
-        .agg((sum(expr(s"cast(round(x * $scale) as bigint)")) /
-          (count(lit(1)) * lit(scale.toDouble))).as("mx"))
         .groupBy(col("m"), col("code"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("ncv"))
+        .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+        .map { r =>
+          val n = r.getLong(2)
+          (r.getInt(0), r.getInt(1)) ->
+            (0 until dsub).map(p => r.getLong(3 + p) / (n * scale.toDouble))
+        }.toMap
       // empty cells keep their previous centroid (the old left-join +
       // coalesce, now a bounded driver-side map lookup)
       cb = cb.map { case (m, c, cv) => (m, c, means.getOrElse((m, c), cv)) }
