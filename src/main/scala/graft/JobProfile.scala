@@ -58,6 +58,9 @@ object JobProfile {
     val t0 = System.nanoTime()
     fn(spark, dir).count()
     val wall = (System.nanoTime() - t0) / 1e9
+    // listener events are async — drain the bus before detaching or the
+    // trailing onJobEnd/onStageCompleted events are dropped (ADVICE r19)
+    org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark.sparkContext)
     spark.sparkContext.removeSparkListener(listener)
     println(f"[jobprofile] $name warm wall=$wall%.3fs jobs=${jobs.length}")
     jobs.sortBy(-_._2).foreach { case (id, ms, d) =>

@@ -33,7 +33,7 @@ object RungAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val known = Set("asof", "chunk", "srp", "lakes", "blobs", "buckets", "gc",
-      "bandlsh", "q116probe", "timeq")
+      "bandlsh", "q116probe", "timeq", "abq")
     // bandlsh/q116probe/timeq are TIMING probes (box-dependent), not
     // correctness audits — they run only when asked for explicitly
     val modes = if (args.length > 1) args.drop(1).toSet
@@ -62,6 +62,7 @@ object RungAudit {
     if (modes("bandlsh")) bandlsh(spark, sfDir, report)
     if (modes("q116probe")) q116probe(spark, sfDir, report)
     if (modes("timeq")) timeq(spark, sfDir, report)
+    if (modes("abq")) abq(spark, sfDir, report)
     spark.stop()
     if (failed) sys.exit(1)
   }
@@ -451,6 +452,54 @@ object RungAudit {
       report(s"timeq_$q", true,
         f"cold=$cold%.2fs warm_median=${median(warm)}%.2fs " +
           s"draws=${warm.map(w => f"$w%.2f").mkString(",")}")
+    }
+  }
+
+  /** Generic interleaved variant A/B in the bench's draw shape (r20,
+    * VERDICT r19 task 1): a system property selects a code variant inside
+    * a query path; draws alternate variants so box drift hits both legs
+    * equally. Reads GRAFT_AB_PROP (the sys-prop name), GRAFT_AB_VALUES
+    * (comma list; first = current default), GRAFT_TIMEQ (query names),
+    * GRAFT_AB_REPS (default 5). Per query × variant it reports the cold
+    * (first-after-warmup) draw and the interleaved warm median, plus a
+    * row-count equality check across variants. */
+  private def abq(spark: SparkSession, sfDir: String,
+                  report: (String, Boolean, String) => Unit): Unit = {
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val prop = sys.env.getOrElse("GRAFT_AB_PROP",
+      sys.error("abq: set GRAFT_AB_PROP=<system property>"))
+    val values = sys.env.getOrElse("GRAFT_AB_VALUES", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(values.length >= 2, "abq: GRAFT_AB_VALUES needs >= 2 comma-separated values")
+    val reps = sys.env.getOrElse("GRAFT_AB_REPS", "5").toInt
+    val names = sys.env.getOrElse("GRAFT_TIMEQ", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    require(names.nonEmpty, "abq: set GRAFT_TIMEQ=<query>[,<query>…]")
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"abq: unknown queries ${unknown.mkString(", ")}")
+    try { SparkEntry.entry(spark).count(); () } catch { case _: Throwable => () }
+    for (q <- names) {
+      def draw(v: String): (Double, Long) = {
+        System.setProperty(prop, v)
+        try {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(q)(spark, sfDir).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        } finally System.clearProperty(prop)
+      }
+      val cold = values.map(v => v -> draw(v)).toMap
+      val warm = (1 to reps).map(_ => values.map(v => v -> draw(v)))
+      val rowsOk = (warm.flatten ++ cold.toSeq).map(_._2._2).distinct.length == 1
+      val med = values.map(v => v -> median(warm.map(_.toMap.apply(v)._1)))
+      val winner = med.minBy(_._2)._1
+      report(s"abq_${q}_$prop", rowsOk,
+        med.map { case (v, m) => f"$v=${m}%.2fs(cold=${cold(v)._1}%.2f)" }
+          .mkString(" ") +
+          s" reps=$reps rowsEqual=$rowsOk winner=$winner " +
+          s"draws=" + values.map(v =>
+            v + ":" + warm.map(w => f"${w.toMap.apply(v)._1}%.2f").mkString(","))
+            .mkString(" "))
     }
   }
 

@@ -129,6 +129,23 @@ object Clusters {
       .localCheckpoint(false)
     var converged = edges.isEmpty // no edges → trivially converged
     var iter = 0
+    // r20 (VERDICT r19 task 4): the per-phase localCheckpoint FINAL stage
+    // bypasses AQE coalescing, so every round materialized ls/ss at the
+    // session's full shuffle.partitions even for kilobyte edge tables —
+    // the same near-empty-task overhead the min-propagation loop fixed in
+    // r19. The convergence action below now also returns the surviving
+    // edge count (ONE aggregate over the tagged union — no extra action),
+    // and the next round coalesces both phase materializations to
+    // ceil(edges / 4M) partitions: a no-op at scale by construction
+    // (coalesce, never a new exchange).
+    val edgeRowsPerPartition = 4000000L
+    var edgeCount = -1L
+    def capped(df: DataFrame): DataFrame =
+      if (edgeCount >= 0)
+        df.coalesce(math.max(1L,
+          (edgeCount + edgeRowsPerPartition - 1) / edgeRowsPerPartition)
+          .min(Int.MaxValue).toInt)
+      else df
     while (!converged && iter < maxIter) {
       // large-star: for each center u over BOTH directions, m = min of
       // u and its neighborhood; every neighbor LARGER than the center
@@ -137,25 +154,33 @@ object Clusters {
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val ls = nbrs.filter(col("v") > col("u"))
+      val ls = capped(nbrs.filter(col("v") > col("u"))
         .join(lsMin, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+        .distinct())
         .localCheckpoint(false)
       // small-star: centers see only smaller neighbors (canonical form),
       // m = min(N(u)); every other small neighbor re-hooks to m, and the
       // center itself hooks to m.
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = ls.join(ssMin, Seq("u"))
+      val ss = capped(ls.join(ssMin, Seq("u"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
-        .distinct()
+        .distinct())
         .localCheckpoint(false)
-      val changed = ss.exceptAll(edges).unionByName(edges.exceptAll(ss)).isEmpty
+      // convergence = empty symmetric difference, witnessed by a count —
+      // the same aggregate also counts |ss| for the next round's coalesce
+      val statsRow = ss.select(lit(1L).as("t"))
+        .unionByName(ss.exceptAll(edges).unionByName(edges.exceptAll(ss))
+          .select(lit(0L).as("t")))
+        .agg(sum(col("t")), count(lit(1))).collect()(0)
+      val ssCount = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+      val diffCount = statsRow.getLong(1) - ssCount
       edges = ss
-      converged = changed
+      edgeCount = ssCount
+      converged = diffCount == 0L
       iter += 1
     }
     if (!converged && strict)

@@ -984,9 +984,18 @@ object OlapQueries {
       .withColumn("bucket", floor(col("price") / 1000).cast("long"))
     val wOff = Window.partitionBy(col("flag")).orderBy(desc("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // ≤ |price range in KiB| rows per flag: prefix over bucket maxima
-    val boffs = pts.groupBy(col("flag"), col("bucket"))
-      .agg(max(col("discount")).as("bmax"))
+    // ≤ |price range in KiB| rows per flag: prefix over bucket maxima.
+    // r20: aggregate the bucket maxima STRAIGHT off the raw rows —
+    // max over a bucket of per-price maxima equals the raw-row max, so
+    // this branch needs no (flag, price) level at all. Before, it was a
+    // duplicate of the full pts subtree (second scan + a second
+    // corpus-sized (flag, price) exchange, plan nodes 6-10); now the
+    // partial agg collapses it map-side to |flag × bucket| rows and the
+    // only exchange this branch pays is dictionary-sized (guide §2.3/§2.4).
+    val boffs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("bucket"))
+      .agg(max(col("l_discount")).as("bmax"))
       .withColumn("hmax", max(col("bmax")).over(wOff))
       .select(col("flag"), col("bucket"), col("hmax"))
     val wIn = Window.partitionBy(col("flag"), col("bucket")).orderBy(desc("price"))

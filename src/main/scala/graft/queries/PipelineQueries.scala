@@ -271,24 +271,27 @@ object PipelineQueries {
     * components are tiny, so the closure is bounded). */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusMutant(spark, dir)
-    // planCache: the sha256 pass feeds both the cluster election and the
-    // representative re-join — one corpus digest pass, not two
-    val hashed = corpus.withColumn("h", sha2(col("text"), 256)).planCache()
-    // planCache: read by BOTH the exact-pair branch and the representative
-    // election join below — uncached, the groupBy shuffle ran twice
-    // (r19 JobProfile: q132 was 50 small AQE-stage jobs, several of them
-    // this recompute). One row per distinct sha — far smaller than the
-    // already-cached `hashed`.
-    val clusters = hashed.groupBy(col("h"))
-      .agg(min("doc_id").as("rep_id"), collect_list(col("doc_id")).as("ids"))
+    // r20 (VERDICT r19 task 1c settled): the r19 shape was a cached
+    // sha-group ELECTION (groupBy h → min + collect_list) consumed by the
+    // exact-pair branch and re-JOINED back onto the corpus for the
+    // representative rows — a cache barrier plus a corpus-sized join the
+    // driver measured as a 15% regression (4.24→4.90 s; the local 9-rep
+    // interleaved A/B also prefers no barrier, 4.34 vs 4.52 s). Both
+    // consumers only ever need each row's component minimum, which is a
+    // WINDOW over the same key (guide §2.4 — and the join disappears):
+    // ONE corpus digest pass, ONE exchange on h, and every downstream
+    // branch (exact pairs, representatives, spine, fingerprints) is a
+    // narrow filter/projection off this cache.
+    val hashed = corpus
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("rep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .planCache()
     // exact star pairs: rep ↔ every other member of its sha cluster
-    val exactPairs = clusters.filter(size(col("ids")) > 1)
-      .select(col("rep_id").as("id1"), explode(col("ids")).as("id2"))
-      .filter(col("id1") =!= col("id2"))
+    val exactPairs = hashed.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("id1"), col("doc_id").as("id2"))
     // near pairs BETWEEN representatives — q112's verify verbatim
-    val reps = hashed.join(clusters.select(col("h"), col("rep_id")), Seq("h"))
-      .filter(col("doc_id") === col("rep_id"))
+    val reps = hashed.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"))
     val c0 = reps
       .withColumn("block", expr("concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), 1, 5))"))
@@ -2387,16 +2390,19 @@ object PipelineQueries {
     // deterministic seeding: subspace centroids = first K vectors by id
     val init = sub.filter(col("id") < K)
       .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
-    val cb = graft.vector.Pq.train(sub, init, iters = 3)
-    val codes = graft.vector.Pq.encode(sub, cb)
+    val cb = graft.vector.Pq.trainCodebook(sub, init, iters = 3)
+    // r20: codes and the per-query ADC tables are NARROW projections
+    // against the driver-resident codebook (PqNearestExpr / adcTable) —
+    // the encode regroup exchange, the codebook broadcast builds, and the
+    // dt join+regroup of the r19 shape are gone; same values bit-exact
+    // (oracle hash gate + PqSpec determinism pin it)
+    val codes = graft.vector.Pq.encodeV(
+      e.select(col("vec_id").as("id"), col("v")), cb, M, dsub)
     // per-query ADC table, flattened to a 128-slot array in (m, code)
     // order so scoring is a pure lookup-sum over the broadcast row
-    val qsub = sub.filter(col("id") < 3).withColumnRenamed("id", "query_id")
-    val dt = qsub.join(broadcast(cb), Seq("m"))
-      .withColumn("pd",
-        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
-      .groupBy(col("query_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(m, code, pd))), s -> s.pd)").as("dts"))
+    val dt = graft.vector.Pq.adcTable(
+      e.filter(col("vec_id") < 3).select(col("vec_id").as("id"), col("v")),
+      cb, K, dsub)
     val wq = Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))
     val shortlist = codes.withColumnRenamed("id", "vec_id")
       .crossJoin(broadcast(dt))
@@ -2444,13 +2450,26 @@ object PipelineQueries {
         VectorFns.l2Normalize(VectorFns.asDouble(col("embedding"))).as("v"))
       .planCache()
     // coarse codebook: bounded-stride seeds, same as q35 — unit vectors so
-    // cosine is a bare dot against the broadcast centroid table
-    val centroids = centroidSeeds(e)
+    // cosine is a bare dot against the centroid table. The seed table is
+    // BOUNDED (≤256 rows by construction), so it is collected once and —
+    // r20 — cell assignment is a narrow per-row argmax against the
+    // literal table (PqNearestCellExpr): the crossJoin row blowup and the
+    // max_by exchange over the whole corpus are gone. Probes still join
+    // the (tiny) centroid relation distributed — 3 query rows.
+    val cents = centroidSeeds(e)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("cdot", VectorFns.dot(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(expr("max_by(cent_id, struct(cdot, -cent_id))").as("cell"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val centroids = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(cents.map { case (id, v) =>
+          org.apache.spark.sql.Row(id, v) }, 1),
+        StructType(Seq(StructField("cent_id", LongType),
+          StructField("cv", ArrayType(DoubleType)))))
+    }
+    val assigned = e.select(col("vec_id"),
+      graft.functions.PqNearestCellExpr.nearestCell(col("v"), cents).as("cell"))
     // fine codebook: q38's subspace split / train / encode, verbatim
     val sub = e.select(col("vec_id").as("id"),
       posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $dsub + 1, $dsub))"))
@@ -2458,10 +2477,13 @@ object PipelineQueries {
       .planCache()
     val init = sub.filter(col("id") < K)
       .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
-    val cb = graft.vector.Pq.train(sub, init, iters = 3)
+    val cb = graft.vector.Pq.trainCodebook(sub, init, iters = 3)
     // the inverted lists: (cell, vec_id, codes) — at scale, parquet
-    // partitioned by cell so a probe reads nprobe directories
-    val invLists = graft.vector.Pq.encode(sub, cb)
+    // partitioned by cell so a probe reads nprobe directories. r20: codes
+    // come straight off the cached vectors (narrow encodeV), so this join
+    // is the only exchange the list build pays.
+    val invLists = graft.vector.Pq.encodeV(
+        e.select(col("vec_id").as("id"), col("v")), cb, M, dsub)
       .withColumnRenamed("id", "vec_id")
       .join(assigned, Seq("vec_id"))
     // probe set: each query's nprobe nearest coarse cells (tiny — 3×4
@@ -2474,12 +2496,9 @@ object PipelineQueries {
       .withColumn("prank", row_number().over(wp))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("cent_id").as("cell"))
-    val qsub = sub.filter(col("id") < 3).withColumnRenamed("id", "query_id")
-    val dt = qsub.join(broadcast(cb), Seq("m"))
-      .withColumn("pd",
-        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
-      .groupBy(col("query_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(m, code, pd))), s -> s.pd)").as("dts"))
+    val dt = graft.vector.Pq.adcTable(
+      e.filter(col("vec_id") < 3).select(col("vec_id").as("id"), col("v")),
+      cb, K, dsub)
     val wq = Window.partitionBy("query_id").orderBy(asc("adc"), asc("vec_id"))
     val shortlist = invLists
       .join(broadcast(probes), Seq("cell"))
@@ -2534,16 +2553,29 @@ object PipelineQueries {
       try {
         val init = sub.filter(col("id") < K)
           .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
-        val cb = graft.vector.Pq.train(sub, init, iters = 3)
-        cb.coalesce(1).write.parquet(new java.io.File(staging, "codebook").getAbsolutePath)
-        val centroids = centroidSeeds(e)
+        val cbSeq = graft.vector.Pq.trainCodebook(sub, init, iters = 3)
+        graft.vector.Pq.codebookDf(spark, cbSeq)
+          .coalesce(1).write.parquet(new java.io.File(staging, "codebook").getAbsolutePath)
+        // bounded seed table (≤256 rows): collect once, persist from the
+        // local relation, assign cells via the narrow literal argmax (r20
+        // — same rewrite as the in-query q39 path; values bit-identical)
+        val cents = centroidSeeds(e)
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val centroids = {
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(cents.map { case (id, v) =>
+              org.apache.spark.sql.Row(id, v) }, 1),
+            StructType(Seq(StructField("cent_id", LongType),
+              StructField("cv", ArrayType(DoubleType)))))
+        }
         centroids.coalesce(1).write.parquet(new java.io.File(staging, "centroids").getAbsolutePath)
-        val assigned = e.crossJoin(broadcast(centroids))
-          .withColumn("cdot", VectorFns.dot(col("v"), col("cv")))
-          .groupBy(col("vec_id"))
-          .agg(expr("max_by(cent_id, struct(cdot, -cent_id))").as("cell"))
-        graft.vector.Pq.encode(sub, cb)
+        val assigned = e.select(col("vec_id"),
+          graft.functions.PqNearestCellExpr.nearestCell(col("v"), cents).as("cell"))
+        graft.vector.Pq.encodeV(
+            e.select(col("vec_id").as("id"), col("v")), cbSeq, M, dsub)
           .withColumnRenamed("id", "vec_id")
           .join(assigned, Seq("vec_id"))
           .write.partitionBy("cell")

@@ -40,4 +40,41 @@ class StreamStatePartsSpec extends AnyFunSuite {
     assert(StreamQueries.adaptiveStateParts(0L, 32, target, minB) === 1)
     assert(StreamQueries.adaptiveStateParts(1L, 1, target, minB) === 1)
   }
+
+  test("unknown source size (bytes < 0) falls back to CORES, never 1") {
+    // r20 (VERDICT r19 task 2): an unprobeable source must keep full
+    // parallelism — collapsing a 100 TB stream onto one state store is
+    // the failure mode the probe fallback exists to prevent
+    assert(StreamQueries.statePartsFor(-1L, 32, target, minB) === 32)
+    assert(StreamQueries.statePartsFor(-1L, 1, target, minB) === 1)
+    // known sizes still route through the adaptive rule
+    assert(StreamQueries.statePartsFor(2L * MB, 32, target, minB) === 8)
+  }
+}
+
+/** The Hadoop-FS byte probe itself (needs a SparkSession for the Hadoop
+  * conf): must sum NESTED directories recursively — the r19 java.io.File
+  * probe summed only top-level plain files, so a Hive-partitioned
+  * (directory-shaped) source read as ~0 bytes and collapsed to 1 state
+  * partition (ADVICE r19). */
+class SourceBytesProbeSpec extends graft.SparkSuite {
+  test("recursive directory sizing and the missing-path sentinel") {
+    val root = java.nio.file.Files.createTempDirectory("srcbytes").toFile
+    try {
+      val nested = new java.io.File(root, "day=2026-08-19")
+      assert(nested.mkdirs())
+      java.nio.file.Files.write(new java.io.File(root, "a.parquet").toPath,
+        Array.fill[Byte](100)(1))
+      java.nio.file.Files.write(new java.io.File(nested, "b.parquet").toPath,
+        Array.fill[Byte](50)(1))
+      assert(StreamQueries.sourceBytes(spark, root.getAbsolutePath) === 150L)
+      assert(StreamQueries.sourceBytes(spark,
+        new java.io.File(root, "nope").getAbsolutePath) === -1L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root)
+    }
+  }
 }
