@@ -41,11 +41,29 @@ object Clusters {
     * rather than a wrong answer. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
                           strict: Boolean = true): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    // r20: the caller's pair pipeline is often the query's hottest
+    // subtree (q141's deletion-neighborhood join, q132's shingle-Jaccard
+    // verify), and the old both-directions union recomputed it TWICE
+    // before the distinct could cache. Canonicalize to u ≤ v, distinct,
+    // and EAGERLY checkpoint — the pair pipeline now runs exactly once —
+    // then both directions derive narrowly from the checkpoint. The
+    // reversed union can duplicate only self-loop rows (u = v), which
+    // min-aggregation is insensitive to, so labels are unchanged.
+    val und = pairs
+      .select(least(col("id1"), col("id2")).as("u"),
+        greatest(col("id1"), col("id2")).as("v"))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
+    // pre-partition the edge table by the join key ONCE (the q122
+    // pagerank layout trick): localCheckpoint preserves
+    // outputPartitioning, so every round's join on dst reuses the edge
+    // layout with ZERO edge-side exchange — per-round shuffles carry
+    // only the (node, label) pairs, never the edge list. Old checkpoint
+    // blocks are dropped by the ContextCleaner once unreachable.
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint(false) // materialized by round 1's convergence action
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(false) // materialized by round 1's convergence action
@@ -63,9 +81,14 @@ object Clusters {
     val labelRowsPerPartition = 4000000L
     var nodeCount = -1L
     while (!converged && iter < maxIter) {
-      // every node adopts min(own label, neighbors' labels)
+      // every node adopts min(own label, neighbors' labels).
+      // shuffled-hash, not SMJ: the edge side is already hash-partitioned
+      // on dst (layout pinned above), so SMJ's per-round edge sort is
+      // pure waste; the build side is the slim label table (guide §3.1,
+      // the q122 precedent)
       val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel").hint("shuffle_hash"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("minNeighbor"))
       // lazy local checkpoint: the single convergence action below both
@@ -92,7 +115,6 @@ object Clusters {
       converged = changed == 0L
       iter += 1
     }
-    edges.unpersist()
     if (!converged && strict)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — the " +

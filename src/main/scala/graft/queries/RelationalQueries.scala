@@ -782,12 +782,21 @@ object RelationalQueries {
     // collision would otherwise admit a spurious cross-nation edge —
     // carrying nation makes oracle parity structural, not probabilistic,
     // at zero extra shuffle cost (same key distribution)
-    val pairs = keyed
-      .select(col("block"), col("nation"), col("record_id").as("id1"),
-        col("name").as("n1"), col("bal").as("b1"))
-      .join(keyed.select(col("block"), col("nation"), col("record_id").as("id2"),
-        col("name").as("n2"), col("bal").as("b2")), Seq("block", "nation"))
-      .filter(col("id1") < col("id2"))
+    // r20: both sides are the SAME projection joined to itself via alias —
+    // the two subtrees canonicalize identically, so the (block, nation)
+    // exchange (and the 19×-explode map stage feeding it) is planned once
+    // and REUSED for the other side (guide §2.4), where the r19 shape's
+    // per-side renames planned two independent explode+exchange pipelines
+    // (JobProfile: the two hottest stages, ~4.2 s aggregate task time
+    // each, were the same explode computed twice)
+    val slim = keyed.select(col("block"), col("nation"), col("record_id"),
+      col("name"), col("bal"))
+    val pairs = slim.as("a").join(slim.as("b"),
+        col("a.block") === col("b.block") && col("a.nation") === col("b.nation"))
+      .filter(col("a.record_id") < col("b.record_id"))
+      .select(col("a.record_id").as("id1"), col("a.name").as("n1"),
+        col("a.bal").as("b1"), col("b.record_id").as("id2"),
+        col("b.name").as("n2"), col("b.bal").as("b2"))
     // no distinct here: a pair surfacing via several shared deletion keys
     // re-verifies cheaply and connectedComponents dedupes its (narrower)
     // edge list anyway — one wide shuffle saved
