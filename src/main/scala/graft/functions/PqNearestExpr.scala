@@ -152,6 +152,79 @@ object PqNearestCellExpr {
   }
 }
 
+/** Cosine variant of [[PqNearestCellExpr]] for UN-normalized vectors:
+  * argmax of safeCosine(⟨v,cv⟩, n, cn) = dot/(n·cn) with the 0-denominator
+  * guard, over a driver-resident (cent_id, cv, cn) table — replaces the
+  * crossJoin(broadcast(centroids)) + max_by(cent_id, struct(ccos,
+  * -cent_id)) exchange in the q35-family assignment (r20). Same
+  * arithmetic bit-for-bit: dot left-to-right like DotProductExpr, denom
+  * = n·cn, ccos = if (denom == 0) 0 else dot/denom, ties toward the
+  * lower cent_id via Double.compare (Spark's max_by struct ordering). */
+case class CosineNearestCellExpr(v: Expression, n: Expression,
+                                 centIds: Array[Long],
+                                 cvs: Array[Array[Double]],
+                                 cns: Array[Double])
+    extends BinaryExpression {
+
+  override def left: Expression = v
+  override def right: Expression = n
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (v.dataType, n.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_nearest_cell requires (ARRAY<DOUBLE>, DOUBLE), got ${l.sql} and ${r.sql}")
+    }
+
+  def compute(x: ArrayData, xn: Double): Long = {
+    var best = centIds(0)
+    var bestCos = 0.0
+    var first = true
+    var k = 0
+    while (k < cvs.length) {
+      val cv = cvs(k)
+      val len = math.min(x.numElements(), cv.length)
+      var dot = 0.0
+      var i = 0
+      while (i < len) { dot += x.getDouble(i) * cv(i); i += 1 }
+      val denom = xn * cns(k)
+      val ccos = if (denom == 0.0d) 0.0d else dot / denom
+      if (first || java.lang.Double.compare(ccos, bestCos) > 0) {
+        bestCos = ccos; best = centIds(k); first = false
+      }
+      k += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosNearestCell", this, classOf[CosineNearestCellExpr].getName)
+    nullSafeCodeGen(ctx, ev, (xv, nv) => s"${ev.value} = $ref.compute($xv, $nv);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineNearestCellExpr =
+    copy(v = newLeft, n = newRight)
+}
+
+object CosineNearestCellExpr {
+  /** Column form over driver-resident centroids (cent_id, cv, cn),
+    * sorted ascending by cent_id for the lower-id tie-break. */
+  def nearestCellCosine(v: Column, n: Column,
+                        cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    require(cents.nonEmpty, "cosine_nearest_cell: empty centroid table")
+    val sorted = cents.sortBy(_._1)
+    Bridge.column(CosineNearestCellExpr(Bridge.expression(v), Bridge.expression(n),
+      sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray,
+      sorted.map(_._3).toArray))
+  }
+}
+
 object PqNearestExpr {
   /** Column form over a driver-resident codebook (m, code, cv). Codes are
     * sorted ascending per subspace so the strict-< scan reproduces

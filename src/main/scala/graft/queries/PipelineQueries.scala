@@ -1046,6 +1046,18 @@ object PipelineQueries {
       .drop("n_total")
   }
 
+  /** The bounded seed table (≤256 rows by construction), collected for
+    * the literal-kernel cell assignment (r20): cell assignment is then a
+    * narrow per-row argmax (CosineNearestCellExpr) instead of a
+    * crossJoin(broadcast) row blowup + max_by exchange over the corpus —
+    * and the (vec_id → cell) join-back disappears because the cell rides
+    * the same projection. `e` must carry (vec_id, v, n). */
+  private def collectedCentroidSeeds(e: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    centroidSeeds(e)
+      .select(col("vec_id"), col("v"), col("n"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+
   /** The IVF index relation (vec_id, v, n, cell): every vector with its
     * coarse-cell assignment. Shared by the in-query path (q35) and the
     * persisted-lake path (q35c) so the quantizer arithmetic can never
@@ -1055,20 +1067,15 @@ object PipelineQueries {
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
       .planCache()
-    val centroids = centroidSeeds(e)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
-    // assignment: argmax over the broadcast codebook as a max_by hash agg
-    // (ties → lower cent_id, same selection as the oracle's row_number).
-    // Partial aggregation reduces each map task's |codebook|× blowup back
-    // to one row per vector BEFORE the shuffle, and only (vec_id, cell)
-    // pairs travel — vectors rejoin from the cached table afterwards.
+    // assignment: narrow per-row argmax against the collected bounded
+    // seed table (ties → lower cent_id, same selection as the oracle's
+    // row_number) — r20: the crossJoin row blowup, the max_by exchange
+    // AND the vector join-back are gone; cells ride the cached scan.
     // cache: the assignment feeds both sides of the cell join.
-    val assignedIds = e.crossJoin(broadcast(centroids))
-      .withColumn("ccos", VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
-    assignedIds.join(e, Seq("vec_id"))
-      .select(col("vec_id"), col("v"), col("n"), col("cell"))
+    val cents = collectedCentroidSeeds(e)
+    e.select(col("vec_id"), col("v"), col("n"),
+        graft.functions.CosineNearestCellExpr
+          .nearestCellCosine(col("v"), col("n"), cents).as("cell"))
       .planCache()
   }
 
@@ -1489,16 +1496,14 @@ object PipelineQueries {
       .planCache()
     val victims = e.filter(col("vec_id") % 97 === 13)
     // victims' cells without touching the lake: the same centroid-seed +
-    // argmax arithmetic the lake was built with, applied to victims only.
-    // planCache: the assignment feeds both the driver cell list and the
-    // rewrite's anti-join — the |victims|·K dot products run once.
-    val centroids = centroidSeeds(e)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
-    val victimAssign = victims.crossJoin(broadcast(centroids))
-      .withColumn("ccos",
-        VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
+    // argmax arithmetic the lake was built with, applied to victims only
+    // — r20: as a narrow literal-kernel projection (no crossJoin, no
+    // max_by exchange). planCache: the assignment feeds both the driver
+    // cell list and the rewrite's anti-join.
+    val cents = collectedCentroidSeeds(e)
+    val victimAssign = victims.select(col("vec_id"),
+        graft.functions.CosineNearestCellExpr
+          .nearestCellCosine(col("v"), col("n"), cents).as("cell"))
       .planCache()
     // ≤ |centroids| rows by construction (bounded-K design: ~max(100,
     // n/256) cells) — a driver-resident cell list, never corpus-sized
@@ -2186,13 +2191,12 @@ object PipelineQueries {
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
       .planCache()
-    val centroids = centroidSeeds(e)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("ccos", VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
-      .join(e, Seq("vec_id"))
+    // r20: narrow literal-kernel assignment — no crossJoin blowup, no
+    // max_by exchange, no vector join-back (cells ride the cached scan)
+    val cents = collectedCentroidSeeds(e)
+    val assigned = e.select(col("vec_id"), col("v"), col("n"),
+      graft.functions.CosineNearestCellExpr
+        .nearestCellCosine(col("v"), col("n"), cents).as("cell"))
     val pairsBlk = graft.analytics.Blocking.selfPairs(
       assigned, "cell", "vec_id", maxBlock = 1024)
       .select(col("_1.vec_id").as("id1"), col("_1.v").as("v1"), col("_1.n").as("n1"),
@@ -3353,13 +3357,11 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("n", VectorFns.normL2(col("v")))
-    val centroids = centroidSeeds(e)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("ccos", VectorFns.safeCosine(VectorFns.dot(col("v"), col("cv")), col("n"), col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
-      .select(col("vec_id").as("doc_id"), col("cell"))
+    // r20: narrow literal-kernel assignment (see ivfAssigned)
+    val cents = collectedCentroidSeeds(e)
+    val assigned = e.select(col("vec_id").as("doc_id"),
+      graft.functions.CosineNearestCellExpr
+        .nearestCellCosine(col("v"), col("n"), cents).as("cell"))
     val cellSizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),

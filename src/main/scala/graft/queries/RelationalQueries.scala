@@ -578,7 +578,13 @@ object RelationalQueries {
     * 5-iteration instance the oracle unrolls. */
   private[graft] def pagerankFixedPointN(
       spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    // r20: eager checkpoint — the lineitem self-join + distinct behind
+    // colocatedPairs ran TWICE (once per direction of the union below)
+    // before the edge checkpoint could materialize; now it runs once and
+    // both directions derive narrowly (the same fix as r20
+    // connectedComponents)
     val pairs = colocatedPairs(spark, dir).select(col("p1"), col("p2")).distinct()
+      .localCheckpoint(true)
     // Edges are REPARTITIONED BY src before the one-time checkpoint:
     // localCheckpoint preserves outputPartitioning, so every iteration's
     // join on src reuses the edge layout with ZERO edge-side exchange —
@@ -661,11 +667,15 @@ object RelationalQueries {
     * the local clustering numerator curation pipelines use to find
     * templated boilerplate rings in co-occurrence graphs. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    // r20: eager checkpoint — the supported-edge pipeline (lineitem
+    // self-join + group + filter) was re-planned THREE times (both
+    // degree-union branches + the orientation join); now it runs once
     val edges = colocatedPairs(spark, dir)
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
       .select(col("p1"), col("p2"))
+      .localCheckpoint(true)
     val deg = edges.select(col("p1").as("u")).unionAll(edges.select(col("p2").as("u")))
       .groupBy(col("u")).agg(count(lit(1)).as("d"))
     // orient: src = endpoint with the smaller (degree, id); carry the
@@ -694,9 +704,13 @@ object RelationalQueries {
     // present, is oriented v -> w — one probe into the oriented set
     val closer = oriented.select(col("src").as("v"), col("dst").as("w"))
     val tris = wedges.join(closer, Seq("v", "w"))
-    tris.select(col("a").as("node"))
-      .unionAll(tris.select(col("v").as("node")))
-      .unionAll(tris.select(col("w").as("node")))
+    // r20: one corner row per triangle corner via a narrow explode — the
+    // previous three-way unionAll planned THREE copies of the wedge join
+    // (the operator's O(m^1.5) cost) because each union branch re-derived
+    // `tris` (plans/r20/q124_triangles_before.txt: three identical
+    // SortMergeJoin pipelines under the Union). Same multiset of corner
+    // rows, one wedge join.
+    tris.select(explode(array(col("a"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
       .orderBy(col("node"))
   }

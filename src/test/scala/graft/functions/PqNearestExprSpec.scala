@@ -76,6 +76,31 @@ class PqNearestExprSpec extends SparkSuite {
     assert(got === 3L)
   }
 
+  test("cosine nearest cell ≡ crossJoin + max_by over safeCosine (un-normalized)") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val d = 6
+    def norm(v: Seq[Double]): Double =
+      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+    val cents: Seq[(Long, Seq[Double], Double)] =
+      (0 until 12).map { i => val v = rngVec(r, d); (i * 10L, v, norm(v)) }
+    val vecs = (0 until 250).map { i =>
+      val v = rngVec(r, d); (i.toLong, v, norm(v))
+    }.toDF("vec_id", "v", "n")
+    val centDf = cents.toDF("cent_id", "cv", "cn")
+    val joined = vecs.crossJoin(broadcast(centDf))
+      .withColumn("ccos", VectorFns.safeCosine(
+        graft.functions.DotProductExpr.dotNative(col("v"), col("cv")),
+        col("n"), col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cent_id, struct(ccos, -cent_id))").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val literal = vecs.select(col("vec_id"),
+        CosineNearestCellExpr.nearestCellCosine(col("v"), col("n"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(literal === joined)
+  }
+
   test("NaN inputs order like min_by/max_by struct ordering (NaN largest)") {
     import spark.implicits._
     // NaN sv → every d2 NaN → min_by falls to the code tie-break (lowest);
