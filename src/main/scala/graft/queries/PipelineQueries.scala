@@ -200,12 +200,17 @@ object PipelineQueries {
     * verify over representatives. */
   def clusterFirstNeardup(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusMutant(spark, dir)
-    val hashed = corpus.withColumn("h", sha2(col("text"), 256))
-    val clusters = hashed.groupBy(col("h"))
-      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("csize"))
-    // representatives re-join their text by (h) and survive only as the
-    // elected canonical — the expensive stage below never sees members
-    val reps = hashed.join(clusters, Seq("h"))
+    // r20 (the q132 election-window fix applied here too): the election
+    // used to be a groupBy(h) agg re-JOINED onto the digest pass, so the
+    // corpus scan + sha256 ran twice (JobProfile: two 5.2 MB-input
+    // stages). A window over the same key computes the canonical and the
+    // member count in ONE corpus pass with ONE exchange, and the
+    // representatives fall out as a narrow filter — the expensive stage
+    // below still never sees members.
+    val wRep = Window.partitionBy(col("h"))
+    val reps = corpus.withColumn("h", sha2(col("text"), 256))
+      .withColumn("rep_id", min(col("doc_id")).over(wRep))
+      .withColumn("csize", count(lit(1)).over(wRep))
       .filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"), col("csize"))
     val c0 = reps
@@ -2976,10 +2981,13 @@ object PipelineQueries {
     // per (doc, span) instead of one per occurrence
     val perDocSpan = c.select(col("doc_id"), explode(col("sphs")).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n"))
-    // global frequency reuses the same h-keyed stream (sum of per-doc n)
-    val freq = perDocSpan.groupBy(col("h")).agg(sum(col("n")).as("cnt"))
+    // global span frequency as a WINDOW over the same key (r20, the q132
+    // election fix): the old groupBy(h) + semi-join-back re-planned the
+    // pre-aggregate for both branches and paid an extra h exchange; the
+    // window computes cnt in one pass on one exchange
     val dupPerDoc = perDocSpan
-      .join(freq.filter(col("cnt") > 1L).select(col("h")), Seq("h"), "left_semi")
+      .withColumn("cnt", sum(col("n")).over(Window.partitionBy(col("h"))))
+      .filter(col("cnt") > 1L)
       .groupBy(col("doc_id")).agg(sum(col("n")).as("n_dup_spans"))
     c.select(col("doc_id"), size(col("sphs")).cast("long").as("n_spans"))
       .filter(col("n_spans") > 0L)
@@ -3033,8 +3041,11 @@ object PipelineQueries {
       .select(col("doc_id"), col("toks"), col("sphs"))
       .planCache()
     val spans = c.select(col("doc_id"), posexplode(col("sphs")).as(Seq("pos", "h")))
-    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-    val dup = spans.join(freq.filter(col("cnt") > 1L), Seq("h"))
+    // dup spans via a frequency WINDOW over h (r20): the old groupBy(h) +
+    // join-back exploded the cached sphs twice and paid two h exchanges
+    val dup = spans
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("cnt") > 1L)
       .select(col("doc_id"), col("pos"))
     // islands: a dup span at pos covers words [pos, pos+12]; a span
     // starting past the running max end opens a new island
